@@ -1,0 +1,295 @@
+"""Unified self/cross attention layer.
+
+Counterpart of the reference's hackathon-modified ``tensorrt_llm/layers/
+attention.py:48-415``: fused-QKV self-attention, separate q_linear for
+cross-attention consuming precomputed cross-K/V, causal/padding masks,
+ALiBi, RoPE, MQA, int8 KV cache, and both KV-cache modes:
+
+* concat mode (reference explicit-math path, attention.py:281-306): past
+  [B,2,H,S_past,D] is concatenated with fresh K/V and returned — used for
+  one-shot calls and tests;
+* in-place mode (reference GPTAttention-plugin semantics,
+  gptAttentionCommon.cpp:650): a preallocated [B,2,H,S_max,D] buffer is
+  updated at ``cache_write_index`` via dynamic_update_slice (donated under
+  jit => true in-place) and attention is masked by ``sequence_length``.
+
+TPU-native layout choice: the fused QKV weight is stored
+[3, n_heads, head_dim, hidden] (not the GPU's flat [3H, hidden]) so a
+PartitionSpec of (None, 'tp', None, None) shards *heads* across the mesh —
+the contiguous-split-vs-head-split mismatch that forces the reference to
+build per-rank reordered weight files (E/whisper/weight.py splits q/k/v
+before fusing) disappears.
+"""
+from __future__ import annotations
+
+import enum
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..functional import (causal_bias, generate_alibi_biases,
+                          generate_alibi_slopes, rope)
+from ..module import Module
+from ..parameter import Parameter
+from ..parallel.mapping import TP_AXIS
+from ..ops.attention import (append_kv, cached_decode_attention,
+                             multihead_attention)
+from .linear import ColumnLinear, RowLinear
+
+
+class AttentionMaskType(enum.Enum):
+    padding = 0
+    causal = 1
+    bidirectional = 2
+
+
+class PositionEmbeddingType(enum.Enum):
+    learned_absolute = 0
+    rope = 1
+    alibi = 2
+
+
+class QKVLinear(Module):
+    """Fused QKV projection with head-major weight layout (see module doc)."""
+
+    def __init__(self, hidden_size: int, num_heads: int, num_kv_heads: int,
+                 head_dim: int, bias: bool = True, dtype=None):
+        super().__init__()
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        if num_kv_heads == num_heads:
+            self.weight = Parameter(shape=(3, num_heads, head_dim, hidden_size),
+                                    dtype=dtype, pspec=P(None, TP_AXIS, None, None))
+            if bias:
+                self.bias = Parameter(shape=(3, num_heads, head_dim),
+                                      dtype=dtype, pspec=P(None, TP_AXIS, None))
+            else:
+                self.register_parameter("bias", None)
+        else:
+            # MQA/GQA: store q and kv separately (ref multi_query_mode,
+            # attention.py:120-131)
+            self.weight = Parameter(shape=(num_heads, head_dim, hidden_size),
+                                    dtype=dtype, pspec=P(TP_AXIS, None, None))
+            self.kv_weight = Parameter(
+                shape=(2, num_kv_heads, head_dim, hidden_size), dtype=dtype)
+            if bias:
+                self.bias = Parameter(shape=(num_heads, head_dim), dtype=dtype,
+                                      pspec=P(TP_AXIS, None))
+                self.kv_bias = Parameter(shape=(2, num_kv_heads, head_dim),
+                                         dtype=dtype)
+            else:
+                self.register_parameter("bias", None)
+                self.register_parameter("kv_bias", None)
+
+    def forward(self, x):
+        """x [B,L,hidden] -> q [B,L,Hq,D], k [B,L,Hkv,D], v [B,L,Hkv,D]."""
+        if self.num_kv_heads == self.num_heads:
+            qkv = jnp.einsum("bli,thdi->blthd", x, self.weight.value,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
+            if self.bias is not None:
+                qkv = qkv + self.bias.value.astype(qkv.dtype)
+            return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = jnp.einsum("bli,hdi->blhd", x, self.weight.value,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        kv = jnp.einsum("bli,thdi->blthd", x, self.kv_weight.value,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.bias is not None:
+            q = q + self.bias.value.astype(q.dtype)
+            kv = kv + self.kv_bias.value.astype(kv.dtype)
+        return q, kv[:, :, 0], kv[:, :, 1]
+
+
+class Attention(Module):
+
+    def __init__(self,
+                 hidden_size: int,
+                 num_attention_heads: int,
+                 max_position_embeddings: int,
+                 num_layers: int = 1,
+                 cross_attention: bool = False,
+                 apply_query_key_layer_scaling: bool = False,
+                 attention_mask_type: AttentionMaskType = AttentionMaskType.padding,
+                 bias: bool = True,
+                 dtype=None,
+                 position_embedding_type: PositionEmbeddingType = PositionEmbeddingType.learned_absolute,
+                 neox_rotary_style: bool = True,
+                 use_int8_kv_cache: bool = False,
+                 rotary_embedding_percentage: float = 1.0,
+                 rotary_base: float = 10000.0,
+                 tp_group=None,
+                 tp_size: int = 1,
+                 multi_query_mode: bool = False):
+        super().__init__()
+        self.attention_mask_type = attention_mask_type
+        self.attention_head_size = hidden_size // num_attention_heads
+        self.num_attention_heads = num_attention_heads
+        self.num_attention_kv_heads = 1 if multi_query_mode else num_attention_heads
+        self.hidden_size = hidden_size
+        self.max_position_embeddings = max_position_embeddings
+        self.num_layers = num_layers
+        self.apply_query_key_layer_scaling = apply_query_key_layer_scaling
+        self.norm_factor = math.sqrt(self.attention_head_size)
+        self.q_scaling = 1.0
+        if apply_query_key_layer_scaling:
+            self.norm_factor *= num_layers
+            self.q_scaling *= num_layers
+        self.position_embedding_type = position_embedding_type
+        self.multi_query_mode = multi_query_mode
+        self.neox_rotary_style = neox_rotary_style
+        self.rotary_base = rotary_base
+        self.rotary_embedding_dim = 0
+        if position_embedding_type == PositionEmbeddingType.rope:
+            self.rotary_embedding_dim = int(self.attention_head_size *
+                                            rotary_embedding_percentage)
+        self.dtype = dtype
+        self.use_int8_kv_cache = use_int8_kv_cache
+        if use_int8_kv_cache:
+            # scale_y_quant_orig semantics, ref attention.py:100-105
+            self.kv_orig_quant_scale = Parameter(shape=(1,), dtype="float32")
+            self.kv_quant_orig_scale = Parameter(shape=(1,), dtype="float32")
+        else:
+            self.register_parameter("kv_orig_quant_scale", None)
+            self.register_parameter("kv_quant_orig_scale", None)
+        self.cross_attention = cross_attention
+
+        if cross_attention:
+            self.q_linear = ColumnLinear(hidden_size, hidden_size, bias=bias,
+                                         dtype=dtype, tp_size=tp_size,
+                                         gather_output=False)
+            self.register_parameter("qkv", None)
+            self._modules.pop("qkv", None)
+            object.__setattr__(self, "qkv", None)
+        else:
+            self.qkv = QKVLinear(hidden_size, self.num_attention_heads,
+                                 self.num_attention_kv_heads,
+                                 self.attention_head_size, bias=bias,
+                                 dtype=dtype)
+            object.__setattr__(self, "q_linear", None)
+
+        self.dense = RowLinear(hidden_size, hidden_size, bias=bias,
+                               dtype=dtype, tp_size=tp_size)
+
+    # -- helpers ----------------------------------------------------------
+
+    def _split_heads(self, x):
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_attention_heads,
+                         self.attention_head_size).transpose(0, 2, 1, 3)
+
+    def _merge_heads(self, x):
+        b, h, l, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    @property
+    def scale(self) -> float:
+        return 1.0 / self.norm_factor
+
+    def new_kv_cache(self, batch: int, max_len: int):
+        """Allocate the in-place cache buffer ([B,2,H,S,D]; int8 when
+        quantised — ref WhisperDecoder.prepare_inputs int8 branch)."""
+        kv_dtype = jnp.int8 if self.use_int8_kv_cache else (self.dtype or jnp.float32)
+        return jnp.zeros((batch, 2, self.num_attention_kv_heads, max_len,
+                          self.attention_head_size), dtype=kv_dtype)
+
+    # -- forward ----------------------------------------------------------
+
+    def forward(self,
+                hidden_states,
+                attention_mask=None,
+                past_key_value=None,
+                sequence_length=None,
+                cross_key_value=None,
+                position_ids=None,
+                cache_write_index=None,
+                use_cache: bool = False):
+        b, l, _ = hidden_states.shape
+
+        if self.cross_attention:
+            query = self._split_heads(self.q_linear(hidden_states))
+            assert cross_key_value is not None, \
+                "cross attention consumes precomputed cross K/V (ref attention.py:308-323)"
+            key, value = cross_key_value[:, 0], cross_key_value[:, 1]
+            key = key.astype(query.dtype)
+            value = value.astype(query.dtype)
+            bias = attention_mask
+            ctx = multihead_attention(query, key, value, bias=bias,
+                                      scale=self.scale)
+            out = self.dense(self._merge_heads(ctx))
+            return (out, past_key_value) if use_cache else out
+
+        q, k, v = self.qkv(hidden_states)          # [B,L,H,D]
+        if self.position_embedding_type == PositionEmbeddingType.rope:
+            if position_ids is None:
+                base = cache_write_index if cache_write_index is not None else 0
+                position_ids = base + jnp.arange(l, dtype=jnp.int32)[None, :]
+                position_ids = jnp.broadcast_to(position_ids, (b, l))
+            q = rope(q, position_ids, self.rotary_base, self.rotary_embedding_dim,
+                     self.neox_rotary_style)
+            k = rope(k, position_ids, self.rotary_base, self.rotary_embedding_dim,
+                     self.neox_rotary_style)
+        q = q.transpose(0, 2, 1, 3)                # [B,H,L,D]
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        alibi = None
+        if self.position_embedding_type == PositionEmbeddingType.alibi:
+            slopes = jnp.asarray(generate_alibi_slopes(self.num_attention_heads))
+
+        if cache_write_index is not None:
+            # ---- in-place mode (gpt_attention plugin semantics) ----
+            assert past_key_value is not None and sequence_length is not None
+            kv_oq = (self.kv_orig_quant_scale.value
+                     if self.use_int8_kv_cache else None)
+            kv_qo = (self.kv_quant_orig_scale.value
+                     if self.use_int8_kv_cache else None)
+            past_key_value = append_kv(past_key_value, k, v, cache_write_index,
+                                       kv_orig_quant_scale=kv_oq)
+            causal_offset = None
+            if self.attention_mask_type == AttentionMaskType.causal:
+                causal_offset = jnp.asarray(cache_write_index, jnp.int32)
+            if self.position_embedding_type == PositionEmbeddingType.alibi:
+                s_max = past_key_value.shape[3]
+                alibi = generate_alibi_biases(slopes, s_max)
+            q_for_cache = q
+            ctx = cached_decode_attention(
+                q_for_cache, past_key_value, sequence_length,
+                scale=self.scale, kv_quant_orig_scale=kv_qo,
+                causal_offset=causal_offset)
+            out = self.dense(self._merge_heads(ctx))
+            return (out, past_key_value) if use_cache else out
+
+        # ---- concat / one-shot mode (explicit-math path) ----
+        if past_key_value is not None:
+            past_k = past_key_value[:, 0]
+            past_v = past_key_value[:, 1]
+            if past_key_value.dtype == jnp.int8:
+                scale = self.kv_quant_orig_scale.value
+                past_k = (past_k.astype(jnp.float32) * scale).astype(q.dtype)
+                past_v = (past_v.astype(jnp.float32) * scale).astype(q.dtype)
+            k_full = jnp.concatenate([past_k.astype(q.dtype), k], axis=2)
+            v_full = jnp.concatenate([past_v.astype(q.dtype), v], axis=2)
+        else:
+            k_full, v_full = k, v
+
+        bias = attention_mask
+        if self.attention_mask_type == AttentionMaskType.causal:
+            cb = causal_bias(q.shape[2], k_full.shape[2])
+            bias = cb if bias is None else bias + cb
+        if self.position_embedding_type == PositionEmbeddingType.alibi:
+            ab = generate_alibi_biases(slopes, k_full.shape[2])
+            bias = ab if bias is None else bias + ab
+
+        ctx = multihead_attention(q, k_full, v_full, bias=bias, scale=self.scale)
+        out = self.dense(self._merge_heads(ctx))
+
+        if use_cache:
+            present = jnp.stack([k_full, v_full], axis=1)
+            if self.use_int8_kv_cache:
+                from ..functional import round_half_away
+                scaled = present.astype(jnp.float32) * self.kv_orig_quant_scale.value
+                present = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
+            return out, present
+        return out

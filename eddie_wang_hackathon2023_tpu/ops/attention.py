@@ -1,0 +1,128 @@
+"""Attention compute ops.
+
+TPU-native replacements for the reference's attention stack:
+
+* explicit-math path  -> :func:`multihead_attention`
+  (ref ``tensorrt_llm/layers/attention.py:363-398``: fp32 QK^T, /sqrt(d),
+  additive bias, fp32 softmax)
+* GPTAttention plugin generation phase (in-place KV append + masked MHA,
+  ``cpp/.../gptAttentionCommon.cpp:650 enqueueGeneration`` and the
+  decoderMaskedMultiheadAttention CUDA kernels)
+  -> :func:`append_kv` + :func:`cached_decode_attention` over a
+  preallocated [B, 2, H, S_max, D] cache updated with
+  ``lax.dynamic_update_slice`` (donated under jit, so truly in place), with
+  optional int8 KV quant/dequant (ref attention.py:283-290,338-348).
+
+A fused Pallas decode kernel lives in :mod:`.pallas_decode_attention`; the
+functions here are the XLA formulation that it must match bit-for-bit at
+fp32 softmax precision, and the fallback on non-TPU backends.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..functional import round_half_away
+
+
+def length_mask_bias(lengths, max_len: int, dtype=jnp.float32):
+    """Additive bias [B, 1, 1, max_len]: 0 for positions < length, -inf after.
+
+    Replaces the reference's masked_tokens / padding-mask tensors."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+    return jnp.where(pos < lengths[:, None, None, None], 0.0,
+                     -jnp.inf).astype(dtype)
+
+
+def multihead_attention(q, k, v, bias=None, scale: Optional[float] = None,
+                        fp32_softmax: bool = True):
+    """q [B,H,Lq,D], k/v [B,H,Lk,D] -> [B,H,Lq,D].
+
+    Matches the reference explicit path numerics: scores and softmax in
+    float32 (``with precision('float32')``, attention.py:386-398), then the
+    probs are cast back to the value dtype for the PV matmul (the reference
+    leaves the TRT cast to the engine; we cast explicitly so the MXU runs
+    bf16xbf16->fp32)."""
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    acc_t = jnp.float32
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
+    if bias is not None:
+        scores = scores + bias.astype(acc_t)
+    if fp32_softmax:
+        probs = jax.nn.softmax(scores, axis=-1)
+    else:
+        probs = jax.nn.softmax(scores.astype(q.dtype).astype(acc_t), axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=acc_t)
+    return ctx.astype(q.dtype)
+
+
+def append_kv(cache, k_new, v_new, write_index,
+              kv_orig_quant_scale=None) -> jnp.ndarray:
+    """Write new K/V into a preallocated cache at ``write_index`` (in place
+    under jit via donation).
+
+    cache: [B, 2, H, S_max, D] (fp16/bf16, or int8 when quantised)
+    k_new/v_new: [B, H, L_new, D]
+    write_index: scalar int32 — current sequence length before the write.
+
+    int8 mode (ref attention.py:338-348 quantize_tensor): x*scale, round
+    half-away-from-zero, clip to [-128,127], cast int8.
+    """
+    kv = jnp.stack([k_new, v_new], axis=1)  # [B,2,H,L,D]
+    if cache.dtype == jnp.int8:
+        assert kv_orig_quant_scale is not None
+        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
+        kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
+    else:
+        kv = kv.astype(cache.dtype)
+    return jax.lax.dynamic_update_slice(
+        cache, kv, (0, 0, 0, write_index, 0))
+
+
+def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
+                            kv_quant_orig_scale=None,
+                            causal_offset: Optional[jnp.ndarray] = None):
+    """Masked attention of q [B,H,Lq,D] against a full-size cache
+    [B,2,H,S_max,D], attending only to positions < seq_len (+ query offset
+    for Lq>1 causal prefill).
+
+    ``seq_len`` is the total valid length *after* the current tokens were
+    appended.  For Lq == 1 (generation step) this reduces to the reference's
+    masked-MHA kernel semantics; for Lq > 1 with ``causal_offset`` it covers
+    the context/prefill phase.
+
+    int8 KV is dequantised on the fly (ref attention.py:283-290).
+    """
+    b, h, lq, d = q.shape
+    s_max = cache.shape[3]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    k = cache[:, 0]
+    v = cache[:, 1]
+    if cache.dtype == jnp.int8:
+        assert kv_quant_orig_scale is not None
+        k = k.astype(jnp.float32) * kv_quant_orig_scale
+        v = v.astype(jnp.float32) * kv_quant_orig_scale
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+    acc_t = jnp.float32
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s_max), 3)
+    valid = kpos < jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
+    if lq > 1:
+        # causal within the freshly appended block: query row i may attend
+        # keys <= causal_offset + i
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2)
+        offset = jnp.reshape(causal_offset, (-1, 1, 1, 1)).astype(jnp.int32)
+        valid = jnp.logical_and(valid, kpos <= qpos + offset)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=acc_t)
+    return ctx.astype(q.dtype)

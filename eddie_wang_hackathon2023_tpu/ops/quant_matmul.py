@@ -1,0 +1,79 @@
+"""Weight-only quantised matmul (int8 / int4 weights, 16-bit activations).
+
+TPU-native replacement for the reference's weight-only pipeline:
+
+* offline quantiser ``symmetric_quantize_last_axis_of_batched_matrix``
+  (``cpp/tensorrt_llm/thop/weightOnlyQuantOp.cpp:225``): symmetric
+  per-out-channel scales, int8 or packed int4 — here
+  :func:`quantize_weights_int8` / :func:`quantize_weights_int4` in pure
+  numpy/jax, with a plain [K, N] layout instead of the CUDA-interleaved
+  layout produced by ``cutlass_preprocessors.cpp`` (the MXU wants natural
+  K-major tiles, so no preprocessing is needed).
+* runtime GEMM plugin (``plugins/weightOnlyQuantMatmulPlugin``, CUTLASS
+  fpA_intB): here :func:`weight_only_quant_matmul`, either the XLA
+  formulation (dequant-after-matmul — per-out-channel scales commute through
+  the contraction) or a fused Pallas kernel
+  (:mod:`.pallas_quant_matmul`) that keeps int8 weights in HBM and
+  dequantises inside VMEM tiles feeding the MXU.
+
+Because scales are per-out-channel, ``(x @ q) * scale == x @ (q * scale)``
+exactly in fp32 accumulation, so the XLA path is numerically identical to
+dequantise-then-matmul.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_weights_int8(w) -> Tuple[np.ndarray, np.ndarray]:
+    """w: [K, N] float (in-features major, as the reference feeds the thop op
+    after transposing torch's [N, K]).  Returns (q [K, N] int8, scales [N]
+    float32), symmetric per-column amax/127 (weightOnlyQuantOp.cpp:225)."""
+    w = np.asarray(w, dtype=np.float32)
+    amax = np.max(np.abs(w), axis=0)  # [N]
+    scales = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scales[None, :]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def quantize_weights_int4(w) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric int4: values in [-7, 7], two nibbles packed per int8 along K.
+    Returns (packed [K//2, N] int8, scales [N] float32).  K must be even."""
+    w = np.asarray(w, dtype=np.float32)
+    k, n = w.shape
+    assert k % 2 == 0, "int4 packing requires even in-features"
+    amax = np.max(np.abs(w), axis=0)
+    scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scales[None, :]), -7, 7).astype(np.int8)
+    lo = q[0::2] & 0xF
+    hi = (q[1::2] & 0xF) << 4
+    return (lo | hi).astype(np.int8), scales
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """[K//2, N] packed -> [K, N] int8 in [-8, 7] (sign-extended nibbles)."""
+    lo = (packed << 4).astype(jnp.int8) >> 4  # arithmetic shift sign-extends
+    hi = packed >> 4
+    k2, n = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(k2 * 2, n)
+
+
+def weight_only_quant_matmul(x, qweight, scales, bits: int = 8,
+                             use_pallas: bool = False):
+    """x [..., K] bf16/fp16 @ int-quantised weight [K, N] -> [..., N].
+
+    ``use_pallas`` selects the fused VMEM-dequant kernel on TPU backends
+    (falls back automatically elsewhere).
+    """
+    if use_pallas and jax.default_backend() == "tpu" and bits == 8:
+        from .pallas_quant_matmul import quant_matmul_pallas
+        return quant_matmul_pallas(x, qweight, scales)
+    if bits == 4:
+        qweight = unpack_int4(qweight)
+    acc = jnp.matmul(x, qweight.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return (acc * scales.astype(jnp.float32)).astype(x.dtype)
