@@ -161,6 +161,20 @@ class ModuleList(Module):
         return iter(self._modules.values())
 
 
+def stack_parameter_shapes(module: "Module", n_layer: int) -> "Module":
+    """Re-declare every parameter of ``module`` with a leading [n_layer]
+    axis.  The module becomes a *template* for a stack of structurally
+    identical layers: its state_dict holds one [n_layer, ...] array per
+    weight, and ``lax.scan`` over that pytree feeds per-layer slices to
+    ``module.apply`` with zero gather/copy cost — the TPU-native replacement
+    for the reference's 32 separately-traced transformer blocks."""
+    for _, p in module.named_parameters():
+        if p._shape is not None:
+            p._shape = (n_layer,) + p._shape
+        p._value = None
+    return module
+
+
 def stack_params(states, axis: int = 0):
     """Stack the state dicts of N structurally-identical modules into one
     state dict with a leading layer axis — the input format for scanning a

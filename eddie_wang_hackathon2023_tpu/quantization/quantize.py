@@ -1,0 +1,127 @@
+"""Model surgery: swap float linears for quantised ones.
+
+Counterpart of the reference's ``tensorrt_llm/models/quantized/quant.py``:
+``weight_only_quantize`` (:51-97) recursively replaces Column/RowLinear with
+WeightOnlyQuant variants (default ``exclude_modules=['lm_head']``).  Here
+surgery also *transforms the state dict* (the reference does this separately
+in every example's weight.py via the thop quantiser; we fold offline
+quantisation into one step), and understands the stacked-[n_layer] parameter
+layout used for scanned blocks.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..layers.attention import QKVLinear
+from ..layers.linear import Linear, RowLinear
+from ..module import Module
+from ..ops.quant_matmul import quantize_weights_int4, quantize_weights_int8
+from .layers import (WeightOnlyQuantLinear, WeightOnlyQuantQKVLinear,
+                     WeightOnlyQuantRowLinear)
+from .mode import QuantMode
+
+DEFAULT_EXCLUDE = ["lm_head"]
+
+
+def _quantize_stacked(w: np.ndarray, lead_ndim: int, bits: int):
+    """w [*lead, out, in] -> (q [*lead, in(, /2), out] int8, scales [*lead, out])."""
+    lead = w.shape[:lead_ndim]
+    out_f, in_f = w.shape[lead_ndim], w.shape[lead_ndim + 1]
+    flat = w.reshape(-1, out_f, in_f)
+    qfn = quantize_weights_int8 if bits == 8 else quantize_weights_int4
+    qs, ss = zip(*(qfn(np.ascontiguousarray(m.T)) for m in flat))
+    q = np.stack(qs, 0).reshape(lead + qs[0].shape)
+    s = np.stack(ss, 0).reshape(lead + ss[0].shape)
+    return q, s
+
+
+def _relayer(new_mod: Module, lead: Tuple[int, ...]) -> Module:
+    """Prepend stacked lead dims to a freshly-built module's param shapes."""
+    if lead:
+        for _, p in new_mod.named_parameters():
+            if p._shape is not None:
+                p._shape = tuple(lead) + p._shape
+    return new_mod
+
+
+def weight_only_quantize(model: Module,
+                         quant_mode: QuantMode,
+                         exclude_modules: Optional[List[str]] = None,
+                         current_key_name: Optional[List[str]] = None) -> Module:
+    """In-place module swap (reference quant.py:51 semantics; weights must be
+    (re)loaded afterwards with a quantised state dict)."""
+    assert quant_mode.is_weight_only()
+    bits = 4 if quant_mode.is_int4_weight_only() else 8
+    exclude = exclude_modules if exclude_modules is not None else DEFAULT_EXCLUDE
+
+    for name, child in list(model._modules.items()):
+        if name in exclude:
+            continue
+        replaced = None
+        if isinstance(child, QKVLinear):
+            lead = tuple(child.weight._shape[:-4])
+            hidden = child.weight._shape[-1]
+            replaced = _relayer(
+                WeightOnlyQuantQKVLinear(hidden, child.num_heads,
+                                         child.num_kv_heads, child.head_dim,
+                                         bias=child.bias is not None,
+                                         dtype=None, bits=bits), lead)
+        elif isinstance(child, RowLinear):
+            lead = tuple(child.weight._shape[:-2])
+            replaced = _relayer(
+                WeightOnlyQuantRowLinear(child.in_features, child.out_features,
+                                         bias=child.bias is not None,
+                                         dtype=child.dtype, bits=bits), lead)
+        elif isinstance(child, Linear):
+            lead = tuple(child.weight._shape[:-2])
+            replaced = _relayer(
+                WeightOnlyQuantLinear(child.in_features, child.out_features,
+                                      bias=child.bias is not None,
+                                      dtype=child.dtype, bits=bits), lead)
+        if replaced is not None:
+            setattr(model, name, replaced)
+        else:
+            weight_only_quantize(child, quant_mode, exclude, current_key_name)
+    return model
+
+
+def quantize_state_dict(model: Module, state: Dict[str, np.ndarray],
+                        quant_mode: QuantMode) -> Dict[str, np.ndarray]:
+    """Transform float weights in ``state`` to match a weight-only-quantised
+    ``model`` (call *after* weight_only_quantize): every swapped module's
+    ``<path>.weight`` becomes ``<path>.qweight`` + ``<path>.per_channel_scale``.
+    Offline equivalent of thop's symmetric_quantize_last_axis_of_batched_matrix.
+    """
+    bits = 4 if quant_mode.is_int4_weight_only() else 8
+    out = dict(state)
+    for path, mod in model.named_modules():
+        if isinstance(mod, WeightOnlyQuantQKVLinear):
+            key = f"{path}.weight"
+            w = np.asarray(out.pop(key), np.float32)
+            # [*lead, 3, H, hd, in] -> [*lead, 3*H*hd, in]
+            lead_ndim = w.ndim - 4
+            lead = w.shape[:lead_ndim]
+            three, h, hd, in_f = w.shape[lead_ndim:]
+            w2 = w.reshape(lead + (three * h * hd, in_f))
+            q, s = _quantize_stacked(w2, lead_ndim, bits)
+            out[f"{path}.qweight"] = q
+            out[f"{path}.per_channel_scale"] = s
+        elif isinstance(mod, WeightOnlyQuantLinear):
+            key = f"{path}.weight"
+            if key not in out:
+                continue
+            w = np.asarray(out.pop(key), np.float32)
+            q, s = _quantize_stacked(w, w.ndim - 2, bits)
+            out[f"{path}.qweight"] = q
+            out[f"{path}.per_channel_scale"] = s
+    return out
+
+
+def weight_only_quantize_state(model: Module, state: Dict[str, np.ndarray],
+                               quant_mode: QuantMode,
+                               exclude_modules: Optional[List[str]] = None):
+    """Convenience: surgery + state transformation in one step."""
+    model = weight_only_quantize(model, quant_mode, exclude_modules)
+    return model, quantize_state_dict(model, state, quant_mode)
