@@ -1,0 +1,454 @@
+"""Whisper inference pipeline: encode -> cross-KV precompute -> on-device
+autoregressive decode.
+
+Behavioural counterpart of ``E/whisper/encoding.py`` + ``E/whisper/
+decoding.py`` (WhisperDecoding:300, main_loop:785, detect_language:703,
+post_process:827, logit filters SuppressBlank:202/SuppressTokens:212/
+ApplyTimestampRules:134, GreedyDecoder:274).
+
+TPU-native restructuring: the reference drives the decoder engine from
+Python — one engine launch per token plus torch-side logit filtering
+(~70 tensors assembled per step, decoding.py:543-634).  Here the *entire*
+loop — prefill, per-step decode, every logit filter, greedy/sampled update
+and stop tracking — is one jitted program built around
+``lax.while_loop``, so a full utterance costs a single device dispatch.
+The logit-filter state machine (timestamp pairing rules, non-decreasing
+timestamps, max-initial-timestamp) is carried as O(1) loop state instead of
+re-scanning token history.
+"""
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...logger import logger
+from ...quantization import QuantMode
+from ..whisper.config import WhisperConfig
+from ..whisper.model import CrossAttnKV, WhisperDecoder, WhisperEncoder
+from ...text.tokenizer import Tokenizer, get_tokenizer
+
+CHUNK_LENGTH = 30
+NEG_INF = float("-inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodingOptions:
+    """ref decoding.py:33-67 (same fields, same defaults)."""
+    task: str = "transcribe"
+    language: Optional[str] = None
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+    suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodingResult:
+    """ref decoding.py:69-80."""
+    audio_features: Optional[np.ndarray]
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+def _maximum_likelihood_rank(tokens_groups, sum_logprobs_groups,
+                             length_penalty: Optional[float]) -> List[int]:
+    """ref MaximumLikelihoodRanker (decoding.py:92-115)."""
+    selected = []
+    for toks, lps in zip(tokens_groups, sum_logprobs_groups):
+        scores = []
+        for t, lp in zip(toks, lps):
+            penalty = (len(t) if length_penalty is None
+                       else ((5 + len(t)) / 6) ** length_penalty)
+            scores.append(lp / penalty)
+        selected.append(int(np.argmax(scores)))
+    return selected
+
+
+class WhisperPipeline:
+    """Three jitted stages over one parameter store (the reference's three
+    engines), plus host-side tokenizer/post-processing."""
+
+    def __init__(self,
+                 config: WhisperConfig,
+                 encoder: WhisperEncoder,
+                 decoder: WhisperDecoder,
+                 cross_kv: CrossAttnKV,
+                 options: DecodingOptions = DecodingOptions(),
+                 quant_mode: QuantMode = QuantMode(0)):
+        self.config = config
+        self.encoder = encoder
+        self.decoder = decoder
+        self.cross_kv = cross_kv
+        self.options = options
+        self.quant_mode = quant_mode
+
+        multilingual = config.n_vocab >= 51865
+        self.tokenizer = get_tokenizer(multilingual,
+                                       language=options.language or "en",
+                                       task=options.task)
+        tok = self.tokenizer
+        self.sample_len = options.sample_len or config.n_text_ctx // 2
+        self.sot_sequence = tok.sot_sequence
+        if options.without_timestamps:
+            self.sot_sequence = tok.sot_sequence_including_notimestamps
+        self.initial_tokens = self._get_initial_tokens()
+        self.sample_begin = len(self.initial_tokens)
+        self.sot_index = self.initial_tokens.index(tok.sot)
+        self.n_group = options.beam_size or options.best_of or 1
+
+        # -- static filter tables (host-precomputed, device-resident) -----
+        v = config.n_vocab
+        suppress = np.zeros((v,), np.float32)
+        suppress[list(self._get_suppress_tokens())] = NEG_INF
+        self._suppress_mask = suppress                     # SuppressTokens
+        blank = np.zeros((v,), np.float32)
+        blank[tok.encode(" ") + [tok.eot]] = NEG_INF
+        self._blank_mask = blank                           # SuppressBlank
+        self.max_initial_timestamp_index = 0
+        if options.max_initial_timestamp:
+            precision = CHUNK_LENGTH / config.n_audio_ctx
+            self.max_initial_timestamp_index = round(
+                options.max_initial_timestamp / precision)
+
+        # -- jitted stages -------------------------------------------------
+        self._params_enc = None
+        self._params_dec = None
+        self._params_ckv = None
+
+        self._encode_fn = jax.jit(
+            lambda p, mel: self.encoder.apply(p, mel))
+        self._cross_fn = jax.jit(
+            lambda p, xa: self.cross_kv.apply(p, xa))
+        self._generate_fn = jax.jit(
+            partial(self._generate_impl),
+            static_argnames=("prompt_len", "max_new"))
+        self._detect_fn = jax.jit(self._detect_impl)
+
+    # -- parameter management ---------------------------------------------
+
+    def bind_params(self, enc_state=None, dec_state=None, ckv_state=None):
+        """Capture device-resident state dicts once (they are jit args, so
+        they stay wherever they were placed — host-sharded for TP)."""
+        self._params_enc = enc_state if enc_state is not None else self.encoder.state_dict()
+        self._params_dec = dec_state if dec_state is not None else self.decoder.state_dict()
+        self._params_ckv = ckv_state if ckv_state is not None else self.cross_kv.state_dict()
+
+    def _ensure_params(self):
+        if self._params_dec is None:
+            self.bind_params()
+
+    # -- initial tokens (ref _get_initial_tokens, decoding.py:482-513) ----
+
+    def _get_initial_tokens(self) -> Tuple[int, ...]:
+        tok = self.tokenizer
+        tokens = list(self.sot_sequence)
+        if self.options.prefix:
+            prefix = self.options.prefix
+            prefix_tokens = (tok.encode(" " + prefix.strip())
+                             if isinstance(prefix, str) else list(prefix))
+            if self.sample_len is not None:
+                max_prefix_len = self.config.n_text_ctx // 2 - self.sample_len
+                if max_prefix_len > 0:
+                    prefix_tokens = prefix_tokens[-max_prefix_len:]
+            tokens = tokens + prefix_tokens
+        if self.options.prompt:
+            prompt = self.options.prompt
+            prompt_tokens = (tok.encode(" " + prompt.strip())
+                             if isinstance(prompt, str) else list(prompt))
+            tokens = ([tok.sot_prev]
+                      + prompt_tokens[-(self.config.n_text_ctx // 2 - 1):]
+                      + tokens)
+        return tuple(tokens)
+
+    def _get_suppress_tokens(self) -> Tuple[int, ...]:
+        """ref decoding.py:394-421."""
+        tok = self.tokenizer
+        suppress = self.options.suppress_tokens
+        if isinstance(suppress, str):
+            suppress = [int(t) for t in suppress.split(",")]
+        suppress = list(suppress) if suppress else []
+        if -1 in suppress:
+            suppress = [t for t in suppress if t >= 0]
+            suppress.extend(tok.non_speech_tokens)
+        suppress.extend([tok.transcribe, tok.translate, tok.sot,
+                         tok.sot_prev, tok.sot_lm])
+        if tok.no_speech is not None:
+            suppress.append(tok.no_speech)
+        return tuple(sorted(set(suppress)))
+
+    # -- logit filters (vectorised; ref decoding.py:134-221) --------------
+
+    def _apply_filters(self, logits, cur_len, last_tok, penult_tok, last_ts,
+                       has_ts):
+        """logits [B, V] fp32; cur_len = tokens generated so far *including*
+        the prompt; state per batch row.  Returns filtered logits."""
+        tok = self.tokenizer
+        v = self.config.n_vocab
+        ts_begin = tok.timestamp_begin
+        is_first = cur_len == self.sample_begin
+
+        if self.options.suppress_blank:
+            logits = logits + jnp.where(is_first, self._blank_mask, 0.0)
+        if self.options.suppress_tokens:
+            logits = logits + self._suppress_mask
+
+        if not self.options.without_timestamps:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
+            # suppress <|notimestamps|>
+            logits = jnp.where(col == tok.no_timestamps, NEG_INF, logits)
+            last_was_ts = jnp.logical_and(cur_len > self.sample_begin,
+                                          last_tok >= ts_begin)
+            penult_was_ts = jnp.logical_or(
+                cur_len - self.sample_begin < 2, penult_tok >= ts_begin)
+            # pairs rule
+            mask_ts = jnp.logical_and(last_was_ts, penult_was_ts)[:, None]
+            mask_text = jnp.logical_and(last_was_ts,
+                                        jnp.logical_not(penult_was_ts))[:, None]
+            logits = jnp.where(jnp.logical_and(mask_ts, col >= ts_begin),
+                               NEG_INF, logits)
+            logits = jnp.where(jnp.logical_and(mask_text, col < tok.eot),
+                               NEG_INF, logits)
+            # non-decreasing timestamps: forbid ts < timestamp_last
+            ts_last = jnp.where(
+                jnp.logical_and(last_was_ts, jnp.logical_not(penult_was_ts)),
+                last_ts, last_ts + 1)
+            lo = jnp.where(has_ts, ts_last, ts_begin)[:, None]
+            logits = jnp.where(
+                jnp.logical_and(has_ts[:, None],
+                                jnp.logical_and(col >= ts_begin, col < lo)),
+                NEG_INF, logits)
+            # first sampled position: timestamps only, bounded start
+            logits = jnp.where(jnp.logical_and(is_first, col < ts_begin),
+                               NEG_INF, logits)
+            if self.max_initial_timestamp_index:
+                last_allowed = ts_begin + self.max_initial_timestamp_index
+                logits = jnp.where(
+                    jnp.logical_and(is_first, col > last_allowed),
+                    NEG_INF, logits)
+            # if total timestamp probability beats any text token -> timestamp
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            ts_logprob = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
+            max_text = jnp.max(logprobs[:, :ts_begin], axis=-1)
+            force_ts = (ts_logprob > max_text)[:, None]
+            logits = jnp.where(jnp.logical_and(force_ts, col < ts_begin),
+                               NEG_INF, logits)
+        return logits
+
+    # -- the generate program (one jit) -----------------------------------
+
+    def _generate_impl(self, dec_params, init_tokens, cross_kv, rng,
+                       prompt_len: int, max_new: int):
+        """init_tokens [B, prompt_len] int32 -> (tokens [B, max_total],
+        lengths [B], sum_logprobs [B], no_speech_probs [B])."""
+        tok = self.tokenizer
+        b = init_tokens.shape[0]
+        c = self.config
+        max_total = prompt_len + max_new
+        ts_begin = tok.timestamp_begin
+
+        cache = self.decoder.new_kv_cache(b)
+
+        def dec(tokens, cache, widx, seqlen):
+            return self.decoder.apply(dec_params, tokens, cache, cross_kv,
+                                      widx, seqlen)
+
+        # prefill
+        seqlen0 = jnp.full((b,), prompt_len, jnp.int32)
+        logits_all, cache = dec(init_tokens, cache, 0, seqlen0)
+        probs_at_sot = jax.nn.softmax(
+            logits_all[:, self.sot_index].astype(jnp.float32), axis=-1)
+        no_speech_probs = probs_at_sot[:, tok.no_speech]
+        logits = logits_all[:, -1].astype(jnp.float32)
+
+        tokens_buf = jnp.full((b, max_total), tok.eot, jnp.int32)
+        tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, init_tokens,
+                                                  (0, 0))
+
+        init_state = dict(
+            logits=logits,
+            tokens=tokens_buf,
+            cur_len=jnp.asarray(prompt_len, jnp.int32),
+            cache=cache,
+            sum_logprobs=jnp.zeros((b,), jnp.float32),
+            finished=jnp.zeros((b,), jnp.bool_),
+            last_ts=jnp.zeros((b,), jnp.int32),
+            has_ts=jnp.zeros((b,), jnp.bool_),
+            rng=rng,
+        )
+
+        def cond(s):
+            return jnp.logical_and(s["cur_len"] < max_total,
+                                   jnp.logical_not(jnp.all(s["finished"])))
+
+        def body(s):
+            cur = s["cur_len"]
+            bidx = jnp.arange(b)
+            last_tok = s["tokens"][bidx, cur - 1]
+            penult_tok = s["tokens"][bidx, cur - 2]
+            logits = self._apply_filters(s["logits"], cur, last_tok,
+                                         penult_tok, s["last_ts"], s["has_ts"])
+            if self.options.temperature == 0:
+                next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                rng = s["rng"]
+            else:
+                rng, sub = jax.random.split(s["rng"])
+                next_tok = jax.random.categorical(
+                    sub, logits / self.options.temperature).astype(jnp.int32)
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            cur_lp = logprobs[bidx, next_tok]
+            # ref GreedyDecoder.update: accumulate while previous != eot,
+            # and freeze token to eot once finished
+            sum_lp = s["sum_logprobs"] + jnp.where(s["finished"], 0.0, cur_lp)
+            next_tok = jnp.where(s["finished"], tok.eot, next_tok)
+            is_ts = next_tok >= ts_begin
+            live_ts = jnp.logical_and(is_ts, jnp.logical_not(s["finished"]))
+            last_ts = jnp.where(live_ts, next_tok, s["last_ts"])
+            has_ts = jnp.logical_or(s["has_ts"], live_ts)
+            tokens = s["tokens"].at[bidx, cur].set(next_tok)
+            finished = jnp.logical_or(s["finished"], next_tok == tok.eot)
+            # next decode step
+            seqlen = jnp.full((b,), cur + 1, jnp.int32)
+            step_logits, cache = dec(next_tok[:, None], s["cache"], cur, seqlen)
+            return dict(logits=step_logits[:, -1].astype(jnp.float32),
+                        tokens=tokens, cur_len=cur + 1, cache=cache,
+                        sum_logprobs=sum_lp, finished=finished,
+                        last_ts=last_ts, has_ts=has_ts, rng=rng)
+
+        final = jax.lax.while_loop(cond, body, init_state)
+        return (final["tokens"], final["cur_len"], final["sum_logprobs"],
+                no_speech_probs)
+
+    def _detect_impl(self, dec_params, cross_kv):
+        """ref detect_language (decoding.py:703-743): single [sot] step,
+        mask to language tokens."""
+        tok = self.tokenizer
+        b = cross_kv.shape[1]
+        cache = self.decoder.new_kv_cache(b)
+        x = jnp.full((b, 1), tok.sot, jnp.int32)
+        logits, _ = self.decoder.apply(dec_params, x, cache, cross_kv, 0,
+                                       jnp.ones((b,), jnp.int32))
+        logits = logits[:, 0].astype(jnp.float32)
+        v = self.config.n_vocab
+        lang_ids = jnp.asarray(tok.all_language_tokens)
+        mask = jnp.full((v,), NEG_INF).at[lang_ids].set(0.0)
+        logits = logits + mask
+        lang_tokens = jnp.argmax(logits, axis=-1)
+        lang_probs = jax.nn.softmax(logits, axis=-1)[:, lang_ids]
+        return lang_tokens, lang_probs
+
+    # -- public API --------------------------------------------------------
+
+    def get_audio_features(self, mel) -> jax.Array:
+        """ref encoding.py:48-77."""
+        self._ensure_params()
+        mel = jnp.asarray(mel, dtype=self.encoder.conv1.weight.dtype)
+        if mel.ndim == 2:
+            mel = mel[None]
+        return self._encode_fn(self._params_enc, mel)
+
+    def precompute_cross_kv(self, audio_features) -> jax.Array:
+        """The cross_kv_cache_warping call (ref xa2cross_key_value:515)."""
+        self._ensure_params()
+        return self._cross_fn(self._params_ckv, audio_features)
+
+    def detect_language(self, audio_features, cross_kv=None):
+        self._ensure_params()
+        tok = self.tokenizer
+        if self.options.language is not None and self.options.task != "lang_id":
+            return ([self.options.language] * audio_features.shape[0], None)
+        if cross_kv is None:
+            cross_kv = self.precompute_cross_kv(audio_features)
+        lang_tokens, lang_probs = self._detect_fn(self._params_dec, cross_kv)
+        lang_probs = np.asarray(lang_probs)
+        probs = [
+            {c: float(lang_probs[i, j])
+             for j, c in enumerate(tok.all_language_codes)}
+            for i in range(lang_probs.shape[0])
+        ]
+        languages = [max(p, key=p.get) for p in probs]
+        return languages, probs
+
+    def main_loop(self, audio_features, cross_kv=None, seed: int = 0,
+                  languages: Optional[List[str]] = None):
+        """ref main_loop (decoding.py:785-826): returns (tokens [B, T] np,
+        lengths, sum_logprobs, no_speech_probs).  ``languages`` (from
+        detect_language) overwrites the language slot of the prompt, the
+        reference's ``self.tokens[:, sot_index+1] = language_tokens``."""
+        self._ensure_params()
+        if cross_kv is None:
+            cross_kv = self.precompute_cross_kv(audio_features)
+        b = cross_kv.shape[1]
+        init = np.tile(np.asarray(self.initial_tokens, np.int32), (b, 1))
+        if languages is not None and self.options.language is None:
+            from ...text.languages import LANGUAGES
+            for i, lang in enumerate(languages):
+                init[i, self.sot_index + 1] = (self.tokenizer.sot + 1 +
+                                               list(LANGUAGES).index(lang))
+        tokens, lengths, sum_lp, ns_probs = self._generate_fn(
+            self._params_dec, jnp.asarray(init), cross_kv,
+            jax.random.PRNGKey(seed), prompt_len=len(self.initial_tokens),
+            max_new=self.sample_len)
+        lengths = np.full((b,), int(lengths), np.int32)  # shared loop counter
+        return (np.asarray(tokens), lengths,
+                np.asarray(sum_lp), np.asarray(ns_probs))
+
+    @staticmethod
+    def compression_ratio(text: str) -> float:
+        tb = text.encode("utf-8")
+        return len(tb) / len(zlib.compress(tb))
+
+    def post_process(self, tokens, lengths, sum_logprobs, no_speech_probs,
+                     languages, audio_features=None) -> List[DecodingResult]:
+        """ref post_process (decoding.py:827-877), greedy n_group=1 path."""
+        tok = self.tokenizer
+        results = []
+        for i in range(tokens.shape[0]):
+            seq = tokens[i, self.sample_begin:lengths[i]]
+            eot_pos = np.nonzero(seq == tok.eot)[0]
+            if eot_pos.size:
+                seq = seq[:eot_pos[0]]
+            toks = [int(t) for t in seq]
+            text = tok.decode(toks).strip()
+            lp = float(sum_logprobs[i])
+            results.append(DecodingResult(
+                audio_features=(None if audio_features is None
+                                else np.asarray(audio_features[i])),
+                language=languages[i],
+                tokens=toks,
+                text=text,
+                avg_logprob=lp / (len(toks) + 1),
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=self.options.temperature,
+                compression_ratio=self.compression_ratio(text),
+            ))
+        return results
+
+    def transcribe(self, mel, seed: int = 0) -> List[DecodingResult]:
+        """Full pipeline for a batch of 30 s mel windows [B, n_mels, 3000]
+        (ref run.py generate():31-63)."""
+        xa = self.get_audio_features(mel)
+        cross_kv = self.precompute_cross_kv(xa)
+        languages, probs = self.detect_language(xa, cross_kv)
+        tokens, lengths, sum_lp, ns = self.main_loop(xa, cross_kv, seed,
+                                                     languages=languages)
+        return self.post_process(tokens, lengths, sum_lp, ns, languages, xa)

@@ -1,0 +1,171 @@
+"""Pipeline tests: the single-dispatch on-device decode loop must reproduce,
+token for token, a host-driven loop that applies the reference's logit
+filters imperatively (SuppressBlank/SuppressTokens/ApplyTimestampRules +
+GreedyDecoder, ported behaviourally from E/whisper/decoding.py:134-295)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eddie_wang_hackathon2023_tpu.models.whisper import (
+    CrossAttnKV, WhisperConfig, WhisperDecoder, WhisperEncoder)
+from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
+    DecodingOptions, WhisperPipeline)
+
+# real vocab (so tokenizer special ids are valid) but tiny transformer dims
+CFG = WhisperConfig(n_mels=80, n_vocab=51865, n_audio_ctx=60,
+                    n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+                    n_text_ctx=48, n_text_state=64, n_text_head=4,
+                    n_text_layer=2, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    enc = WhisperEncoder(CFG)
+    dec = WhisperDecoder(CFG)
+    ckv = CrossAttnKV(CFG)
+    key = jax.random.PRNGKey(0)
+    enc.random_init(key, scale=0.05)
+    dec.random_init(jax.random.PRNGKey(1), scale=0.05)
+    ckv.random_init(jax.random.PRNGKey(2), scale=0.05)
+    opts = DecodingOptions(language="en", sample_len=12)
+    p = WhisperPipeline(CFG, enc, dec, ckv, opts)
+    p.bind_params()
+    return p
+
+
+def _host_reference_filters(pipe, logits, tokens_so_far):
+    """Imperative port of the reference filter stack for one step.
+    tokens_so_far: python list per batch row (incl. prompt)."""
+    tok = pipe.tokenizer
+    logits = np.array(logits, np.float32)
+    B, V = logits.shape
+    ts_begin = tok.timestamp_begin
+    sb = pipe.sample_begin
+    cur = len(tokens_so_far[0])
+    if pipe.options.suppress_blank and cur == sb:
+        logits[:, tok.encode(" ") + [tok.eot]] = -np.inf
+    if pipe.options.suppress_tokens:
+        logits[:, list(pipe._get_suppress_tokens())] = -np.inf
+    # ApplyTimestampRules (ref decoding.py:145-199)
+    logits[:, tok.no_timestamps] = -np.inf
+    for k in range(B):
+        seq = tokens_so_far[k][sb:]
+        last_was = len(seq) >= 1 and seq[-1] >= ts_begin
+        penult_was = len(seq) < 2 or seq[-2] >= ts_begin
+        if last_was:
+            if penult_was:
+                logits[k, ts_begin:] = -np.inf
+            else:
+                logits[k, :tok.eot] = -np.inf
+        ts = [t for t in seq if t >= ts_begin]
+        if ts:
+            last = ts[-1] if (last_was and not penult_was) else ts[-1] + 1
+            logits[k, ts_begin:last] = -np.inf
+    if cur == sb:
+        logits[:, :ts_begin] = -np.inf
+        if pipe.max_initial_timestamp_index:
+            logits[:, ts_begin + pipe.max_initial_timestamp_index + 1:] = -np.inf
+    lp = logits - np.max(logits, axis=-1, keepdims=True)
+    lp = lp - np.log(np.sum(np.exp(lp), axis=-1, keepdims=True))
+    for k in range(B):
+        ts_lp = np.logaddexp.reduce(lp[k, ts_begin:])
+        if ts_lp > lp[k, :ts_begin].max():
+            logits[k, :ts_begin] = -np.inf
+    return logits
+
+
+def _host_greedy_loop(pipe, cross_kv, max_new):
+    """Drive the decoder step-by-step from the host (the reference's
+    main_loop structure) with the imperative filters above."""
+    tok = pipe.tokenizer
+    dec = pipe.decoder
+    b = cross_kv.shape[1]
+    init = list(pipe.initial_tokens)
+    tokens = [list(init) for _ in range(b)]
+    cache = dec.new_kv_cache(b)
+    params = pipe._params_dec
+    logits, cache = dec.apply(params, jnp.asarray([init] * b, jnp.int32),
+                              cache, cross_kv, 0,
+                              jnp.full((b,), len(init), jnp.int32))
+    logits = np.asarray(logits[:, -1], np.float32)
+    sum_lp = np.zeros((b,))
+    finished = np.zeros((b,), bool)
+    for i in range(max_new):
+        f = _host_reference_filters(pipe, logits, tokens)
+        nxt = f.argmax(-1)
+        lp = f - np.max(f, -1, keepdims=True)
+        lp = lp - np.log(np.sum(np.exp(lp), -1, keepdims=True))
+        for k in range(b):
+            if not finished[k]:
+                sum_lp[k] += lp[k, nxt[k]]
+            if finished[k]:
+                nxt[k] = tok.eot
+        for k in range(b):
+            tokens[k].append(int(nxt[k]))
+        finished |= nxt == tok.eot
+        if finished.all():
+            break
+        cur = len(tokens[0]) - 1
+        logits, cache = dec.apply(
+            params, jnp.asarray(nxt[:, None], jnp.int32), cache, cross_kv,
+            cur, jnp.full((b,), cur + 1, jnp.int32))
+        logits = np.asarray(logits[:, -1], np.float32)
+    return tokens, sum_lp
+
+
+@pytest.fixture(scope="module")
+def features(pipeline):
+    rs = np.random.RandomState(7)
+    mel = rs.randn(2, CFG.n_mels, CFG.n_audio_ctx * 2).astype(np.float32)
+    xa = pipeline.get_audio_features(mel)
+    return mel, xa
+
+
+def test_device_loop_matches_host_loop(pipeline, features):
+    _, xa = features
+    cross_kv = pipeline.precompute_cross_kv(xa)
+    dev_tokens, dev_len, dev_lp, _ = pipeline.main_loop(xa, cross_kv)
+    host_tokens, host_lp = _host_greedy_loop(pipeline, cross_kv,
+                                             pipeline.sample_len)
+    for k in range(dev_tokens.shape[0]):
+        dev_seq = list(dev_tokens[k, :dev_len[k]])
+        # host loop stops as soon as all finished; device pads with EOT
+        n = len(host_tokens[k])
+        assert dev_seq[:n] == host_tokens[k], (k, dev_seq[:n], host_tokens[k])
+    np.testing.assert_allclose(dev_lp, host_lp, atol=1e-3)
+
+
+def test_transcribe_end_to_end(pipeline, features):
+    mel, _ = features
+    results = pipeline.transcribe(mel)
+    assert len(results) == 2
+    for r in results:
+        assert r.language == "en"
+        assert isinstance(r.text, str)
+        assert np.isfinite(r.avg_logprob)
+        assert 0.0 <= r.no_speech_prob <= 1.0
+
+
+def test_detect_language_runs(pipeline, features):
+    _, xa = features
+    langs, probs = pipeline.detect_language.__wrapped__(pipeline, xa) \
+        if hasattr(pipeline.detect_language, "__wrapped__") else \
+        pipeline.detect_language(xa)
+    # options.language='en' short-circuits; force lang_id path:
+    import dataclasses
+    p2 = dataclasses.replace(pipeline.options, language=None)
+    object.__setattr__(pipeline, "options", p2)
+    langs, probs = pipeline.detect_language(xa)
+    assert len(langs) == 2 and all(l in probs[0] for l in langs)
+    assert abs(sum(probs[0].values()) - 1.0) < 1e-3
+    object.__setattr__(pipeline, "options",
+                       dataclasses.replace(p2, language="en"))
+
+
+def test_determinism(pipeline, features):
+    _, xa = features
+    t1, l1, _, _ = pipeline.main_loop(xa)
+    t2, l2, _, _ = pipeline.main_loop(xa)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(l1, l2)
