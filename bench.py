@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline bench: Whisper large-v2 inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "whisper_large_v2_utt_per_s", "value": N, "unit": "utt/s",
+   "vs_baseline": N / 1.965}
+
+Baseline derivation (BASELINE.md): the reference's best published number is
+the full LibriSpeech test-clean transcription wall time on 1x A10 with
+TRT-LLM + plugins: ~1333 s for the 2620-utterance set => 1.965 utt/s.
+We model one utterance as: encoder forward (30 s mel window) + cross-KV
+precompute + prompt prefill + 40 greedy decode steps through the full
+on-device loop (40 ~= avg tokens/utt incl. timestamp tokens on test-clean).
+Weights are zero-initialised (values don't affect timing; no checkpoint is
+available in this environment); the decode loop is forced to run all steps.
+"""
+import json
+import os
+import sys
+import time
+
+DECODE_TOKENS = 40
+BASELINE_UTT_PER_S = 2620.0 / 1333.0  # reference TRT-LLM+plugins on A10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
+    from eddie_wang_hackathon2023_tpu.models.whisper import (
+        CrossAttnKV, WhisperDecoder, WhisperEncoder, whisper_config)
+    from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
+        DecodingOptions, WhisperPipeline)
+
+    enable_compile_cache()
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.device_kind}", file=sys.stderr)
+
+    config = whisper_config(os.environ.get("BENCH_MODEL", "large-v2"),
+                            dtype="bfloat16")
+    enc = WhisperEncoder(config)
+    dec = WhisperDecoder(config)
+    ckv = CrossAttnKV(config)
+    for m in (enc, dec, ckv):
+        m.zeros_init()
+
+    opts = DecodingOptions(language="en", sample_len=DECODE_TOKENS)
+    pipe = WhisperPipeline(config, enc, dec, ckv, opts)
+    pipe.bind_params()
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    rs = np.random.RandomState(0)
+    mel = rs.randn(batch, config.n_mels, 3000).astype(np.float32) * 0.1
+
+    def run_once():
+        xa = pipe.get_audio_features(mel)
+        cross = pipe.precompute_cross_kv(xa)
+        tokens, lengths, _, _ = pipe.main_loop(xa, cross)
+        jax.block_until_ready(tokens)
+        return lengths
+
+    t0 = time.time()
+    lengths = run_once()  # compile
+    print(f"[bench] first call (compile): {time.time() - t0:.1f}s; "
+          f"decoded len {int(lengths[0])}", file=sys.stderr)
+    steps_run = int(lengths[0]) - pipe.sample_begin
+    if steps_run < DECODE_TOKENS:
+        print(f"[bench] warning: loop exited early at {steps_run} steps",
+              file=sys.stderr)
+
+    # timed runs
+    n_iter = int(os.environ.get("BENCH_ITERS", "5"))
+    times = []
+    for _ in range(n_iter):
+        t0 = time.time()
+        run_once()
+        times.append(time.time() - t0)
+    per_call = min(times)
+    utt_per_s = batch / per_call
+    print(f"[bench] per-call {per_call * 1e3:.1f} ms (best of {n_iter}), "
+          f"batch {batch}, {DECODE_TOKENS} decode steps "
+          f"=> {utt_per_s:.2f} utt/s; "
+          f"decode {batch * steps_run / per_call:.1f} tok/s (incl. "
+          f"encode+cross-kv amortised)", file=sys.stderr)
+
+    # stage breakdown (jitted, steady state)
+    xa = pipe.get_audio_features(mel)
+    jax.block_until_ready(xa)
+    t0 = time.time()
+    for _ in range(3):
+        xa = pipe.get_audio_features(mel)
+    jax.block_until_ready(xa)
+    t_enc = (time.time() - t0) / 3
+    cross = pipe.precompute_cross_kv(xa)
+    jax.block_until_ready(cross)
+    t0 = time.time()
+    for _ in range(3):
+        cross = pipe.precompute_cross_kv(xa)
+    jax.block_until_ready(cross)
+    t_ckv = (time.time() - t0) / 3
+    print(f"[bench] encoder {t_enc * 1e3:.1f} ms, cross-kv {t_ckv * 1e3:.1f} ms, "
+          f"decode-loop {(per_call - t_enc - t_ckv) * 1e3:.1f} ms "
+          f"({(per_call - t_enc - t_ckv) / max(steps_run, 1) * 1e3:.2f} ms/tok)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "whisper_large_v2_utt_per_s",
+        "value": round(utt_per_s, 3),
+        "unit": "utt/s",
+        "vs_baseline": round(utt_per_s / BASELINE_UTT_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

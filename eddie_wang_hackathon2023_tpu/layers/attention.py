@@ -204,6 +204,7 @@ class Attention(Module):
                 cross_key_value=None,
                 position_ids=None,
                 cache_write_index=None,
+                attention_start=None,
                 use_cache: bool = False):
         b, l, _ = hidden_states.shape
 
@@ -257,7 +258,7 @@ class Attention(Module):
             ctx = cached_decode_attention(
                 q_for_cache, past_key_value, sequence_length,
                 scale=self.scale, kv_quant_orig_scale=kv_qo,
-                causal_offset=causal_offset)
+                causal_offset=causal_offset, start_index=attention_start)
             out = self.dense(self._merge_heads(ctx))
             return (out, past_key_value) if use_cache else out
 

@@ -1,0 +1,197 @@
+"""Generic decoder-only transformer LM.
+
+The reference ships nine near-identical ~500-line model files
+(``T/models/{gpt,llama,opt,bloom,gptj,gptneox,chatglm6b,...}/model.py``,
+4628 LoC total) that differ only in position embedding, norm flavour, MLP
+gating, residual topology and bias placement.  Here those degrees of
+freedom are a :class:`DecoderConfig` and one scanned block implementation;
+each family in ``models/families.py`` is a config constructor plus an HF
+weight mapper.  Same capability surface, one implementation to optimise.
+
+Forward contract (used by runtime/generation.py):
+    logits, new_cache = model(tokens, kv_cache, write_index,
+                              sequence_length, attention_start)
+with the stacked in-place KV cache of models/whisper/model.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..functional import ACT2FN
+from ..layers import (Attention, AttentionMaskType, Embedding, LayerNorm,
+                      Linear, PositionEmbeddingType, RmsNorm)
+from ..module import Module, stack_parameter_shapes
+from ..parameter import Parameter
+from ..quantization import QuantMode
+
+
+@dataclasses.dataclass
+class DecoderConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: Optional[int] = None          # != num_heads => MQA/GQA
+    ffn_hidden_size: Optional[int] = None       # default 4*hidden
+    max_position_embeddings: int = 2048
+    position_embedding: str = "learned"         # learned | rope | alibi | none
+    position_offset: int = 0                    # OPT's +2 quirk
+    rotary_pct: float = 1.0
+    rotary_base: float = 10000.0
+    neox_rotary_style: bool = True              # False => GPT-J interleaved
+    norm: str = "layernorm"                     # layernorm | rmsnorm
+    norm_eps: float = 1e-5
+    hidden_act: str = "gelu"
+    gated_mlp: bool = False
+    attn_bias: bool = True
+    mlp_bias: bool = True
+    parallel_attn: bool = False                 # GPT-J/NeoX residual topology
+    embedding_norm: bool = False                # Bloom's LN after embedding
+    final_norm: bool = True
+    tie_word_embeddings: bool = True
+    lm_head_bias: bool = False                  # GPT-J ties a bias onto it
+    apply_query_key_layer_scaling: bool = False
+    dtype: str = "bfloat16"
+    quant_mode: QuantMode = QuantMode(0)
+
+    def __post_init__(self):
+        if self.num_kv_heads is None:
+            self.num_kv_heads = self.num_heads
+        if self.ffn_hidden_size is None:
+            self.ffn_hidden_size = 4 * self.hidden_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def _make_norm(config: DecoderConfig):
+    if config.norm == "rmsnorm":
+        return RmsNorm(config.hidden_size, eps=config.norm_eps,
+                       dtype=config.dtype)
+    return LayerNorm(config.hidden_size, eps=config.norm_eps,
+                     dtype=config.dtype)
+
+
+class DecoderBlock(Module):
+
+    def __init__(self, config: DecoderConfig):
+        super().__init__()
+        c = config
+        self.config = c
+        pe = {"rope": PositionEmbeddingType.rope,
+              "alibi": PositionEmbeddingType.alibi}.get(
+                  c.position_embedding, PositionEmbeddingType.learned_absolute)
+        self.input_layernorm = _make_norm(c)
+        self.attention = Attention(
+            c.hidden_size, c.num_heads, c.max_position_embeddings,
+            num_layers=c.num_layers,
+            attention_mask_type=AttentionMaskType.causal,
+            bias=c.attn_bias, dtype=c.dtype,
+            position_embedding_type=pe,
+            neox_rotary_style=c.neox_rotary_style,
+            rotary_embedding_percentage=c.rotary_pct,
+            rotary_base=c.rotary_base,
+            apply_query_key_layer_scaling=c.apply_query_key_layer_scaling,
+            use_int8_kv_cache=c.quant_mode.has_int8_kv_cache(),
+            multi_query_mode=c.num_kv_heads == 1 and c.num_heads > 1)
+        if not c.parallel_attn:
+            self.post_layernorm = _make_norm(c)
+        if c.gated_mlp:
+            from ..layers import GatedMLP
+            self.mlp = GatedMLP(c.hidden_size, c.ffn_hidden_size,
+                                c.hidden_act, bias=c.mlp_bias, dtype=c.dtype)
+        else:
+            from ..layers import MLP
+            self.mlp = MLP(c.hidden_size, c.ffn_hidden_size, c.hidden_act,
+                           bias=c.mlp_bias, dtype=c.dtype)
+
+    def forward(self, x, kv_cache, write_index, sequence_length,
+                attention_start=None, position_ids=None):
+        normed = self.input_layernorm(x)
+        attn_out, new_cache = self.attention(
+            normed, past_key_value=kv_cache, sequence_length=sequence_length,
+            cache_write_index=write_index, attention_start=attention_start,
+            position_ids=position_ids, use_cache=True)
+        if self.config.parallel_attn:
+            # GPT-J/NeoX: mlp reads the same normed input; one residual add
+            mlp_out = self.mlp(normed)
+            x = x + attn_out + mlp_out
+        else:
+            x = x + attn_out
+            x = x + self.mlp(self.post_layernorm(x))
+        return x, new_cache
+
+
+class DecoderLMHead(Module):
+    """Embedding -> scanned blocks -> final norm -> LM head."""
+
+    def __init__(self, config: DecoderConfig):
+        super().__init__()
+        c = config
+        self.config = c
+        self.vocab_embedding = Embedding(c.vocab_size, c.hidden_size,
+                                         dtype=c.dtype)
+        if c.position_embedding == "learned":
+            self.position_embedding = Embedding(
+                c.max_position_embeddings + c.position_offset, c.hidden_size,
+                dtype=c.dtype)
+        if c.embedding_norm:
+            self.ln_embed = _make_norm(c)
+        self.blocks = stack_parameter_shapes(DecoderBlock(c), c.num_layers)
+        if c.final_norm:
+            self.ln_f = _make_norm(c)
+        if not c.tie_word_embeddings:
+            self.lm_head = Linear(c.hidden_size, c.vocab_size,
+                                  bias=c.lm_head_bias, dtype=c.dtype)
+
+    def new_kv_cache(self, batch: int, max_len: Optional[int] = None):
+        c = self.config
+        max_len = max_len or c.max_position_embeddings
+        per_layer = self.blocks.attention.new_kv_cache(batch, max_len)
+        return jnp.zeros((c.num_layers,) + per_layer.shape, per_layer.dtype)
+
+    def forward(self, tokens, kv_cache, write_index, sequence_length,
+                attention_start=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """tokens [B, L] int32 (left-padded prompts use attention_start);
+        returns (logits [B, L, V] fp32, new stacked cache)."""
+        c = self.config
+        b, l = tokens.shape
+        x = self.vocab_embedding(tokens)
+        # absolute cache positions of these tokens
+        abs_pos = write_index + jnp.arange(l, dtype=jnp.int32)[None, :]
+        if attention_start is not None:
+            position_ids = jnp.maximum(
+                abs_pos - attention_start[:, None].astype(jnp.int32), 0)
+        else:
+            position_ids = jnp.broadcast_to(abs_pos, (b, l))
+        if c.position_embedding == "learned":
+            x = x + self.position_embedding(position_ids + c.position_offset)
+        if c.embedding_norm:
+            x = self.ln_embed(x)
+
+        block = self.blocks
+        stacked = block.state_dict()
+
+        def step(h, scanned):
+            layer_params, layer_cache = scanned
+            h, new_cache = block.apply(
+                dict(layer_params), h, kv_cache=layer_cache,
+                write_index=write_index, sequence_length=sequence_length,
+                attention_start=attention_start, position_ids=position_ids)
+            return h, new_cache
+
+        x, new_kv = jax.lax.scan(step, x, (stacked, kv_cache))
+        if c.final_norm:
+            x = self.ln_f(x)
+        if c.tie_word_embeddings:
+            logits = jnp.einsum("bld,vd->blv", x,
+                                self.vocab_embedding.weight.value,
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = self.lm_head(x).astype(jnp.float32)
+        return logits, new_kv

@@ -85,6 +85,15 @@ class Module:
             if k in params:
                 params[k].value = v
 
+    def zeros_init(self) -> None:
+        """Zero-fill every declared parameter (fast init for compile checks
+        and benches where values don't matter)."""
+        import jax.numpy as jnp
+        for _, p in self.named_parameters():
+            if p._shape is None:
+                raise RuntimeError("parameter without declared shape")
+            p._value = jnp.zeros(p._shape, p._dtype)
+
     def random_init(self, key, scale: float = 0.02) -> None:
         """Initialise every parameter with small random normals (bench/tests)."""
         params = list(self.named_parameters())

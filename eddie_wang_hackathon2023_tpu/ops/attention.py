@@ -86,7 +86,8 @@ def append_kv(cache, k_new, v_new, write_index,
 
 def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
                             kv_quant_orig_scale=None,
-                            causal_offset: Optional[jnp.ndarray] = None):
+                            causal_offset: Optional[jnp.ndarray] = None,
+                            start_index=None):
     """Masked attention of q [B,H,Lq,D] against a full-size cache
     [B,2,H,S_max,D], attending only to positions < seq_len (+ query offset
     for Lq>1 causal prefill).
@@ -115,13 +116,20 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
                         preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s_max), 3)
     valid = kpos < jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
+    if start_index is not None:
+        # left-padded prompts: positions before start are invalid
+        valid = jnp.logical_and(
+            valid, kpos >= jnp.reshape(start_index, (-1, 1, 1, 1)))
     if lq > 1:
         # causal within the freshly appended block: query row i may attend
         # keys <= causal_offset + i
         qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2)
         offset = jnp.reshape(causal_offset, (-1, 1, 1, 1)).astype(jnp.int32)
         valid = jnp.logical_and(valid, kpos <= qpos + offset)
-    scores = jnp.where(valid, scores, -jnp.inf)
+    # finite mask value: a fully-masked row (e.g. a left-pad query position)
+    # must yield finite (garbage) probs, not NaN, or it would poison the
+    # KV cache it writes at the next layer
+    scores = jnp.where(valid, scores, jnp.asarray(-1e30, scores.dtype))
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=acc_t)
