@@ -1,0 +1,242 @@
+"""Autoregressive generation runtime for decoder-only LMs.
+
+Counterpart of the reference's ``tensorrt_llm/runtime/generation.py``
+(GenerationSession:141, ModelConfig:104, SamplingConfig:120) and the C++
+``GptSession::generate`` (gptSession.cpp:700).  The reference's loop runs on
+the host: one engine enqueue per token, ping-pong execution contexts for the
+KV buffers, a torch ``DynamicDecodeOp`` for sampling, and a final
+``gather_tree`` to reconstruct beams.  Here the whole thing — prefill,
+per-step decode, penalties, top-k/top-p sampling or beam search with beam
+reordering, and stop criteria — is one jitted ``lax.while_loop``; the KV
+cache is a donated in-place buffer (no ping-pong copies) and beams are kept
+contiguous by gathering carried state each step (no cache_indirection, no
+gather_tree pass).
+
+Ragged prompts are left-padded; ``attention_start`` masks the pad region
+(replacing the reference's masked_tokens / remove-input-padding machinery).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sampling import (SamplingConfig, apply_min_length,
+                       apply_presence_penalty, apply_repetition_penalty,
+                       apply_top_k, apply_top_p, beam_search_step,
+                       finalize_beams, gather_beams)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """ref generation.py:104-118 (engine-centric fields dropped; the jit
+    carries its own shapes)."""
+    vocab_size: int
+    num_layers: int
+    num_heads: int
+    hidden_size: int
+    max_seq_len: int = 2048
+    num_kv_heads: Optional[int] = None
+
+
+class GenerationSession:
+    """Drives any model with the DecoderLMHead forward contract."""
+
+    def __init__(self, model_config: ModelConfig, model,
+                 sampling_config: Optional[SamplingConfig] = None):
+        self.model_config = model_config
+        self.model = model
+        self.sampling_config = sampling_config or SamplingConfig()
+        self._params = None
+        self._decode_fn = jax.jit(
+            self._decode_impl,
+            static_argnames=("prompt_len", "max_new_tokens", "beam"))
+
+    def setup(self, params=None) -> None:
+        """Capture parameters (ref GenerationSession.setup buffer prep)."""
+        self._params = params if params is not None else self.model.state_dict()
+
+    # ------------------------------------------------------------------
+
+    def _sample_filters(self, logits, token_counts, cur_lengths):
+        sc = self.sampling_config
+        logits = apply_repetition_penalty(logits, token_counts,
+                                          sc.repetition_penalty)
+        logits = apply_presence_penalty(logits, token_counts,
+                                        sc.presence_penalty)
+        logits = apply_min_length(logits, cur_lengths, sc.min_length,
+                                  sc.end_id)
+        return logits
+
+    def _decode_impl(self, params, input_ids, input_lengths, rng,
+                     prompt_len: int, max_new_tokens: int, beam: int):
+        """input_ids [B, prompt_len] left-padded int32;
+        input_lengths [B] true prompt lengths.
+        Returns (tokens [B, beam, total_len], seq_lengths [B, beam],
+        cum_log_probs [B, beam])."""
+        sc = self.sampling_config
+        model = self.model
+        b = input_ids.shape[0]
+        total_len = prompt_len + max_new_tokens
+        v = self.model_config.vocab_size
+
+        start = (prompt_len - input_lengths).astype(jnp.int32)  # left-pad gap
+
+        cache = model.new_kv_cache(b, total_len)
+        seqlen0 = jnp.full((b,), prompt_len, jnp.int32)
+        logits_all, cache = model.apply(params, input_ids, cache, 0, seqlen0,
+                                        attention_start=start)
+        logits = logits_all[:, -1].astype(jnp.float32)
+
+        if beam > 1:
+            # tile state to [B*beam, ...] after prefill (ref _tile_beam_width)
+            def tile(x, axis=0):
+                return jnp.repeat(x, beam, axis=axis)
+            cache = jnp.repeat(cache, beam, axis=1)
+            logits = tile(logits)
+            start = tile(start)
+        bb = b * beam
+
+        tokens_buf = jnp.full((bb, total_len), sc.pad_id, jnp.int32)
+        tokens_buf = jax.lax.dynamic_update_slice(
+            tokens_buf, jnp.repeat(input_ids, beam, 0) if beam > 1 else input_ids,
+            (0, 0))
+        token_counts = jnp.zeros((bb, v), jnp.int32)
+        # count prompt tokens for penalties (ref penalty kernels scan history)
+        one_hot = jax.nn.one_hot(
+            jnp.repeat(input_ids, beam, 0) if beam > 1 else input_ids, v,
+            dtype=jnp.int32)
+        pos = jnp.arange(prompt_len, dtype=jnp.int32)[None, :, None]
+        live = pos >= jnp.reshape(start, (-1, 1, 1))
+        token_counts = jnp.sum(one_hot * live, axis=1)
+
+        init = dict(
+            logits=logits,
+            tokens=tokens_buf,
+            cache=cache,
+            cur=jnp.asarray(prompt_len, jnp.int32),
+            finished=jnp.zeros((bb,), jnp.bool_),
+            cum_lp=(jnp.zeros((b, beam), jnp.float32)
+                    if beam > 1 else jnp.zeros((bb,), jnp.float32)),
+            counts=token_counts,
+            rng=rng,
+        )
+        if beam > 1:
+            # all but beam 0 start at -inf so the first expansion picks
+            # distinct continuations of the single prefill beam
+            init["cum_lp"] = init["cum_lp"].at[:, 1:].set(-1e9)
+
+        def cond(s):
+            return jnp.logical_and(s["cur"] < total_len,
+                                   jnp.logical_not(jnp.all(s["finished"])))
+
+        def body(s):
+            cur = s["cur"]
+            gen_len = cur - prompt_len
+            logits = self._sample_filters(
+                s["logits"], s["counts"],
+                jnp.full((bb,), gen_len, jnp.int32))
+            rng, sub = jax.random.split(s["rng"])
+            if beam > 1:
+                logprobs = jax.nn.log_softmax(
+                    logits.reshape(b, beam, v), axis=-1)
+                parent, tok, cum, fin = beam_search_step(
+                    logprobs, s["cum_lp"], s["finished"].reshape(b, beam),
+                    beam, sc.end_id, sc.length_penalty)
+                # reorder carried state to follow the surviving beams
+                reordered = gather_beams(
+                    dict(tokens=s["tokens"].reshape(b, beam, -1),
+                         counts=s["counts"].reshape(b, beam, v),
+                         cache=jnp.moveaxis(
+                             s["cache"].reshape(
+                                 s["cache"].shape[0], b, beam,
+                                 *s["cache"].shape[2:]), 0, 2)),
+                    parent)
+                tokens = reordered["tokens"].reshape(bb, -1)
+                counts = reordered["counts"].reshape(bb, v)
+                cache = jnp.moveaxis(reordered["cache"], 2, 0).reshape(
+                    s["cache"].shape)
+                next_tok = tok.reshape(bb)
+                finished = fin.reshape(bb)
+                cum_lp = cum
+            else:
+                scaled = logits / jnp.maximum(sc.temperature, 1e-6) \
+                    if sc.temperature not in (0.0, 1.0) else logits
+                if sc.top_k > 1:
+                    scaled = apply_top_k(scaled, sc.top_k)
+                if 0.0 < sc.top_p < 1.0:
+                    scaled = apply_top_p(scaled, sc.top_p)
+                if sc.temperature == 0.0 or (sc.top_k <= 1 and sc.top_p == 0.0):
+                    next_tok = jnp.argmax(scaled, axis=-1).astype(jnp.int32)
+                else:
+                    next_tok = jax.random.categorical(sub, scaled).astype(jnp.int32)
+                lp = jax.nn.log_softmax(logits, axis=-1)[
+                    jnp.arange(bb), next_tok]
+                cum_lp = s["cum_lp"] + jnp.where(s["finished"], 0.0, lp)
+                next_tok = jnp.where(s["finished"], sc.end_id, next_tok)
+                finished = jnp.logical_or(s["finished"],
+                                          next_tok == sc.end_id)
+                tokens = s["tokens"]
+                counts = s["counts"]
+                cache = s["cache"]
+            tokens = tokens.at[jnp.arange(bb), cur].set(next_tok)
+            counts = counts + jax.nn.one_hot(next_tok, v, dtype=jnp.int32) * \
+                jnp.logical_not(finished)[:, None]
+            step_logits, cache = model.apply(
+                params, next_tok[:, None], cache, cur,
+                jnp.full((bb,), cur + 1, jnp.int32), attention_start=start)
+            return dict(logits=step_logits[:, -1].astype(jnp.float32),
+                        tokens=tokens, cache=cache, cur=cur + 1,
+                        finished=finished, cum_lp=cum_lp, counts=counts,
+                        rng=rng)
+
+        final = jax.lax.while_loop(cond, body, init)
+        tokens = final["tokens"].reshape(b, beam, total_len)
+        # per-sequence length: position of first end_id after the prompt
+        gen = tokens[:, :, prompt_len:]
+        is_end = gen == sc.end_id
+        any_end = jnp.any(is_end, axis=-1)
+        first_end = jnp.argmax(is_end, axis=-1)
+        gen_lens = jnp.where(any_end, first_end, max_new_tokens)
+        seq_lens = prompt_len + gen_lens
+        cum = (final["cum_lp"] if beam > 1
+               else final["cum_lp"].reshape(b, beam))
+        return tokens, seq_lens.astype(jnp.int32), cum
+
+    # ------------------------------------------------------------------
+
+    def decode(self, input_ids: np.ndarray, input_lengths: np.ndarray,
+               sampling_config: Optional[SamplingConfig] = None,
+               max_new_tokens: int = 32, seed: int = 0):
+        """ref GenerationSession.decode():782.  input_ids [B, L] LEFT-padded
+        (pad with anything; attention_start masks it).
+        Returns (output_ids [B, beam, total_len] np, seq_lengths [B, beam],
+        cum_log_probs [B, beam])."""
+        if sampling_config is not None:
+            self.sampling_config = sampling_config
+            self._decode_fn = jax.jit(
+                self._decode_impl,
+                static_argnames=("prompt_len", "max_new_tokens", "beam"))
+        if self._params is None:
+            self.setup()
+        beam = self.sampling_config.num_beams
+        tokens, lens, cum = self._decode_fn(
+            self._params, jnp.asarray(input_ids, jnp.int32),
+            jnp.asarray(input_lengths, jnp.int32),
+            jax.random.PRNGKey(seed or self.sampling_config.random_seed),
+            prompt_len=int(input_ids.shape[1]),
+            max_new_tokens=max_new_tokens, beam=beam)
+        return np.asarray(tokens), np.asarray(lens), np.asarray(cum)
+
+    def best_sequences(self, tokens, seq_lens, cum):
+        """Select the top beam per row (gather_tree + ranker equivalent)."""
+        best_tokens, best = finalize_beams(
+            jnp.asarray(tokens), jnp.asarray(cum), jnp.asarray(seq_lens),
+            self.sampling_config.length_penalty)
+        b = tokens.shape[0]
+        return (np.asarray(best_tokens),
+                np.asarray(seq_lens)[np.arange(b), np.asarray(best)])
