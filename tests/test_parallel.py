@@ -1,0 +1,124 @@
+"""Tensor/data-parallel tests on a virtual CPU mesh.
+
+The reference could only exercise TP with >= 2 physical GPUs under mpirun
+(SURVEY.md §4: "nothing tests TP without ≥2 real GPUs").  Here the
+8-virtual-device CPU mesh proves the sharded program computes the *same
+numbers* as the single-device one — XLA inserts the collectives from the
+PartitionSpecs declared by ColumnLinear/RowLinear/QKVLinear.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from eddie_wang_hackathon2023_tpu.models.whisper import (
+    CrossAttnKV, WhisperConfig, WhisperDecoder, WhisperEncoder)
+from eddie_wang_hackathon2023_tpu.parallel import Mapping, shard_state
+
+TINY = WhisperConfig(n_mels=8, n_vocab=100, n_audio_ctx=20, n_audio_state=32,
+                     n_audio_head=4, n_audio_layer=2, n_text_ctx=24,
+                     n_text_state=32, n_text_head=4, n_text_layer=2,
+                     dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def models():
+    enc, dec, ckv = (WhisperEncoder(TINY), WhisperDecoder(TINY),
+                     CrossAttnKV(TINY))
+    enc.random_init(jax.random.PRNGKey(0), 0.05)
+    dec.random_init(jax.random.PRNGKey(1), 0.05)
+    ckv.random_init(jax.random.PRNGKey(2), 0.05)
+    return enc, dec, ckv
+
+
+def _single_device_golden(models):
+    enc, dec, ckv = models
+    rs = np.random.RandomState(0)
+    mel = rs.randn(2, TINY.n_mels, TINY.n_audio_ctx * 2).astype(np.float32)
+    tokens = np.array([[5, 17, 42], [3, 9, 27]], dtype=np.int32)
+    xa = enc(jnp.asarray(mel))
+    cross = ckv(xa)
+    cache = dec.new_kv_cache(2)
+    logits, cache = dec(jnp.asarray(tokens), cache, cross, 0,
+                        jnp.array([3, 3]))
+    step_logits, _ = dec(jnp.asarray([[7], [8]]), cache, cross, 3,
+                         jnp.array([4, 4]))
+    return mel, tokens, np.asarray(logits), np.asarray(step_logits)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 4), (2, 2), (1, 2)])
+def test_sharded_whisper_matches_single_device(models, cpu_devices, dp, tp):
+    if len(cpu_devices) < dp * tp:
+        pytest.skip("not enough virtual devices")
+    enc, dec, ckv = models
+    mel, tokens, ref_logits, ref_step = _single_device_golden(models)
+
+    mapping = Mapping(world_size=dp * tp, dp_size=dp, tp_size=tp,
+                      devices=cpu_devices)
+    mesh = mapping.mesh
+    enc_p = shard_state(enc.state_dict(), enc.pspecs(), mesh)
+    dec_p = shard_state(dec.state_dict(), dec.pspecs(), mesh)
+    ckv_p = shard_state(ckv.state_dict(), ckv.pspecs(), mesh)
+
+    dp_sh = NamedSharding(mesh, P("dp"))
+    mel_s = jax.device_put(mel, NamedSharding(mesh, P("dp", None, None)))
+    tok_s = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+
+    xa = jax.jit(lambda p, x: enc.apply(p, x))(enc_p, mel_s)
+    cross = jax.jit(lambda p, x: ckv.apply(p, x))(ckv_p, xa)
+    cache = jax.device_put(
+        dec.new_kv_cache(2),
+        NamedSharding(mesh, P(None, "dp", None, "tp", None, None)))
+
+    @jax.jit
+    def dstep(p, t, c, cr, w, s):
+        return dec.apply(p, t, c, cr, w, s)
+
+    logits, cache = dstep(dec_p, tok_s, cache, cross, 0,
+                          jax.device_put(np.array([3, 3], np.int32), dp_sh))
+    step_logits, _ = dstep(dec_p,
+                           jax.device_put(np.array([[7], [8]], np.int32),
+                                          NamedSharding(mesh, P("dp", None))),
+                           cache, cross, 3,
+                           jax.device_put(np.array([4, 4], np.int32), dp_sh))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(step_logits), ref_step, atol=2e-3)
+
+
+def test_sharded_gpt_generation_matches(cpu_devices):
+    """End-to-end sharded GenerationSession == single-device decode."""
+    import torch
+    import transformers as T
+    from eddie_wang_hackathon2023_tpu.models.families import build_from_hf
+    from eddie_wang_hackathon2023_tpu.runtime import (GenerationSession,
+                                                      ModelConfig,
+                                                      SamplingConfig)
+    torch.manual_seed(0)
+    cfg = T.GPT2Config(vocab_size=96, n_positions=64, n_embd=32, n_layer=2,
+                       n_head=4)
+    hf = T.GPT2LMHeadModel(cfg).eval()
+    model, config = build_from_hf("gpt2", hf, dtype="float32")
+    mc = ModelConfig(vocab_size=96, num_layers=2, num_heads=4, hidden_size=32,
+                     max_seq_len=64)
+    sess = GenerationSession(mc, model, SamplingConfig(end_id=95, pad_id=95))
+    prompt = np.array([[5, 11, 17, 23], [2, 3, 4, 5]], dtype=np.int32)
+    ref_tokens, ref_lens, _ = sess.decode(prompt, np.array([4, 4]),
+                                          max_new_tokens=8)
+
+    mapping = Mapping(world_size=4, tp_size=4, devices=cpu_devices[:4])
+    sharded = shard_state(model.state_dict(), model.pspecs(), mapping.mesh)
+    sess2 = GenerationSession(mc, model, SamplingConfig(end_id=95, pad_id=95))
+    sess2.setup(sharded)
+    got_tokens, got_lens, _ = sess2.decode(prompt, np.array([4, 4]),
+                                           max_new_tokens=8)
+    np.testing.assert_array_equal(ref_tokens, got_tokens)
+    np.testing.assert_array_equal(ref_lens, got_lens)
+
+
+def test_mapping_validation(cpu_devices):
+    with pytest.raises(ValueError):
+        Mapping(world_size=8, dp_size=3, tp_size=2, devices=cpu_devices)
+    m = Mapping(world_size=8, dp_size=2, tp_size=4, devices=cpu_devices)
+    assert m.mesh.shape == {"dp": 2, "tp": 4, "pp": 1}
+    assert m.tp_group == list(range(8))
