@@ -26,6 +26,7 @@ import enum
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -36,6 +37,7 @@ from ..parameter import Parameter
 from ..parallel.mapping import TP_AXIS
 from ..ops.attention import (append_kv, cached_decode_attention,
                              multihead_attention)
+from ..ops.flash_attention import flash_mha
 from .linear import ColumnLinear, RowLinear
 
 
@@ -85,17 +87,27 @@ class QKVLinear(Module):
                 self.register_parameter("kv_bias", None)
 
     def forward(self, x):
-        """x [B,L,hidden] -> q [B,L,Hq,D], k [B,L,Hkv,D], v [B,L,Hkv,D]."""
+        """x [B,L,hidden] -> q [B,L,Hq,D], k [B,L,Hkv,D], v [B,L,Hkv,D].
+
+        The head-major weight is flattened to a plain [3*H*D, hidden] GEMM
+        operand (free reshape — the storage is contiguous) so the MXU sees
+        one large matmul; the head split happens on the activation side."""
+        b, l, hidden = x.shape
+        h, d = self.num_heads, self.head_dim
         if self.num_kv_heads == self.num_heads:
-            qkv = jnp.einsum("bli,thdi->blthd", x, self.weight.value,
-                             preferred_element_type=jnp.float32).astype(x.dtype)
+            w = self.weight.value.reshape(3 * h * d, hidden)
+            qkv = jnp.matmul(x, w.T, preferred_element_type=jnp.float32)
+            qkv = qkv.astype(x.dtype).reshape(b, l, 3, h, d)
             if self.bias is not None:
                 qkv = qkv + self.bias.value.astype(qkv.dtype)
             return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = jnp.einsum("bli,hdi->blhd", x, self.weight.value,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        kv = jnp.einsum("bli,thdi->blthd", x, self.kv_weight.value,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
+        hk = self.num_kv_heads
+        q = jnp.matmul(x, self.weight.value.reshape(h * d, hidden).T,
+                       preferred_element_type=jnp.float32)
+        q = q.astype(x.dtype).reshape(b, l, h, d)
+        kv = jnp.matmul(x, self.kv_weight.value.reshape(2 * hk * d, hidden).T,
+                        preferred_element_type=jnp.float32)
+        kv = kv.astype(x.dtype).reshape(b, l, 2, hk, d)
         if self.bias is not None:
             q = q + self.bias.value.astype(q.dtype)
             kv = kv + self.kv_bias.value.astype(kv.dtype)
@@ -215,9 +227,8 @@ class Attention(Module):
             key, value = cross_key_value[:, 0], cross_key_value[:, 1]
             key = key.astype(query.dtype)
             value = value.astype(query.dtype)
-            bias = attention_mask
-            ctx = multihead_attention(query, key, value, bias=bias,
-                                      scale=self.scale)
+            ctx = flash_mha(query, key, value, causal=False, scale=self.scale,
+                            bias=attention_mask)
             out = self.dense(self._merge_heads(ctx))
             return (out, past_key_value) if use_cache else out
 
@@ -248,6 +259,21 @@ class Attention(Module):
                      if self.use_int8_kv_cache else None)
             past_key_value = append_kv(past_key_value, k, v, cache_write_index,
                                        kv_orig_quant_scale=kv_oq)
+            # context/prefill fast path: statically-known empty cache, no
+            # left-padding -> fused flash attention over the fresh K/V only
+            # (the reference's context-FMHA dispatch,
+            # gptAttentionCommon.cpp:362 enqueueContext)
+            if (isinstance(cache_write_index, int) and cache_write_index == 0
+                    and q.shape[2] > 1 and attention_start is None
+                    and not self.use_int8_kv_cache
+                    and self.position_embedding_type
+                    != PositionEmbeddingType.alibi):
+                ctx = flash_mha(
+                    q, k, v,
+                    causal=self.attention_mask_type == AttentionMaskType.causal,
+                    scale=self.scale)
+                out = self.dense(self._merge_heads(ctx))
+                return (out, past_key_value) if use_cache else out
             causal_offset = None
             if self.attention_mask_type == AttentionMaskType.causal:
                 causal_offset = jnp.asarray(cache_write_index, jnp.int32)
@@ -275,15 +301,28 @@ class Attention(Module):
         else:
             k_full, v_full = k, v
 
-        bias = attention_mask
-        if self.attention_mask_type == AttentionMaskType.causal:
-            cb = causal_bias(q.shape[2], k_full.shape[2])
-            bias = cb if bias is None else bias + cb
-        if self.position_embedding_type == PositionEmbeddingType.alibi:
-            ab = generate_alibi_biases(slopes, k_full.shape[2])
-            bias = ab if bias is None else bias + ab
-
-        ctx = multihead_attention(q, k_full, v_full, bias=bias, scale=self.scale)
+        is_causal = self.attention_mask_type == AttentionMaskType.causal
+        if (attention_mask is None and past_key_value is None
+                and self.position_embedding_type != PositionEmbeddingType.alibi):
+            # fused context attention (flash on TPU, XLA elsewhere)
+            ctx = multihead_attention(q, k_full, v_full,
+                                      bias=causal_bias(q.shape[2],
+                                                       k_full.shape[2])
+                                      if is_causal else None,
+                                      scale=self.scale) \
+                if q.shape[2] < 128 or jax.default_backend() != "tpu" else \
+                flash_mha(q, k_full, v_full, causal=is_causal,
+                          scale=self.scale)
+        else:
+            bias = attention_mask
+            if is_causal:
+                cb = causal_bias(q.shape[2], k_full.shape[2])
+                bias = cb if bias is None else bias + cb
+            if self.position_embedding_type == PositionEmbeddingType.alibi:
+                ab = generate_alibi_biases(slopes, k_full.shape[2])
+                bias = ab if bias is None else bias + ab
+            ctx = multihead_attention(q, k_full, v_full, bias=bias,
+                                      scale=self.scale)
         out = self.dense(self._merge_heads(ctx))
 
         if use_cache:

@@ -1,1 +1,4 @@
 from .mode import QuantMode
+from .functional import (dequantize, quantize, quantize_per_token,
+                         quantize_tensor, smooth_quant_gemm,
+                         smooth_quant_layer_norm)

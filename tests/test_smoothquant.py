@@ -1,0 +1,97 @@
+"""SmoothQuant / quantized-functional tests (mirrors reference
+tests/quantization/test_smooth_quant_gemm.py and the layer.py family)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eddie_wang_hackathon2023_tpu.quantization import (
+    QuantMode, dequantize, quantize, quantize_per_token, smooth_quant_gemm)
+from eddie_wang_hackathon2023_tpu.quantization.smoothquant_layers import (
+    SmoothQuantLayerNorm, SmoothQuantLinear, smooth_gemm,
+    smooth_quantize_weights)
+
+
+def test_quantize_roundtrip():
+    x = jnp.asarray(np.linspace(-2, 2, 64, dtype=np.float32))
+    scale = 127.0 / 2.0
+    q = quantize(x, scale)
+    back = np.asarray(dequantize(q, 1.0 / scale))
+    assert np.abs(back - np.asarray(x)).max() <= (1.0 / scale) * 0.5 + 1e-6
+
+
+def test_quantize_per_token_scales():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(4, 32).astype(np.float32) * np.array(
+        [[1.0], [2.0], [0.5], [4.0]], np.float32))
+    q, s = quantize_per_token(x)
+    assert q.dtype == jnp.int8 and s.shape == (4, 1)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    np.testing.assert_allclose(back, np.asarray(x), atol=np.asarray(s).max())
+    assert np.abs(np.asarray(q)).max() == 127
+
+
+def test_smooth_quant_gemm_vs_emulated():
+    rs = np.random.RandomState(1)
+    x = rs.randn(8, 32).astype(np.float32)
+    w = rs.randn(16, 32).astype(np.float32)  # [out, in]
+    wq, ws = smooth_quantize_weights(w)      # [in, out], [out]
+    xq, xs = quantize_per_token(jnp.asarray(x))
+    got = np.asarray(smooth_quant_gemm(xq, jnp.asarray(wq), xs,
+                                       jnp.asarray(ws)))
+    # emulated: dequantise both then matmul
+    x_deq = np.asarray(xq, np.float32) * np.asarray(xs)
+    w_deq = wq.astype(np.float32) * ws[None, :]
+    np.testing.assert_allclose(got, x_deq @ w_deq, rtol=1e-5, atol=1e-4)
+    # end-to-end error vs float GEMM bounded by quantisation noise
+    rel = np.abs(got - x @ w.T).max() / np.abs(x @ w.T).max()
+    assert rel < 0.05, rel
+
+
+def test_smooth_quant_linear_layer():
+    rs = np.random.RandomState(2)
+    w = rs.randn(16, 32).astype(np.float32)
+    b = rs.randn(16).astype(np.float32)
+    lin = SmoothQuantLinear(32, 16, dtype="float32",
+                            quant_mode=QuantMode.use_smooth_quant(per_token=True, per_channel=True))
+    wq, ws = smooth_quantize_weights(w)
+    lin.qweight.value = wq
+    lin.per_channel_scale.value = ws
+    lin.bias.value = b
+    x = rs.randn(3, 32).astype(np.float32)
+    got = np.asarray(lin(jnp.asarray(x)))
+    ref = x @ w.T + b
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.05
+
+
+def test_smooth_quant_layernorm_feeds_linear():
+    rs = np.random.RandomState(3)
+    ln = SmoothQuantLayerNorm(32, dtype="float32",
+                              quant_mode=QuantMode.use_smooth_quant(per_token=True, per_channel=True))
+    ln.weight.value = np.ones(32, np.float32)
+    ln.bias.value = np.zeros(32, np.float32)
+    w = rs.randn(8, 32).astype(np.float32)
+    lin = SmoothQuantLinear(32, 8, bias=False, dtype="float32",
+                            quant_mode=QuantMode.use_smooth_quant(per_token=True, per_channel=True))
+    wq, ws = smooth_quantize_weights(w)
+    lin.qweight.value = wq
+    lin.per_channel_scale.value = ws
+    x = rs.randn(2, 5, 32).astype(np.float32)
+    out = np.asarray(lin(ln(jnp.asarray(x))))
+    # float reference
+    import torch
+    ref = torch.nn.functional.layer_norm(torch.from_numpy(x), (32,)).numpy() @ w.T
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9) < 0.05
+
+
+def test_smooth_gemm_outlier_migration():
+    rs = np.random.RandomState(4)
+    w = rs.randn(16, 32).astype(np.float32)
+    act_amax = np.abs(rs.randn(32).astype(np.float32)) * 10 + 0.1
+    ln_w = np.ones(32, np.float32)
+    scales, out = smooth_gemm(w, act_amax, layernorm_weight=ln_w, alpha=0.5)
+    assert scales.shape == (32,)
+    # function preserved: (x/s) @ (w*s)^T == x @ w^T
+    x = rs.randn(2, 32).astype(np.float32)
+    ref = x @ w.T
+    got = (x / scales) @ out["gemm_weight"].T
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
