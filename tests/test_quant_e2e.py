@@ -1,0 +1,112 @@
+"""End-to-end quantised Whisper pipeline tests (tiny dims, CPU): the
+capability matrix of the reference's run_*.sh scripts — fp16 / weight-only /
+int8-kv / combined — must all transcribe through the same pipeline."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eddie_wang_hackathon2023_tpu.models.whisper import (
+    CrossAttnKV, WhisperConfig, WhisperDecoder, WhisperEncoder)
+from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
+    DecodingOptions, WhisperPipeline)
+from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+from eddie_wang_hackathon2023_tpu.quantization.calibration import (
+    calibrate_int8_kv)
+from eddie_wang_hackathon2023_tpu.quantization.quantize import (
+    weight_only_quantize_state)
+
+CFG = WhisperConfig(n_mels=80, n_vocab=51865, n_audio_ctx=60,
+                    n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+                    n_text_ctx=48, n_text_state=64, n_text_head=4,
+                    n_text_layer=2, dtype="float32")
+
+
+def _fresh_states():
+    enc, dec, ckv = (WhisperEncoder(CFG), WhisperDecoder(CFG),
+                     CrossAttnKV(CFG))
+    enc.random_init(jax.random.PRNGKey(0), 0.05)
+    dec.random_init(jax.random.PRNGKey(1), 0.05)
+    ckv.random_init(jax.random.PRNGKey(2), 0.05)
+    return (enc.state_dict(), dec.state_dict(), ckv.state_dict())
+
+
+ENC_SD, DEC_SD, CKV_SD = _fresh_states()
+MEL = (np.random.RandomState(7)
+       .randn(1, CFG.n_mels, CFG.n_audio_ctx * 2).astype(np.float32))
+
+
+def _pipeline(quant_mode=QuantMode(0), int8_kv_scales=None):
+    enc = WhisperEncoder(CFG, quant_mode)
+    dec = WhisperDecoder(CFG, quant_mode)
+    ckv = CrossAttnKV(CFG)
+    enc_sd, dec_sd = dict(ENC_SD), dict(DEC_SD)
+    if int8_kv_scales is not None:
+        t = np.asarray(int8_kv_scales, np.float32).reshape(-1, 1)
+        dec_sd["blocks.attn.kv_orig_quant_scale"] = 1.0 / t
+        dec_sd["blocks.attn.kv_quant_orig_scale"] = t
+    if quant_mode.is_weight_only():
+        enc, enc_sd = weight_only_quantize_state(enc, enc_sd, quant_mode)
+        dec, dec_sd = weight_only_quantize_state(dec, dec_sd, quant_mode)
+    enc.load_state_dict(enc_sd, strict=False)
+    dec.load_state_dict(dec_sd, strict=False)
+    ckv.load_state_dict(dict(CKV_SD))
+    pipe = WhisperPipeline(CFG, enc, dec, ckv,
+                           DecodingOptions(language="en", sample_len=10),
+                           quant_mode)
+    pipe.bind_params()
+    return pipe
+
+
+@pytest.fixture(scope="module")
+def fp_pipe():
+    return _pipeline()
+
+
+@pytest.fixture(scope="module")
+def fp_result(fp_pipe):
+    return fp_pipe.transcribe(MEL)
+
+
+def test_fp_baseline(fp_result):
+    assert len(fp_result) == 1 and fp_result[0].language == "en"
+
+
+def test_weight_only_int8_e2e(fp_pipe, fp_result):
+    pipe = _pipeline(QuantMode.use_weight_only())
+    res = pipe.transcribe(MEL)
+    assert isinstance(res[0].text, str)
+    # logits of the quantised prefill stay close to float
+    xa_f = fp_pipe.get_audio_features(MEL)
+    xa_q = pipe.get_audio_features(MEL)
+    rel = (np.abs(np.asarray(xa_q) - np.asarray(xa_f)).max()
+           / (np.abs(np.asarray(xa_f)).max() + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_weight_only_int4_e2e():
+    pipe = _pipeline(QuantMode.use_weight_only(use_int4_weights=True))
+    res = pipe.transcribe(MEL)
+    assert isinstance(res[0].text, str)
+
+
+def test_int8_kv_cache_e2e(fp_pipe, fp_result):
+    # calibrate on the same clip (reference uses valid-clean split)
+    scales = calibrate_int8_kv(fp_pipe, [MEL[0]])
+    assert scales.shape == (CFG.n_text_layer,) and (scales > 0).all()
+    pipe = _pipeline(QuantMode(0).set_int8_kv_cache(), int8_kv_scales=scales)
+    assert pipe.decoder.new_kv_cache(1).dtype == jnp.int8
+    res = pipe.transcribe(MEL)
+    # int8 KV is a mild perturbation: greedy tokens mostly agree with float
+    a = fp_result[0].tokens
+    b = res[0].tokens
+    agree = sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
+    assert agree > 0.5, (a, b)
+
+
+def test_combined_woq_int8kv_e2e(fp_pipe):
+    scales = calibrate_int8_kv(fp_pipe, [MEL[0]])
+    mode = QuantMode.use_weight_only() | QuantMode.INT8_KV_CACHE
+    pipe = _pipeline(mode, int8_kv_scales=scales)
+    res = pipe.transcribe(MEL)
+    assert isinstance(res[0].text, str)
