@@ -162,8 +162,12 @@ class DecoderLMHead(Module):
         c = self.config
         b, l = tokens.shape
         x = self.vocab_embedding(tokens)
-        # absolute cache positions of these tokens
-        abs_pos = write_index + jnp.arange(l, dtype=jnp.int32)[None, :]
+        # absolute cache positions of these tokens (write_index may be a
+        # scalar or per-row [B] for continuous batching)
+        if getattr(write_index, "ndim", 0) >= 1:
+            abs_pos = write_index[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
+        else:
+            abs_pos = write_index + jnp.arange(l, dtype=jnp.int32)[None, :]
         if attention_start is not None:
             position_ids = jnp.maximum(
                 abs_pos - attention_start[:, None].astype(jnp.int32), 0)

@@ -80,6 +80,13 @@ def append_kv(cache, k_new, v_new, write_index,
         kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
     else:
         kv = kv.astype(cache.dtype)
+    if getattr(write_index, "ndim", 0) >= 1:
+        # per-row write positions (continuous batching: every slot is at its
+        # own length — the reference's in-flight-batching host pointer
+        # tables become a vmapped dynamic_update_slice)
+        return jax.vmap(
+            lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, 0, i, 0))
+        )(cache, kv, write_index.astype(jnp.int32))
     return jax.lax.dynamic_update_slice(
         cache, kv, (0, 0, 0, write_index, 0))
 
