@@ -40,14 +40,25 @@ def main():
 
     config = whisper_config(os.environ.get("BENCH_MODEL", "large-v2"),
                             dtype="bfloat16")
-    enc = WhisperEncoder(config)
-    dec = WhisperDecoder(config)
+    quant = os.environ.get("BENCH_QUANT", "")  # "", "woq8", "woq4"
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    qmode = QuantMode(0)
+    if quant.startswith("woq"):
+        qmode = QuantMode.use_weight_only(use_int4_weights=quant == "woq4")
+    enc = WhisperEncoder(config, qmode)
+    dec = WhisperDecoder(config, qmode)
     ckv = CrossAttnKV(config)
+    if qmode.is_weight_only():
+        from eddie_wang_hackathon2023_tpu.quantization.quantize import \
+            weight_only_quantize
+        enc = weight_only_quantize(enc, qmode)
+        dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
+    print(f"[bench] quant mode: {quant or 'bf16'}", file=sys.stderr)
 
     opts = DecodingOptions(language="en", sample_len=DECODE_TOKENS)
-    pipe = WhisperPipeline(config, enc, dec, ckv, opts)
+    pipe = WhisperPipeline(config, enc, dec, ckv, opts, qmode)
     pipe.bind_params()
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))

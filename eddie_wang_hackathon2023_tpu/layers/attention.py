@@ -224,9 +224,17 @@ class Attention(Module):
             query = self._split_heads(self.q_linear(hidden_states))
             assert cross_key_value is not None, \
                 "cross attention consumes precomputed cross K/V (ref attention.py:308-323)"
+            if isinstance(cross_key_value, tuple):
+                cross_key_value, cross_scale = cross_key_value
+            else:
+                cross_scale = None
             key, value = cross_key_value[:, 0], cross_key_value[:, 1]
-            key = key.astype(query.dtype)
-            value = value.astype(query.dtype)
+            if cross_key_value.dtype == jnp.int8:
+                key = (key.astype(jnp.float32) * cross_scale).astype(query.dtype)
+                value = (value.astype(jnp.float32) * cross_scale).astype(query.dtype)
+            else:
+                key = key.astype(query.dtype)
+                value = value.astype(query.dtype)
             ctx = flash_mha(query, key, value, causal=False, scale=self.scale,
                             bias=attention_mask)
             out = self.dense(self._merge_heads(ctx))

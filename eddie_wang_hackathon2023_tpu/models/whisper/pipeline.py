@@ -342,7 +342,8 @@ class WhisperPipeline:
         """ref detect_language (decoding.py:703-743): single [sot] step,
         mask to language tokens."""
         tok = self.tokenizer
-        b = cross_kv.shape[1]
+        b = (cross_kv[0] if isinstance(cross_kv, tuple)
+             else cross_kv).shape[1]
         cache = self.decoder.new_kv_cache(b)
         x = jnp.full((b, 1), tok.sot, jnp.int32)
         logits, _ = self.decoder.apply(dec_params, x, cache, cross_kv, 0,
@@ -397,7 +398,8 @@ class WhisperPipeline:
         self._ensure_params()
         if cross_kv is None:
             cross_kv = self.precompute_cross_kv(audio_features)
-        b = cross_kv.shape[1]
+        b = (cross_kv[0] if isinstance(cross_kv, tuple)
+             else cross_kv).shape[1]
         init = np.tile(np.asarray(self.initial_tokens, np.int32), (b, 1))
         if languages is not None and self.options.language is None:
             from ...text.languages import LANGUAGES

@@ -110,3 +110,24 @@ def test_combined_woq_int8kv_e2e(fp_pipe):
     pipe = _pipeline(mode, int8_kv_scales=scales)
     res = pipe.transcribe(MEL)
     assert isinstance(res[0].text, str)
+
+
+def test_int8_cross_kv_e2e(fp_pipe, fp_result):
+    """Beyond-reference mode: cross-KV quantised with dynamic per-layer
+    scales; greedy tokens should match float on most steps."""
+    from eddie_wang_hackathon2023_tpu.models.whisper import CrossAttnKV
+    from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
+        DecodingOptions, WhisperPipeline)
+    enc = WhisperEncoder(CFG)
+    dec = WhisperDecoder(CFG)
+    ckv = CrossAttnKV(CFG, int8_output=True)
+    enc.load_state_dict(dict(ENC_SD))
+    dec.load_state_dict(dict(DEC_SD))
+    ckv.load_state_dict(dict(CKV_SD))
+    pipe = WhisperPipeline(CFG, enc, dec, ckv,
+                           DecodingOptions(language="en", sample_len=10))
+    pipe.bind_params()
+    res = pipe.transcribe(MEL)
+    a, b = fp_result[0].tokens, res[0].tokens
+    agree = sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
+    assert agree > 0.5, (a, b)
