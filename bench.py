@@ -49,7 +49,7 @@ def main():
     dec = WhisperDecoder(config, qmode)
     ckv = CrossAttnKV(config)
     if qmode.is_weight_only():
-        from eddie_wang_hackathon2023_tpu.quantization.quantize import \
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import \
             weight_only_quantize
         enc = weight_only_quantize(enc, qmode)
         dec = weight_only_quantize(dec, qmode)

@@ -72,7 +72,7 @@ def save_whisper_checkpoint(out_dir: str,
 def load_whisper_checkpoint(ckpt_dir: str) -> Tuple[
         WhisperConfig, WhisperEncoder, WhisperDecoder, CrossAttnKV, QuantMode]:
     """Build the three models and bind saved weights."""
-    from .quantization.quantize import weight_only_quantize
+    from .quantization.surgery import weight_only_quantize
 
     config = WhisperConfig.from_json(os.path.join(ckpt_dir, "config.json"))
     with open(os.path.join(ckpt_dir, "build_config.json")) as f:
@@ -116,7 +116,7 @@ def build_from_openai_pt(pt_path: str, out_dir: str, dtype: str = "bfloat16",
     ckv_sd = cross_kv_state_dict(sd, config)
     if quant_mode.is_weight_only():
         from .models.whisper.model import WhisperDecoder, WhisperEncoder
-        from .quantization.quantize import (quantize_state_dict,
+        from .quantization.surgery import (quantize_state_dict,
                                             weight_only_quantize)
         enc_m = weight_only_quantize(WhisperEncoder(config, quant_mode), quant_mode)
         dec_m = weight_only_quantize(WhisperDecoder(config, quant_mode), quant_mode)

@@ -147,7 +147,7 @@ def load_openai_state_dict(sd, config: WhisperConfig,
                            int8_kv_scales=None):
     """Build (encoder, decoder, cross_kv) modules with weights bound.
     ``sd``: OpenAI-format flat dict (torch tensors or numpy)."""
-    from ...quantization.quantize import weight_only_quantize_state
+    from ...quantization.surgery import weight_only_quantize_state
 
     enc = WhisperEncoder(config, quant_mode)
     dec = WhisperDecoder(config, quant_mode)

@@ -13,7 +13,7 @@ from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
 from eddie_wang_hackathon2023_tpu.quantization import QuantMode
 from eddie_wang_hackathon2023_tpu.quantization.calibration import (
     calibrate_int8_kv)
-from eddie_wang_hackathon2023_tpu.quantization.quantize import (
+from eddie_wang_hackathon2023_tpu.quantization.surgery import (
     weight_only_quantize_state)
 
 CFG = WhisperConfig(n_mels=80, n_vocab=51865, n_audio_ctx=60,
