@@ -51,6 +51,10 @@ class PositionEmbeddingType(enum.Enum):
     learned_absolute = 0
     rope = 1
     alibi = 2
+    # ChatGLM-6B two-dimensional rotary: the 2*half head dim is split in two
+    # halves, each rotated neox-style with its own position-id row
+    # (ref T/models/chatglm6b/model.py:151-175 rotate_embedding)
+    glm_2d_rope = 3
 
 
 class QKVLinear(Module):
@@ -156,6 +160,8 @@ class Attention(Module):
         if position_embedding_type == PositionEmbeddingType.rope:
             self.rotary_embedding_dim = int(self.attention_head_size *
                                             rotary_embedding_percentage)
+        elif position_embedding_type == PositionEmbeddingType.glm_2d_rope:
+            self.rotary_embedding_dim = self.attention_head_size // 2
         self.dtype = dtype
         self.use_int8_kv_cache = use_int8_kv_cache
         if use_int8_kv_cache:
@@ -250,6 +256,19 @@ class Attention(Module):
                      self.neox_rotary_style)
             k = rope(k, position_ids, self.rotary_base, self.rotary_embedding_dim,
                      self.neox_rotary_style)
+        elif self.position_embedding_type == PositionEmbeddingType.glm_2d_rope:
+            assert position_ids is not None and position_ids.shape[1] == 2, \
+                "glm_2d_rope needs position_ids [B, 2, L] (pos, block-pos)"
+            half = self.rotary_embedding_dim
+
+            def rot2d(x):
+                lo = rope(x[..., :half], position_ids[:, 0], self.rotary_base,
+                          half, neox_style=True)
+                hi = rope(x[..., half:], position_ids[:, 1], self.rotary_base,
+                          half, neox_style=True)
+                return jnp.concatenate([lo, hi], axis=-1)
+
+            q, k = rot2d(q), rot2d(k)
         q = q.transpose(0, 2, 1, 3)                # [B,H,L,D]
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)

@@ -38,7 +38,7 @@ class DecoderConfig:
     num_kv_heads: Optional[int] = None          # != num_heads => MQA/GQA
     ffn_hidden_size: Optional[int] = None       # default 4*hidden
     max_position_embeddings: int = 2048
-    position_embedding: str = "learned"         # learned | rope | alibi | none
+    position_embedding: str = "learned"         # learned | rope | alibi | glm_rope | none
     position_offset: int = 0                    # OPT's +2 quirk
     rotary_pct: float = 1.0
     rotary_base: float = 10000.0
@@ -50,6 +50,13 @@ class DecoderConfig:
     attn_bias: bool = True
     mlp_bias: bool = True
     parallel_attn: bool = False                 # GPT-J/NeoX residual topology
+    # ChatGLM-6B deepnorm-ish topology: residual input is ln(x)*alpha, not x
+    # (ref T/models/chatglm6b/model.py:311-319 `hidden*7.484375 + out`);
+    # None => standard residual.  ChatGLM uses (2*num_layers)**0.5.
+    deepnorm_alpha: Optional[float] = None
+    # ChatGLM: prompt tokens attend bidirectionally; generated tokens attend
+    # to everything written so far (ref AttentionMaskType.bidirectional)
+    bidirectional_context: bool = False
     embedding_norm: bool = False                # Bloom's LN after embedding
     final_norm: bool = True
     tie_word_embeddings: bool = True
@@ -84,13 +91,16 @@ class DecoderBlock(Module):
         c = config
         self.config = c
         pe = {"rope": PositionEmbeddingType.rope,
-              "alibi": PositionEmbeddingType.alibi}.get(
+              "alibi": PositionEmbeddingType.alibi,
+              "glm_rope": PositionEmbeddingType.glm_2d_rope}.get(
                   c.position_embedding, PositionEmbeddingType.learned_absolute)
         self.input_layernorm = _make_norm(c)
         self.attention = Attention(
             c.hidden_size, c.num_heads, c.max_position_embeddings,
             num_layers=c.num_layers,
-            attention_mask_type=AttentionMaskType.causal,
+            attention_mask_type=(AttentionMaskType.bidirectional
+                                 if c.bidirectional_context
+                                 else AttentionMaskType.causal),
             bias=c.attn_bias, dtype=c.dtype,
             position_embedding_type=pe,
             neox_rotary_style=c.neox_rotary_style,
@@ -99,7 +109,7 @@ class DecoderBlock(Module):
             apply_query_key_layer_scaling=c.apply_query_key_layer_scaling,
             use_int8_kv_cache=c.quant_mode.has_int8_kv_cache(),
             multi_query_mode=c.num_kv_heads == 1 and c.num_heads > 1)
-        if not c.parallel_attn:
+        if not c.parallel_attn or c.deepnorm_alpha is not None:
             self.post_layernorm = _make_norm(c)
         if c.gated_mlp:
             from ..layers import GatedMLP
@@ -117,7 +127,12 @@ class DecoderBlock(Module):
             normed, past_key_value=kv_cache, sequence_length=sequence_length,
             cache_write_index=write_index, attention_start=attention_start,
             position_ids=position_ids, use_cache=True)
-        if self.config.parallel_attn:
+        if self.config.deepnorm_alpha is not None:
+            alpha = self.config.deepnorm_alpha
+            x = normed * alpha + attn_out
+            normed2 = self.post_layernorm(x)
+            x = normed2 * alpha + self.mlp(normed2)
+        elif self.config.parallel_attn:
             # GPT-J/NeoX: mlp reads the same normed input; one residual add
             mlp_out = self.mlp(normed)
             x = x + attn_out + mlp_out
@@ -155,9 +170,19 @@ class DecoderLMHead(Module):
         per_layer = self.blocks.attention.new_kv_cache(batch, max_len)
         return jnp.zeros((c.num_layers,) + per_layer.shape, per_layer.dtype)
 
+    @property
+    def needs_context_lengths(self) -> bool:
+        """GLM's 2D positions depend on the original prompt length, which the
+        runtime must thread through every decode step (the reference solves
+        this with ChatGLM6BHeadModelGenerationSession._prepare_generation_inputs,
+        T/runtime/generation.py:1021-1035)."""
+        return self.config.position_embedding == "glm_rope"
+
     def forward(self, tokens, kv_cache, write_index, sequence_length,
-                attention_start=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                attention_start=None,
+                context_lengths=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tokens [B, L] int32 (left-padded prompts use attention_start);
+        ``context_lengths`` [B]: true prompt lengths (glm_rope only);
         returns (logits [B, L, V] fp32, new stacked cache)."""
         c = self.config
         b, l = tokens.shape
@@ -173,6 +198,19 @@ class DecoderLMHead(Module):
                 abs_pos - attention_start[:, None].astype(jnp.int32), 0)
         else:
             position_ids = jnp.broadcast_to(abs_pos, (b, l))
+        if c.position_embedding == "glm_rope":
+            # ChatGLM-6B 2D scheme (ref generation.py:1002-1035): within the
+            # prompt pos0 counts up but the final [sop] token repeats the
+            # [gMASK] position plen-2 with block-pos 1; generated token s
+            # keeps pos0=plen-2 and block-pos s+2.  Both collapse to:
+            #   pos0 = min(p, plen-2), pos1 = max(p-plen+2, 0)
+            # with p the position inside the true (unpadded) sequence.
+            assert context_lengths is not None, \
+                "glm_rope needs context_lengths (true prompt lengths [B])"
+            plen = context_lengths[:, None].astype(jnp.int32)
+            pos0 = jnp.minimum(position_ids, plen - 2)
+            pos1 = jnp.maximum(position_ids - plen + 2, 0)
+            position_ids = jnp.stack([pos0, pos1], axis=1)     # [B, 2, L]
         if c.position_embedding == "learned":
             x = x + self.position_embedding(position_ids + c.position_offset)
         if c.embedding_norm:

@@ -338,6 +338,66 @@ def from_hf_gptneox(hf_sd, config: DecoderConfig) -> Dict[str, np.ndarray]:
     return state
 
 
+# -- ChatGLM-6B --------------------------------------------------------------
+
+def chatglm6b_config(hf_cfg, dtype: str = "bfloat16", **kw) -> DecoderConfig:
+    """ref T/models/chatglm6b/model.py (ChatGLM6BHeadModel): 2D rotary over
+    half the head dim per position row, deepnorm residual alpha
+    (2*num_layers)**0.5 (hardcoded 7.484375 in the reference for 28 layers),
+    bidirectional prompt attention, untied lm_head."""
+    n_layer = getattr(hf_cfg, "num_layers", getattr(hf_cfg, "num_hidden_layers", None))
+    return DecoderConfig(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+        num_layers=n_layer, num_heads=hf_cfg.num_attention_heads,
+        ffn_hidden_size=getattr(hf_cfg, "inner_hidden_size",
+                                4 * hf_cfg.hidden_size),
+        max_position_embeddings=getattr(hf_cfg, "max_sequence_length", 2048),
+        position_embedding="glm_rope",
+        deepnorm_alpha=(2 * n_layer) ** 0.5,
+        bidirectional_context=True,
+        hidden_act="gelu_exact",
+        tie_word_embeddings=False,
+        norm_eps=getattr(hf_cfg, "layernorm_epsilon", 1e-5),
+        dtype=dtype, **kw)
+
+
+def from_hf_chatglm6b(hf_sd, config: DecoderConfig) -> Dict[str, np.ndarray]:
+    """THUDM/chatglm-6b layout: query_key_value packed per head [H, 3, D]
+    (ref E/chatglm6b/weight.py load_from_hf_chatglm6b)."""
+    pre = "transformer." if "transformer.word_embeddings.weight" in hf_sd else ""
+    g = lambda k: _np(hf_sd[pre + k])
+    h, hd = config.num_heads, config.head_dim
+    per_layer = []
+    for i in range(config.num_layers):
+        gg = lambda k: _np(hf_sd[f"{pre}layers.{i}.{k}"])
+        wqkv = gg("attention.query_key_value.weight").reshape(
+            h, 3, hd, config.hidden_size).transpose(1, 0, 2, 3)
+        bqkv = gg("attention.query_key_value.bias").reshape(
+            h, 3, hd).transpose(1, 0, 2)
+        per_layer.append({
+            "input_layernorm.weight": gg("input_layernorm.weight"),
+            "input_layernorm.bias": gg("input_layernorm.bias"),
+            "attention.qkv.weight": wqkv,
+            "attention.qkv.bias": bqkv,
+            "attention.dense.weight": gg("attention.dense.weight"),
+            "attention.dense.bias": gg("attention.dense.bias"),
+            "post_layernorm.weight": gg("post_attention_layernorm.weight"),
+            "post_layernorm.bias": gg("post_attention_layernorm.bias"),
+            "mlp.fc.weight": gg("mlp.dense_h_to_4h.weight"),
+            "mlp.fc.bias": gg("mlp.dense_h_to_4h.bias"),
+            "mlp.proj.weight": gg("mlp.dense_4h_to_h.weight"),
+            "mlp.proj.bias": gg("mlp.dense_4h_to_h.bias"),
+        })
+    state = {
+        "vocab_embedding.weight": g("word_embeddings.weight"),
+        "ln_f.weight": g("final_layernorm.weight"),
+        "ln_f.bias": g("final_layernorm.bias"),
+        "lm_head.weight": _np(hf_sd["lm_head.weight"]),
+    }
+    state.update(_stack(per_layer))
+    return state
+
+
 FAMILIES = {
     "gpt2": (gpt2_config, from_hf_gpt2),
     "llama": (llama_config, from_hf_llama),
@@ -345,6 +405,7 @@ FAMILIES = {
     "bloom": (bloom_config, from_hf_bloom),
     "gptj": (gptj_config, from_hf_gptj),
     "gptneox": (gptneox_config, from_hf_gptneox),
+    "chatglm6b": (chatglm6b_config, from_hf_chatglm6b),
 }
 
 

@@ -127,9 +127,9 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
         # left-padded prompts: positions before start are invalid
         valid = jnp.logical_and(
             valid, kpos >= jnp.reshape(start_index, (-1, 1, 1, 1)))
-    if lq > 1:
+    if lq > 1 and causal_offset is not None:
         # causal within the freshly appended block: query row i may attend
-        # keys <= causal_offset + i
+        # keys <= causal_offset + i (None => bidirectional prefill, e.g. GLM)
         qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2)
         offset = jnp.reshape(causal_offset, (-1, 1, 1, 1)).astype(jnp.int32)
         valid = jnp.logical_and(valid, kpos <= qpos + offset)

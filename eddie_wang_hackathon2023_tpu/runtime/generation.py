@@ -88,8 +88,12 @@ class GenerationSession:
 
         cache = model.new_kv_cache(b, total_len)
         seqlen0 = jnp.full((b,), prompt_len, jnp.int32)
+        # GLM-style models need the true prompt length at every step (2D
+        # position ids; ref ChatGLM6BHeadModelGenerationSession)
+        needs_ctx = getattr(model, "needs_context_lengths", False)
+        extra = dict(context_lengths=input_lengths) if needs_ctx else {}
         logits_all, cache = model.apply(params, input_ids, cache, 0, seqlen0,
-                                        attention_start=start)
+                                        attention_start=start, **extra)
         logits = logits_all[:, -1].astype(jnp.float32)
 
         if beam > 1:
@@ -100,6 +104,9 @@ class GenerationSession:
             logits = tile(logits)
             start = tile(start)
         bb = b * beam
+        extra_bb = (dict(context_lengths=jnp.repeat(input_lengths, beam, 0)
+                         if beam > 1 else input_lengths)
+                    if needs_ctx else {})
 
         tokens_buf = jnp.full((bb, total_len), sc.pad_id, jnp.int32)
         tokens_buf = jax.lax.dynamic_update_slice(
@@ -188,7 +195,8 @@ class GenerationSession:
                 jnp.logical_not(finished)[:, None]
             step_logits, cache = model.apply(
                 params, next_tok[:, None], cache, cur,
-                jnp.full((bb,), cur + 1, jnp.int32), attention_start=start)
+                jnp.full((bb,), cur + 1, jnp.int32), attention_start=start,
+                **extra_bb)
             return dict(logits=step_logits[:, -1].astype(jnp.float32),
                         tokens=tokens, cache=cache, cur=cur + 1,
                         finished=finished, cum_lp=cum_lp, counts=counts,

@@ -17,7 +17,8 @@ sys.path.insert(0, __file__.rsplit("/examples/", 1)[0])
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--family", default="gpt2",
-                   choices=["gpt2", "llama", "opt", "bloom", "gptj", "gptneox"])
+                   choices=["gpt2", "llama", "opt", "bloom", "gptj", "gptneox",
+                            "chatglm6b"])
     p.add_argument("--hf_model", default=None,
                    help="local transformers checkpoint dir (optional)")
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
@@ -42,7 +43,52 @@ def main():
                                                       SamplingConfig)
 
     torch.manual_seed(0)
-    if args.hf_model:
+    if args.family == "chatglm6b":
+        # transformers ships no ChatGLM class (THUDM uses trust_remote_code);
+        # demo with random weights in the THUDM state-dict layout
+        import types
+
+        import numpy as np
+
+        from eddie_wang_hackathon2023_tpu.models.decoder import DecoderLMHead
+        from eddie_wang_hackathon2023_tpu.models.families import (
+            chatglm6b_config, from_hf_chatglm6b)
+        hid, n_layer, heads, vocab = 256, 4, 8, 1000
+        cfg = types.SimpleNamespace(
+            vocab_size=vocab, hidden_size=hid, num_layers=n_layer,
+            num_attention_heads=heads, inner_hidden_size=4 * hid,
+            max_sequence_length=256, layernorm_epsilon=1e-5)
+        config = chatglm6b_config(cfg, dtype="float32")
+        rng = np.random.default_rng(0)
+        sd = {"transformer.word_embeddings.weight":
+              rng.normal(size=(vocab, hid)),
+              "transformer.final_layernorm.weight": np.ones(hid),
+              "transformer.final_layernorm.bias": np.zeros(hid),
+              "lm_head.weight": rng.normal(size=(vocab, hid)) * 0.02}
+        for i in range(n_layer):
+            pre = f"transformer.layers.{i}."
+            sd.update({
+                pre + "input_layernorm.weight": np.ones(hid),
+                pre + "input_layernorm.bias": np.zeros(hid),
+                pre + "attention.query_key_value.weight":
+                    rng.normal(size=(3 * hid, hid)) * 0.02,
+                pre + "attention.query_key_value.bias": np.zeros(3 * hid),
+                pre + "attention.dense.weight":
+                    rng.normal(size=(hid, hid)) * 0.02,
+                pre + "attention.dense.bias": np.zeros(hid),
+                pre + "post_attention_layernorm.weight": np.ones(hid),
+                pre + "post_attention_layernorm.bias": np.zeros(hid),
+                pre + "mlp.dense_h_to_4h.weight":
+                    rng.normal(size=(4 * hid, hid)) * 0.02,
+                pre + "mlp.dense_h_to_4h.bias": np.zeros(4 * hid),
+                pre + "mlp.dense_4h_to_h.weight":
+                    rng.normal(size=(hid, 4 * hid)) * 0.02,
+                pre + "mlp.dense_4h_to_h.bias": np.zeros(hid),
+            })
+        sd = {k: v.astype(np.float32) for k, v in sd.items()}
+        model = DecoderLMHead(config)
+        model.load_state_dict(from_hf_chatglm6b(sd, config), strict=False)
+    elif args.hf_model:
         hf = T.AutoModelForCausalLM.from_pretrained(args.hf_model)
     else:
         mk = {
@@ -69,7 +115,8 @@ def main():
         }[args.family]
         hf = mk().eval()
 
-    model, config = build_from_hf(args.family, hf, dtype="float32")
+    if args.family != "chatglm6b":
+        model, config = build_from_hf(args.family, hf, dtype="float32")
     mc = ModelConfig(vocab_size=config.vocab_size,
                      num_layers=config.num_layers,
                      num_heads=config.num_heads,
