@@ -3,7 +3,9 @@
 The reference's native layer is CUDA plugins + a C++ session; the TPU
 compute path needs none of that (XLA/Pallas own the device), so the native
 code here is host-side runtime: the FLAC audio decoder (replacing the
-ffmpeg subprocess), with the continuous-batching scheduler to follow.
+ffmpeg subprocess) and the batching runtime (paged-KV block bookkeeping +
+continuous-batching slot scheduler, the layer the reference ships as
+libtensorrt_llm_batch_manager_static.a).
 
 Libraries are built on demand with g++ -O2 into this directory; rebuilds
 happen only when the source is newer than the .so.

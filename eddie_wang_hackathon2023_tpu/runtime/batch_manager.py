@@ -54,6 +54,85 @@ def _bucket(n: int, sizes=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
     return sizes[-1]
 
 
+FINISHED, STREAM = 1, 2     # push_token flag bits (shared with native lib)
+
+
+class _PyScheduler:
+    """Pure-python fallback for native.batch_runtime.NativeScheduler — same
+    API, same semantics (the equivalence test drives both on random
+    traces)."""
+
+    def __init__(self, max_slots: int, max_seq_len: int, end_id: int):
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len
+        self.default_end_id = end_id
+        self.pending: List[tuple] = []
+        self.active = np.zeros((max_slots,), bool)
+        self.lengths = np.zeros((max_slots,), np.int32)
+        self.budget = np.zeros((max_slots,), np.int32)
+        self.last_token = np.zeros((max_slots,), np.int32)
+        self.end_id = np.full((max_slots,), end_id, np.int32)
+        self.streaming = np.zeros((max_slots,), bool)
+
+    def add_request(self, request_id: int, max_new_tokens: int,
+                    end_id: int = -1, streaming: bool = False) -> None:
+        self.pending.append((request_id, max_new_tokens,
+                             self.default_end_id if end_id < 0 else end_id,
+                             streaming))
+
+    def next_admission(self):
+        if not self.pending:
+            return -1, -1
+        for s in range(self.max_slots):
+            if not self.active[s]:
+                rid, max_new, eid, stream = self.pending.pop(0)
+                self.active[s] = True
+                self.lengths[s] = 0
+                self.budget[s] = max_new
+                self.end_id[s] = eid
+                self.streaming[s] = stream
+                return s, rid
+        return -1, -1
+
+    def on_admitted(self, slot: int, prompt_len: int) -> None:
+        self.lengths[slot] = prompt_len
+
+    def push_token(self, slot: int, tok: int) -> int:
+        self.budget[slot] -= 1
+        self.last_token[slot] = tok
+        self.lengths[slot] += 1
+        done = (tok == self.end_id[slot] or self.budget[slot] <= 0
+                or self.lengths[slot] >= self.max_seq_len - 1)
+        if done:
+            self.active[slot] = False
+            return FINISHED
+        return STREAM if self.streaming[slot] else 0
+
+    @property
+    def num_pending(self) -> int:
+        return len(self.pending)
+
+    @property
+    def num_active(self) -> int:
+        return int(self.active.sum())
+
+    def state(self):
+        return (self.active.copy(), self.lengths.copy(),
+                self.last_token.copy())
+
+
+def make_scheduler(max_slots: int, max_seq_len: int, end_id: int,
+                   native: Optional[bool] = None):
+    """Native C++ scheduler when the toolchain is available (the reference's
+    batch manager is C++-only); python fallback otherwise."""
+    from ..native import batch_runtime
+    if native is None:
+        native = batch_runtime.available()
+    if native:
+        return batch_runtime.NativeScheduler(max_slots, max_seq_len, end_id)
+    return _PyScheduler(max_slots, max_seq_len, end_id)
+
+
 class ContinuousBatchingManager:
 
     def __init__(self,
@@ -63,7 +142,8 @@ class ContinuousBatchingManager:
                  max_seq_len: int = 2048,
                  get_inference_requests: Optional[Callable[[int], List[InferenceRequest]]] = None,
                  send_response: Optional[Callable[[Response], None]] = None,
-                 params=None):
+                 params=None,
+                 native_scheduler: Optional[bool] = None):
         self.model = model
         self.sc = sampling_config
         self.B = max_batch_size
@@ -73,12 +153,11 @@ class ContinuousBatchingManager:
         self.params = params if params is not None else model.state_dict()
 
         self.cache = model.new_kv_cache(self.B, self.S)
-        self.lengths = np.zeros((self.B,), np.int32)      # valid tokens in slot
-        self.active = np.zeros((self.B,), bool)
-        self.budget = np.zeros((self.B,), np.int32)       # remaining new tokens
+        self.sched = make_scheduler(self.B, self.S, self.sc.end_id,
+                                    native_scheduler)
+        self._requests: Dict[int, InferenceRequest] = {}   # queued, by id
         self.slot_request: Dict[int, InferenceRequest] = {}
         self.slot_output: Dict[int, List[int]] = {}
-        self.last_tokens = np.full((self.B,), self.sc.pad_id, np.int32)
 
         self._prefill_fns: Dict[int, Callable] = {}
         self._step_fn = jax.jit(self._step_impl, donate_argnums=(1,))
@@ -111,10 +190,7 @@ class ContinuousBatchingManager:
         next_tok = jnp.where(active, next_tok, self.sc.pad_id)
         return next_tok, cache
 
-    # -- host-side scheduling ---------------------------------------------
-
-    def _free_slots(self) -> List[int]:
-        return [i for i in range(self.B) if not self.active[i]]
+    # -- host-side scheduling (delegated to the scheduler backend) ---------
 
     def _admit(self, req: InferenceRequest, slot: int) -> None:
         prompt = np.asarray(req.input_ids, np.int32).reshape(1, -1)
@@ -128,53 +204,52 @@ class ContinuousBatchingManager:
         next_tok, self.cache = self._prefill_fns[bucket](
             self.params, self.cache, jnp.asarray(padded),
             jnp.asarray(slot, jnp.int32), jnp.asarray(p, jnp.int32))
-        tok = int(next_tok)
-        self.active[slot] = True
-        self.lengths[slot] = p
-        self.budget[slot] = req.max_new_tokens
+        self.sched.on_admitted(slot, p)
         self.slot_request[slot] = req
         self.slot_output[slot] = []
-        self.last_tokens[slot] = self.sc.pad_id
-        self._push_token(slot, tok)
+        self._push_token(slot, int(next_tok))
 
     def _push_token(self, slot: int, tok: int) -> None:
+        """Account one generated token; the done/stream decision comes from
+        the scheduler backend (native C++ when available)."""
         req = self.slot_request[slot]
-        end_id = req.end_id if req.end_id is not None else self.sc.end_id
         self.slot_output[slot].append(tok)
-        self.budget[slot] -= 1
-        self.last_tokens[slot] = tok
-        self.lengths[slot] += 1
-        done = (tok == end_id or self.budget[slot] <= 0
-                or self.lengths[slot] >= self.S - 1)
-        if req.streaming and not done:
-            self.send_response(Response(req.request_id,
-                                        [tok], finished=False))
-        if done:
+        flags = self.sched.push_token(slot, tok)
+        if flags & FINISHED:
             self.send_response(Response(req.request_id,
                                         list(self.slot_output[slot]),
                                         finished=True))
-            self.active[slot] = False
             del self.slot_request[slot]
+        elif flags & STREAM:
+            self.send_response(Response(req.request_id, [tok],
+                                        finished=False))
 
     def step(self) -> int:
         """One scheduler tick: admit new requests into free slots, then one
         decode step across active slots.  Returns number of active slots."""
-        free = self._free_slots()
-        if free:
-            for req in self.get_inference_requests(len(free)):
-                self._admit(req, free.pop(0))
-                if not free:
-                    break
-        if not self.active.any():
+        free = self.B - self.sched.num_active
+        if free > 0:
+            for req in self.get_inference_requests(free):
+                eid = req.end_id if req.end_id is not None else self.sc.end_id
+                self._requests[req.request_id] = req
+                self.sched.add_request(req.request_id, req.max_new_tokens,
+                                       eid, req.streaming)
+        while True:
+            slot, rid = self.sched.next_admission()
+            if slot < 0:
+                break
+            self._admit(self._requests.pop(rid), slot)
+        active, lengths, last_tokens = self.sched.state()
+        if not active.any():
             return 0
         next_tok, self.cache = self._step_fn(
-            self.params, self.cache, jnp.asarray(self.last_tokens),
-            jnp.asarray(self.lengths), jnp.asarray(self.active))
+            self.params, self.cache, jnp.asarray(last_tokens),
+            jnp.asarray(lengths), jnp.asarray(active))
         next_np = np.asarray(next_tok)
         for slot in range(self.B):
-            if self.active[slot]:
+            if active[slot]:
                 self._push_token(slot, int(next_np[slot]))
-        return int(self.active.sum())
+        return self.sched.num_active
 
     def run(self, max_ticks: int = 1_000_000) -> None:
         """Drive until queues drain (ref GptManager event loop)."""
