@@ -1,0 +1,125 @@
+"""Block-paged KV-cache attention.
+
+TPU-native counterpart of the reference's paged-KV mode (GPTAttention
+plugin with ``paged_kv_cache`` — D/gpt_attention.md:168-200 — consuming the
+pointer arrays built by T/runtime/kv_cache_manager.py:154
+``get_pointer_array``).  On GPU the cache blocks are scattered heap
+allocations addressed via device pointers; on TPU there is one preallocated
+pool tensor and the "pointers" are int32 block indices into it — kernels
+index, they don't chase pointers.
+
+Pool layout: ``[num_blocks, 2, H, T, D]`` (T = tokens_per_block).
+Block tables come from runtime.kv_cache_manager (python) or
+native.batch_runtime.NativeKVCacheManager (C++), shape [B, max_blocks],
+-1 padded (beams flattened into B by the caller).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..functional import round_half_away
+
+
+def new_block_pool(num_blocks: int, num_kv_heads: int, tokens_per_block: int,
+                   head_dim: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return jnp.zeros((num_blocks, 2, num_kv_heads, tokens_per_block,
+                      head_dim), dtype)
+
+
+def paged_append_kv(pool, k_new, v_new, block_table, write_pos,
+                    kv_orig_quant_scale=None) -> jnp.ndarray:
+    """Scatter one new token's K/V per sequence into the pool (in place
+    under jit via donation).
+
+    pool        [N, 2, H, T, D]
+    k_new/v_new [B, H, 1, D]  (decode step)
+    block_table [B, max_blocks] int32
+    write_pos   [B] int32 — token position this write lands at.
+    """
+    n, _, h, t, d = pool.shape
+    kv = jnp.stack([k_new[:, :, 0], v_new[:, :, 0]], axis=1)  # [B,2,H,D]
+    if pool.dtype == jnp.int8:
+        assert kv_orig_quant_scale is not None
+        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
+        kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
+    else:
+        kv = kv.astype(pool.dtype)
+    write_pos = write_pos.astype(jnp.int32)
+    block_of = jnp.take_along_axis(
+        block_table, (write_pos // t)[:, None], axis=1)[:, 0]   # [B]
+    offset = write_pos % t                                      # [B]
+    # unallocated table slots (-1) become out-of-range indices and the
+    # scatter drops them — no masking read, no write hazard
+    block_of = jnp.where(block_of >= 0, block_of, n)
+    return pool.at[block_of, :, :, offset].set(kv, mode="drop")
+
+
+def paged_decode_attention(q, pool, block_table, seq_len,
+                           scale: Optional[float] = None,
+                           kv_quant_orig_scale=None) -> jnp.ndarray:
+    """q [B, H, 1, D] against block-paged KV; returns [B, H, 1, D].
+
+    Numerics match ops.attention.cached_decode_attention (fp32 scores +
+    softmax) — the equivalence test drives both against the same tokens.
+    """
+    b, h, lq, d = q.shape
+    assert lq == 1, "paged path is the generation phase (Lq == 1)"
+    n, _, hk, t, _ = pool.shape
+    max_blocks = block_table.shape[1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    table = jnp.maximum(block_table, 0)
+    # gather each sequence's blocks: [B, max_blocks, 2, H, T, D]
+    blocks = pool[table]
+    k = blocks[:, :, 0].transpose(0, 2, 1, 3, 4).reshape(b, hk, max_blocks * t, d)
+    v = blocks[:, :, 1].transpose(0, 2, 1, 3, 4).reshape(b, hk, max_blocks * t, d)
+    if pool.dtype == jnp.int8:
+        assert kv_quant_orig_scale is not None
+        k = (k.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
+        v = (v.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
+    else:
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+    acc_t = jnp.float32
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_blocks * t), 3)
+    valid = kpos < jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
+    scores = jnp.where(valid, scores, jnp.asarray(-1e30, scores.dtype))
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=acc_t)
+    return ctx.astype(q.dtype)
+
+
+def paged_prefill(pool, k, v, block_table, kv_orig_quant_scale=None):
+    """Write a whole prompt's K/V into the pool (context phase).
+
+    k/v [B, H, P, D]; block_table [B, max_blocks]; positions 0..P-1.
+    The prompt attention itself runs on the contiguous fresh K/V (flash
+    path) — only the cache write is paged, mirroring the reference where
+    the context FMHA reads the unpaged QKV and the kernel stores to blocks.
+    """
+    b, h, p, d = k.shape
+    n, _, hk, t, _ = pool.shape
+    kv = jnp.stack([k, v], axis=1)  # [B,2,H,P,D]
+    if pool.dtype == jnp.int8:
+        assert kv_orig_quant_scale is not None
+        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
+        kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
+    else:
+        kv = kv.astype(pool.dtype)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    block_idx = jnp.take_along_axis(
+        block_table, (pos // t)[None, :].repeat(b, 0), axis=1)  # [B, P]
+    # tokens past a row's allocation (-1 slots, e.g. right-padding beyond
+    # the true prompt) map out of range and are dropped by the scatter
+    block_idx = jnp.where(block_idx >= 0, block_idx, n)
+    offset = pos % t
+    bidx = block_idx.reshape(-1)                       # [B*P]
+    oidx = jnp.tile(offset, b)                         # [B*P]
+    upd = kv.transpose(0, 3, 1, 2, 4).reshape(b * p, 2, h, d)
+    return pool.at[bidx, :, :, oidx].set(upd, mode="drop")
