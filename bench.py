@@ -40,14 +40,17 @@ def main():
 
     config = whisper_config(os.environ.get("BENCH_MODEL", "large-v2"),
                             dtype="bfloat16")
-    quant = os.environ.get("BENCH_QUANT", "")  # "", "woq8", "woq4"
+    # "", "woq8", "woq4", optionally "+ckv8" (int8 cross-KV), e.g. "woq8+ckv8"
+    quant = os.environ.get("BENCH_QUANT", "")
+    ckv8 = quant.endswith("+ckv8")
+    quant = quant.removesuffix("+ckv8")
     from eddie_wang_hackathon2023_tpu.quantization import QuantMode
     qmode = QuantMode(0)
     if quant.startswith("woq"):
         qmode = QuantMode.use_weight_only(use_int4_weights=quant == "woq4")
     enc = WhisperEncoder(config, qmode)
     dec = WhisperDecoder(config, qmode)
-    ckv = CrossAttnKV(config)
+    ckv = CrossAttnKV(config, int8_output=ckv8)
     if qmode.is_weight_only():
         from eddie_wang_hackathon2023_tpu.quantization.surgery import \
             weight_only_quantize
@@ -55,7 +58,8 @@ def main():
         dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
-    print(f"[bench] quant mode: {quant or 'bf16'}", file=sys.stderr)
+    print(f"[bench] quant mode: {quant or 'bf16'}"
+          f"{' +int8 cross-KV' if ckv8 else ''}", file=sys.stderr)
 
     opts = DecodingOptions(language="en", sample_len=DECODE_TOKENS)
     pipe = WhisperPipeline(config, enc, dec, ckv, opts, qmode)

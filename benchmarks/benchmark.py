@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""GPT-family generation benchmark emitting one-line ``[BENCHMARK]``
+records (ref benchmarks/benchmark.py + gptSessionBenchmark.cpp; record
+shape per benchmarks/README.md:33-35).
+
+Example:
+  python benchmarks/benchmark.py -m gpt_350m --batch_size 1,8 \
+      --input_output_len 60,20 128,20
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+MODELS = {
+    # name: (layers, hidden, heads, vocab)
+    "gpt_350m": (24, 1024, 16, 51200),
+    "gpt_125m": (12, 768, 12, 50257),
+    "llama_7b_shape": (32, 4096, 32, 32000),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-m", "--model", default="gpt_350m",
+                   choices=sorted(MODELS))
+    p.add_argument("--batch_size", default="1,8")
+    p.add_argument("--input_output_len", nargs="+", default=["60,20"])
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--warm_up", type=int, default=2)
+    p.add_argument("--num_runs", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    import numpy as np
+
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    from eddie_wang_hackathon2023_tpu.runtime import (GenerationSession,
+                                                      ModelConfig,
+                                                      SamplingConfig)
+
+    layers, hidden, heads, vocab = MODELS[args.model]
+    max_len = max(sum(map(int, io.split(","))) for io in args.input_output_len)
+    config = DecoderConfig(vocab_size=vocab, hidden_size=hidden,
+                           num_layers=layers, num_heads=heads,
+                           max_position_embeddings=max(2048, max_len),
+                           dtype=args.dtype)
+    model = DecoderLMHead(config)
+    model.zeros_init()
+    mc = ModelConfig(vocab_size=vocab, num_layers=layers, num_heads=heads,
+                     hidden_size=hidden, max_seq_len=max(2048, max_len))
+    # end_id outside vocab => decode never stops early (pure throughput)
+    sess = GenerationSession(mc, model, SamplingConfig(end_id=-1, pad_id=0))
+    rs = np.random.RandomState(0)
+
+    for bs in (int(b) for b in args.batch_size.split(",")):
+        for io in args.input_output_len:
+            in_len, out_len = map(int, io.split(","))
+            ids = rs.randint(0, vocab, (bs, in_len)).astype(np.int32)
+            lens = np.full((bs,), in_len, np.int32)
+            for _ in range(args.warm_up):
+                sess.decode(ids, lens, max_new_tokens=out_len)
+            times = []
+            for _ in range(args.num_runs):
+                t0 = time.time()
+                sess.decode(ids, lens, max_new_tokens=out_len)
+                times.append(time.time() - t0)
+            latency = min(times)
+            toks = bs * out_len
+            print(f"[BENCHMARK] model_name {args.model} world_size 1 "
+                  f"num_heads {heads} num_layers {layers} hidden_size {hidden} "
+                  f"vocab_size {vocab} precision {args.dtype} "
+                  f"batch_size {bs} input_length {in_len} "
+                  f"output_length {out_len} latency(ms) {latency * 1e3:.2f} "
+                  f"tokens_per_sec {toks / latency:.2f}")
+
+
+if __name__ == "__main__":
+    main()

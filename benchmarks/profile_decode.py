@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Capture an xplane trace of the Whisper large-v2 decode step and dump the
+op-level time breakdown (the nsys-equivalent workflow for this stack;
+ref D/2023-05-19-how-to-debug.md uses engine inspection + nsys)."""
+import glob
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
+    from eddie_wang_hackathon2023_tpu.models.whisper import (WhisperDecoder,
+                                                             whisper_config)
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    enable_compile_cache()
+    quant = os.environ.get("BENCH_QUANT", "")
+    qmode = QuantMode(0)
+    if quant.startswith("woq"):
+        qmode = QuantMode.use_weight_only(use_int4_weights=quant == "woq4")
+    config = whisper_config("large-v2", dtype="bfloat16")
+    dec = WhisperDecoder(config, qmode)
+    if qmode.is_weight_only():
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import \
+            weight_only_quantize
+        dec = weight_only_quantize(dec, qmode)
+    dec.zeros_init()
+    params = dec.state_dict()
+    b = 1
+    cache = dec.new_kv_cache(b)
+    cross = jnp.zeros((config.n_text_layer, b, 2, config.n_text_head,
+                       config.n_audio_ctx, config.head_dim), jnp.bfloat16)
+    tokens = jnp.zeros((b, 1), jnp.int32)
+    widx = jnp.asarray(17, jnp.int32)
+    slen = jnp.full((b,), 18, jnp.int32)
+
+    @jax.jit
+    def step(params, tokens, cache, cross, widx, slen):
+        return dec.apply(params, tokens, cache, cross, widx, slen)
+
+    logits, cache = step(params, tokens, cache, cross, widx, slen)
+    jax.block_until_ready(logits)
+    t0 = time.time()
+    n = 50
+    for _ in range(n):
+        logits, cache = step(params, tokens, cache, cross, widx, slen)
+        jax.block_until_ready(logits)
+    per = (time.time() - t0) / n
+    print(f"single decode step: {per * 1e3:.2f} ms (sync each step; "
+          f"includes dispatch latency)", file=sys.stderr)
+
+    log_dir = os.environ.get("TRACE_DIR", "/tmp/ewt_trace")
+    with jax.profiler.trace(log_dir):
+        for _ in range(10):
+            logits, cache = step(params, tokens, cache, cross, widx, slen)
+        jax.block_until_ready(logits)
+    xplanes = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
+                        recursive=True)
+    print("trace:", xplanes, file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

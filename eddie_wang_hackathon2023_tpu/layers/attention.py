@@ -284,8 +284,27 @@ class Attention(Module):
                      if self.use_int8_kv_cache else None)
             kv_qo = (self.kv_quant_orig_scale.value
                      if self.use_int8_kv_cache else None)
-            past_key_value = append_kv(past_key_value, k, v, cache_write_index,
-                                       kv_orig_quant_scale=kv_oq)
+            # stacked-cache mode: (full [n_layer,...] cache, layer_idx) —
+            # write only the fresh token(s) into the carried buffer and
+            # read this layer's view for the attention (avoids the
+            # slice/update/restack copies a scan-over-cache incurs; see
+            # ops.attention.append_kv_stacked)
+            stacked_cache = isinstance(past_key_value, tuple)
+            if stacked_cache:
+                from ..ops.attention import append_kv_stacked
+                full_cache, layer_idx = past_key_value
+                full_cache = append_kv_stacked(full_cache, k, v, layer_idx,
+                                               cache_write_index,
+                                               kv_orig_quant_scale=kv_oq)
+                past_key_value = jax.lax.dynamic_index_in_dim(
+                    full_cache, jnp.asarray(layer_idx, jnp.int32), 0,
+                    keepdims=False)
+                returned_cache = full_cache
+            else:
+                past_key_value = append_kv(past_key_value, k, v,
+                                           cache_write_index,
+                                           kv_orig_quant_scale=kv_oq)
+                returned_cache = past_key_value
             # context/prefill fast path: statically-known empty cache, no
             # left-padding -> fused flash attention over the fresh K/V only
             # (the reference's context-FMHA dispatch,
@@ -300,7 +319,7 @@ class Attention(Module):
                     causal=self.attention_mask_type == AttentionMaskType.causal,
                     scale=self.scale)
                 out = self.dense(self._merge_heads(ctx))
-                return (out, past_key_value) if use_cache else out
+                return (out, returned_cache) if use_cache else out
             causal_offset = None
             if self.attention_mask_type == AttentionMaskType.causal:
                 causal_offset = jnp.asarray(cache_write_index, jnp.int32)
@@ -313,7 +332,7 @@ class Attention(Module):
                 scale=self.scale, kv_quant_orig_scale=kv_qo,
                 causal_offset=causal_offset, start_index=attention_start)
             out = self.dense(self._merge_heads(ctx))
-            return (out, past_key_value) if use_cache else out
+            return (out, returned_cache) if use_cache else out
 
         # ---- concat / one-shot mode (explicit-math path) ----
         if past_key_value is not None:

@@ -219,15 +219,20 @@ class DecoderLMHead(Module):
         block = self.blocks
         stacked = block.state_dict()
 
-        def step(h, scanned):
-            layer_params, layer_cache = scanned
-            h, new_cache = block.apply(
-                dict(layer_params), h, kv_cache=layer_cache,
+        # full cache rides the carry; each layer writes only its fresh
+        # token(s) (see ops.attention.append_kv_stacked for why)
+        def step(carry, scanned):
+            h, cache = carry
+            layer_params, l = scanned
+            h, cache = block.apply(
+                dict(layer_params), h, kv_cache=(cache, l),
                 write_index=write_index, sequence_length=sequence_length,
                 attention_start=attention_start, position_ids=position_ids)
-            return h, new_cache
+            return (h, cache), None
 
-        x, new_kv = jax.lax.scan(step, x, (stacked, kv_cache))
+        layer_ids = jnp.arange(c.num_layers, dtype=jnp.int32)
+        (x, new_kv), _ = jax.lax.scan(step, (x, kv_cache),
+                                      (stacked, layer_ids))
         if c.final_norm:
             x = self.ln_f(x)
         if c.tie_word_embeddings:

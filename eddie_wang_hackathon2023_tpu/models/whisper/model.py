@@ -226,15 +226,21 @@ class WhisperDecoder(Module):
         block = self.blocks
         stacked = block.state_dict()
 
-        def step(h, scanned):
-            layer_params, layer_cache, layer_cross = scanned
-            h, new_cache = block.apply(
-                dict(layer_params), h, kv_cache=layer_cache,
+        # the FULL cache rides the scan carry; each layer writes only its
+        # fresh token(s) via append_kv_stacked (profiling showed cache-as-
+        # xs/ys costs ~4 layer-cache copies per layer per step)
+        def step(carry, scanned):
+            h, cache = carry
+            layer_params, layer_cross, l = scanned
+            h, cache = block.apply(
+                dict(layer_params), h, kv_cache=(cache, l),
                 cross_kv=layer_cross, write_index=write_index,
                 sequence_length=sequence_length, use_cache=True)
-            return h, new_cache
+            return (h, cache), None
 
-        x, new_kv = jax.lax.scan(step, x, (stacked, kv_cache, cross_kv))
+        layer_ids = jnp.arange(c.n_text_layer, dtype=jnp.int32)
+        (x, new_kv), _ = jax.lax.scan(
+            step, (x, kv_cache), (stacked, cross_kv, layer_ids))
         x = self.ln(x)
         logits = jnp.einsum("bld,vd->blv", x,
                             self.token_embedding.weight.value,
