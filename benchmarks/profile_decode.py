@@ -6,6 +6,7 @@ import glob
 import os
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +39,8 @@ def main():
     widx = jnp.asarray(17, jnp.int32)
     slen = jnp.full((b,), 18, jnp.int32)
 
-    @jax.jit
-    def step(params, tokens, cache, cross, widx, slen):
+    @partial(jax.jit, donate_argnums=(2,))  # cache in-place, as in the
+    def step(params, tokens, cache, cross, widx, slen):  # real while_loop
         return dec.apply(params, tokens, cache, cross, widx, slen)
 
     logits, cache = step(params, tokens, cache, cross, widx, slen)

@@ -192,6 +192,30 @@ class Attention(Module):
 
     # -- helpers ----------------------------------------------------------
 
+    @staticmethod
+    def _unpack_cross_kv(cv):
+        """-> (key [B,H,S,D], value, scale-or-None).  Accepted forms:
+        * [B,2,H,S,D] per-layer cross KV;
+        * (kv, scale) — int8 per-layer KV with its dequant scale;
+        * (full, layer_idx) stacked mode, full = [L,B,2,H,S,D] or
+          (kv_stack, scales[L]) — sliced here as two separate K/V
+          dynamic-slices so the reads fuse into the attention einsums."""
+        if isinstance(cv, tuple) and (isinstance(cv[0], tuple)
+                                      or getattr(cv[0], "ndim", 0) == 6):
+            from ..ops.attention import layer_kv_views
+            full, l = cv
+            scale = None
+            if isinstance(full, tuple):
+                full, scales = full
+                scale = jax.lax.dynamic_index_in_dim(
+                    scales, jnp.asarray(l, jnp.int32), 0, keepdims=False)
+            k, v = layer_kv_views(full, l)
+            return k, v, scale
+        if isinstance(cv, tuple):
+            kv, scale = cv
+            return kv[:, 0], kv[:, 1], scale
+        return cv[:, 0], cv[:, 1], None
+
     def _split_heads(self, x):
         b, l, _ = x.shape
         return x.reshape(b, l, self.num_attention_heads,
@@ -230,12 +254,8 @@ class Attention(Module):
             query = self._split_heads(self.q_linear(hidden_states))
             assert cross_key_value is not None, \
                 "cross attention consumes precomputed cross K/V (ref attention.py:308-323)"
-            if isinstance(cross_key_value, tuple):
-                cross_key_value, cross_scale = cross_key_value
-            else:
-                cross_scale = None
-            key, value = cross_key_value[:, 0], cross_key_value[:, 1]
-            if cross_key_value.dtype == jnp.int8:
+            key, value, cross_scale = self._unpack_cross_kv(cross_key_value)
+            if key.dtype == jnp.int8:
                 key = (key.astype(jnp.float32) * cross_scale).astype(query.dtype)
                 value = (value.astype(jnp.float32) * cross_scale).astype(query.dtype)
             else:
@@ -291,14 +311,14 @@ class Attention(Module):
             # ops.attention.append_kv_stacked)
             stacked_cache = isinstance(past_key_value, tuple)
             if stacked_cache:
-                from ..ops.attention import append_kv_stacked
+                from ..ops.attention import append_kv_stacked, layer_kv_views
                 full_cache, layer_idx = past_key_value
                 full_cache = append_kv_stacked(full_cache, k, v, layer_idx,
                                                cache_write_index,
                                                kv_orig_quant_scale=kv_oq)
-                past_key_value = jax.lax.dynamic_index_in_dim(
-                    full_cache, jnp.asarray(layer_idx, jnp.int32), 0,
-                    keepdims=False)
+                # two separate K/V slices fuse into their einsums (no
+                # materialised layer view)
+                past_key_value = layer_kv_views(full_cache, layer_idx)
                 returned_cache = full_cache
             else:
                 past_key_value = append_kv(past_key_value, k, v,
@@ -324,13 +344,16 @@ class Attention(Module):
             if self.attention_mask_type == AttentionMaskType.causal:
                 causal_offset = jnp.asarray(cache_write_index, jnp.int32)
             if self.position_embedding_type == PositionEmbeddingType.alibi:
-                s_max = past_key_value.shape[3]
+                s_max = (past_key_value[0].shape[2]
+                         if isinstance(past_key_value, tuple)
+                         else past_key_value.shape[3])
                 alibi = generate_alibi_biases(slopes, s_max)
             q_for_cache = q
             ctx = cached_decode_attention(
                 q_for_cache, past_key_value, sequence_length,
                 scale=self.scale, kv_quant_orig_scale=kv_qo,
-                causal_offset=causal_offset, start_index=attention_start)
+                causal_offset=causal_offset, start_index=attention_start,
+                bias=alibi)
             out = self.dense(self._merge_heads(ctx))
             return (out, returned_cache) if use_cache else out
 

@@ -231,16 +231,16 @@ class WhisperDecoder(Module):
         # xs/ys costs ~4 layer-cache copies per layer per step)
         def step(carry, scanned):
             h, cache = carry
-            layer_params, layer_cross, l = scanned
+            layer_params, l = scanned
             h, cache = block.apply(
                 dict(layer_params), h, kv_cache=(cache, l),
-                cross_kv=layer_cross, write_index=write_index,
+                cross_kv=(cross_kv, l), write_index=write_index,
                 sequence_length=sequence_length, use_cache=True)
             return (h, cache), None
 
         layer_ids = jnp.arange(c.n_text_layer, dtype=jnp.int32)
         (x, new_kv), _ = jax.lax.scan(
-            step, (x, kv_cache), (stacked, cross_kv, layer_ids))
+            step, (x, kv_cache), (stacked, layer_ids))
         x = self.ln(x)
         logits = jnp.einsum("bld,vd->blv", x,
                             self.token_embedding.weight.value,

@@ -226,3 +226,47 @@ def test_gated_mlp_runs():
     m = GatedMLP(16, 32, dtype="float32")
     m.random_init(jax.random.PRNGKey(2))
     assert m(jnp.ones((1, 2, 16))).shape == (1, 2, 16)
+
+
+def test_alibi_inplace_matches_concat():
+    """Regression: the in-place (gpt_attention-plugin) path must apply the
+    ALiBi bias exactly like the concat/explicit path does (it was silently
+    dropped once; tiny-model HF comparisons couldn't see it at their
+    tolerance)."""
+    rs = np.random.RandomState(7)
+    d, h = 32, 4
+    attn = Attention(d, h, 64, dtype="float32",
+                     attention_mask_type=AttentionMaskType.causal,
+                     position_embedding_type=PositionEmbeddingType.alibi)
+    attn.random_init(jax.random.PRNGKey(3), 0.5)
+    x = (rs.randn(1, 6, d)).astype(np.float32)
+    xstep = (rs.randn(1, 1, d)).astype(np.float32)
+    # concat mode (applies alibi in the explicit-math path)
+    _, present = attn(jnp.asarray(x), use_cache=True)
+    out_c, _ = attn(jnp.asarray(xstep), past_key_value=present,
+                    use_cache=True)
+    # in-place mode, prefill + one decode step
+    cache = attn.new_kv_cache(1, 16)
+    pre_i, cache = attn(jnp.asarray(x), past_key_value=cache,
+                        sequence_length=jnp.array([6]), cache_write_index=0,
+                        use_cache=True)
+    out_i, _ = attn(jnp.asarray(xstep), past_key_value=cache,
+                    sequence_length=jnp.array([7]), cache_write_index=6,
+                    use_cache=True)
+    pre_c = attn(jnp.asarray(x))
+    np.testing.assert_allclose(_np(pre_c), _np(pre_i), atol=1e-5)
+    np.testing.assert_allclose(_np(out_c), _np(out_i), atol=1e-5)
+    # and the bias must actually matter at this scale: recompute without
+    # alibi and require a visible difference (guards against both paths
+    # dropping it in tandem)
+    plain = Attention(d, h, 64, dtype="float32",
+                      attention_mask_type=AttentionMaskType.causal)
+    plain.load_state_dict(dict(attn.state_dict()))
+    cache2 = plain.new_kv_cache(1, 16)
+    _, cache2 = plain(jnp.asarray(x), past_key_value=cache2,
+                      sequence_length=jnp.array([6]), cache_write_index=0,
+                      use_cache=True)
+    out_p, _ = plain(jnp.asarray(xstep), past_key_value=cache2,
+                     sequence_length=jnp.array([7]), cache_write_index=6,
+                     use_cache=True)
+    assert np.abs(_np(out_p) - _np(out_i)).max() > 1e-3
