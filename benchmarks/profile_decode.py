@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Capture an xplane trace of the Whisper large-v2 decode step and dump the
 op-level time breakdown (the nsys-equivalent workflow for this stack;
-ref D/2023-05-19-how-to-debug.md uses engine inspection + nsys)."""
+ref D/2023-05-19-how-to-debug.md uses engine inspection + nsys).
+
+PROFILE_TARGET=step (default) traces the bare decoder forward;
+PROFILE_TARGET=loop traces the full on-device generate loop (decode +
+logit filters + sampling + stop tracking) for LOOP_STEPS tokens."""
 import glob
 import os
 import sys
@@ -13,7 +17,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def profile_loop():
+    """Trace the whole jitted main_loop (pipeline hot path)."""
+    import numpy as np
+
+    from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
+    from eddie_wang_hackathon2023_tpu.models.whisper import (
+        CrossAttnKV, WhisperDecoder, WhisperEncoder, whisper_config)
+    from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
+        DecodingOptions, WhisperPipeline)
+    enable_compile_cache()
+    steps = int(os.environ.get("LOOP_STEPS", "16"))
+    config = whisper_config("large-v2", dtype="bfloat16")
+    enc, dec, ckv = (WhisperEncoder(config), WhisperDecoder(config),
+                     CrossAttnKV(config))
+    for m in (enc, dec, ckv):
+        m.zeros_init()
+    pipe = WhisperPipeline(config, enc, dec, ckv,
+                           DecodingOptions(language="en", sample_len=steps))
+    pipe.bind_params()
+    mel = np.random.RandomState(0).randn(1, config.n_mels,
+                                         3000).astype(np.float32) * 0.1
+    xa = pipe.get_audio_features(mel)
+    cross = pipe.precompute_cross_kv(xa)
+    tokens, lengths, _, _ = pipe.main_loop(xa, cross)   # compile
+    jax.block_until_ready(tokens)
+    t0 = time.time()
+    tokens, lengths, _, _ = pipe.main_loop(xa, cross)
+    jax.block_until_ready(tokens)
+    print(f"main_loop wall: {(time.time() - t0) * 1e3:.1f} ms for {steps} "
+          f"steps", file=sys.stderr)
+    log_dir = os.environ.get("TRACE_DIR", "/tmp/ewt_trace")
+    with jax.profiler.trace(log_dir):
+        tokens, _, _, _ = pipe.main_loop(xa, cross)
+        jax.block_until_ready(tokens)
+    print("trace:", glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
+                              recursive=True), file=sys.stderr)
+
+
 def main():
+    if os.environ.get("PROFILE_TARGET") == "loop":
+        return profile_loop()
     from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
     from eddie_wang_hackathon2023_tpu.models.whisper import (WhisperDecoder,
                                                              whisper_config)

@@ -310,6 +310,22 @@ class Attention(Module):
             # slice/update/restack copies a scan-over-cache incurs; see
             # ops.attention.append_kv_stacked)
             stacked_cache = isinstance(past_key_value, tuple)
+            if stacked_cache and len(past_key_value) == 3:
+                # ---- deferred-write decode (see cached_decode_attention
+                # fresh_kv doc): attention over stale cache + fresh token;
+                # the caller batches all layers' writes into one update
+                from ..ops.attention import cast_kv_for_cache, layer_kv_views
+                full_cache, layer_idx, _ = past_key_value
+                assert q.shape[2] == 1 and attention_mask is None and \
+                    self.position_embedding_type != PositionEmbeddingType.alibi
+                k_st, v_st = cast_kv_for_cache(k, v, full_cache.dtype, kv_oq)
+                ctx = cached_decode_attention(
+                    q, layer_kv_views(full_cache, layer_idx),
+                    sequence_length, scale=self.scale,
+                    kv_quant_orig_scale=kv_qo,
+                    start_index=attention_start, fresh_kv=(k_st, v_st))
+                out = self.dense(self._merge_heads(ctx))
+                return (out, (k_st, v_st)) if use_cache else out
             if stacked_cache:
                 from ..ops.attention import append_kv_stacked, layer_kv_views
                 full_cache, layer_idx = past_key_value

@@ -219,20 +219,39 @@ class DecoderLMHead(Module):
         block = self.blocks
         stacked = block.state_dict()
 
-        # full cache rides the carry; each layer writes only its fresh
-        # token(s) (see ops.attention.append_kv_stacked for why)
-        def step(carry, scanned):
-            h, cache = carry
-            layer_params, l = scanned
-            h, cache = block.apply(
-                dict(layer_params), h, kv_cache=(cache, l),
-                write_index=write_index, sequence_length=sequence_length,
-                attention_start=attention_start, position_ids=position_ids)
-            return (h, cache), None
-
+        # full cache rides the layer scan; each layer writes only its fresh
+        # token(s).  Single-token decode defers every layer's write into
+        # one batched store after the scan (see ops.attention.
+        # append_kv_stacked / write_fresh_kv for the profiling story).
         layer_ids = jnp.arange(c.num_layers, dtype=jnp.int32)
-        (x, new_kv), _ = jax.lax.scan(step, (x, kv_cache),
-                                      (stacked, layer_ids))
+        if l == 1 and c.position_embedding != "alibi":
+            def step(h, scanned):
+                layer_params, li = scanned
+                h, fresh = block.apply(
+                    dict(layer_params), h, kv_cache=(kv_cache, li, "defer"),
+                    write_index=write_index,
+                    sequence_length=sequence_length,
+                    attention_start=attention_start,
+                    position_ids=position_ids)
+                return h, fresh
+
+            x, (k_new, v_new) = jax.lax.scan(step, x, (stacked, layer_ids))
+            from ..ops.attention import write_fresh_kv
+            kv_new = jnp.stack([k_new, v_new], axis=2)
+            new_kv = write_fresh_kv(kv_cache, kv_new, write_index)
+        else:
+            def step(carry, scanned):
+                h, cache = carry
+                layer_params, li = scanned
+                h, cache = block.apply(
+                    dict(layer_params), h, kv_cache=(cache, li),
+                    write_index=write_index, sequence_length=sequence_length,
+                    attention_start=attention_start,
+                    position_ids=position_ids)
+                return (h, cache), None
+
+            (x, new_kv), _ = jax.lax.scan(step, (x, kv_cache),
+                                          (stacked, layer_ids))
         if c.final_norm:
             x = self.ln_f(x)
         if c.tie_word_embeddings:

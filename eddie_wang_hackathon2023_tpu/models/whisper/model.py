@@ -226,21 +226,38 @@ class WhisperDecoder(Module):
         block = self.blocks
         stacked = block.state_dict()
 
-        # the FULL cache rides the scan carry; each layer writes only its
-        # fresh token(s) via append_kv_stacked (profiling showed cache-as-
-        # xs/ys costs ~4 layer-cache copies per layer per step)
-        def step(carry, scanned):
-            h, cache = carry
-            layer_params, l = scanned
-            h, cache = block.apply(
-                dict(layer_params), h, kv_cache=(cache, l),
-                cross_kv=(cross_kv, l), write_index=write_index,
-                sequence_length=sequence_length, use_cache=True)
-            return (h, cache), None
-
+        # the FULL cache rides the layer scan; each layer writes only its
+        # fresh token(s) (profiling showed cache-as-xs/ys costs ~4
+        # layer-cache copies per layer per step).  For single-token decode
+        # the writes are deferred entirely: the scan collects every
+        # layer's fresh K/V and ONE update stores them all (a per-layer
+        # one-token dynamic-update-slice costs ~1 us launch overhead).
         layer_ids = jnp.arange(c.n_text_layer, dtype=jnp.int32)
-        (x, new_kv), _ = jax.lax.scan(
-            step, (x, kv_cache), (stacked, layer_ids))
+        if tokens.shape[1] == 1:
+            def step(h, scanned):
+                layer_params, l = scanned
+                h, fresh = block.apply(
+                    dict(layer_params), h, kv_cache=(kv_cache, l, "defer"),
+                    cross_kv=(cross_kv, l), write_index=write_index,
+                    sequence_length=sequence_length, use_cache=True)
+                return h, fresh
+
+            x, (k_new, v_new) = jax.lax.scan(step, x, (stacked, layer_ids))
+            from ...ops.attention import write_fresh_kv
+            kv_new = jnp.stack([k_new, v_new], axis=2)  # [L,B,2,H,1,hd]
+            new_kv = write_fresh_kv(kv_cache, kv_new, write_index)
+        else:
+            def step(carry, scanned):
+                h, cache = carry
+                layer_params, l = scanned
+                h, cache = block.apply(
+                    dict(layer_params), h, kv_cache=(cache, l),
+                    cross_kv=(cross_kv, l), write_index=write_index,
+                    sequence_length=sequence_length, use_cache=True)
+                return (h, cache), None
+
+            (x, new_kv), _ = jax.lax.scan(
+                step, (x, kv_cache), (stacked, layer_ids))
         x = self.ln(x)
         logits = jnp.einsum("bld,vd->blv", x,
                             self.token_embedding.weight.value,

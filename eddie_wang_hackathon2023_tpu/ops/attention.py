@@ -123,6 +123,34 @@ def append_kv_stacked(full_cache, k_new, v_new, layer_idx, write_index,
         full_cache, kv, (layer_idx, 0, 0, 0, write_index, 0))
 
 
+def cast_kv_for_cache(k, v, cache_dtype, kv_orig_quant_scale=None):
+    """Cast/quantize fresh K/V [B,H,L,D] exactly as a cache write would
+    (used by the deferred-write path so numerics match write-then-read)."""
+    if cache_dtype == jnp.int8:
+        assert kv_orig_quant_scale is not None
+        out = []
+        for t in (k, v):
+            scaled = t.astype(jnp.float32) * kv_orig_quant_scale
+            out.append(jnp.clip(round_half_away(scaled), -128,
+                                127).astype(jnp.int8))
+        return tuple(out)
+    return k.astype(cache_dtype), v.astype(cache_dtype)
+
+
+def write_fresh_kv(full_cache, kv_new, write_index) -> jnp.ndarray:
+    """One batched store of every layer's fresh K/V (deferred-write mode).
+
+    full_cache [L,B,2,H,S,D]; kv_new [L,B,2,H,L_new,D] already in cache
+    dtype; write_index scalar or per-row [B]."""
+    if getattr(write_index, "ndim", 0) >= 1:
+        def upd(cache_b, kv_b, i):      # [L,2,H,S,D], [L,2,H,L_new,D]
+            return jax.lax.dynamic_update_slice(cache_b, kv_b, (0, 0, 0, i, 0))
+        return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
+            full_cache, kv_new, write_index.astype(jnp.int32))
+    return jax.lax.dynamic_update_slice(
+        full_cache, kv_new, (0, 0, 0, 0, write_index, 0))
+
+
 def layer_kv_views(full_cache, layer_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Slice one layer's K and V [B,H,S,D] out of the stacked cache as two
     separate dynamic-slices.  Each feeds exactly one einsum, so XLA fuses
@@ -143,10 +171,19 @@ def layer_kv_views(full_cache, layer_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
                             kv_quant_orig_scale=None,
                             causal_offset: Optional[jnp.ndarray] = None,
-                            start_index=None, bias=None):
+                            start_index=None, bias=None, fresh_kv=None):
     """Masked attention of q [B,H,Lq,D] against a full-size cache
     [B,2,H,S_max,D], attending only to positions < seq_len (+ query offset
     for Lq>1 causal prefill).
+
+    ``fresh_kv``: optional (k_new, v_new) [B,H,Lq,D] for the *current*
+    tokens when their write into the cache is deferred (all layers' writes
+    are batched into one update after the layer scan — each in-loop
+    one-token dynamic-update-slice costs ~1 us of launch overhead on TPU,
+    ~0.6 ms/step over 2x32 layers).  The cache is then treated as holding
+    only the first seq_len - Lq positions and the fresh tokens contribute
+    their own score/value columns.  Requires bias=None (an ALiBi column
+    for the fresh position would need per-row bias plumbing).
 
     ``seq_len`` is the total valid length *after* the current tokens were
     appended.  For Lq == 1 (generation step) this reduces to the reference's
@@ -173,9 +210,13 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
     if bias is not None:                    # e.g. ALiBi [1,H,1,s_max]
+        assert fresh_kv is None, "deferred write not supported with bias"
         scores = scores + bias.astype(acc_t)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s_max), 3)
-    valid = kpos < jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
+    cache_len = jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
+    if fresh_kv is not None:
+        cache_len = cache_len - lq          # current tokens not in cache yet
+    valid = kpos < cache_len
     if start_index is not None:
         # left-padded prompts: positions before start are invalid
         valid = jnp.logical_and(
@@ -190,6 +231,30 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     # must yield finite (garbage) probs, not NaN, or it would poison the
     # KV cache it writes at the next layer
     scores = jnp.where(valid, scores, jnp.asarray(-1e30, scores.dtype))
+    if fresh_kv is not None:
+        k_f, v_f = fresh_kv                 # [B,H,Lq,D], cache dtype
+        if k_f.dtype == jnp.int8:
+            k_f = (k_f.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
+            v_f = (v_f.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
+        else:
+            k_f = k_f.astype(q.dtype)
+            v_f = v_f.astype(q.dtype)
+        s_f = jnp.einsum("bhqd,bhkd->bhqk", q, k_f,
+                         preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
+        if lq > 1:
+            # causal among the fresh tokens themselves
+            qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2)
+            fpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lq), 3)
+            s_f = jnp.where(fpos <= qpos, s_f,
+                            jnp.asarray(-1e30, s_f.dtype))
+        all_scores = jnp.concatenate([scores, s_f], axis=-1)
+        probs = jax.nn.softmax(all_scores, axis=-1)
+        p_c, p_f = probs[..., :s_max], probs[..., s_max:]
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", p_c.astype(v.dtype), v,
+                         preferred_element_type=acc_t) + \
+            jnp.einsum("bhqk,bhkd->bhqd", p_f.astype(v_f.dtype), v_f,
+                       preferred_element_type=acc_t)
+        return ctx.astype(q.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=acc_t)
