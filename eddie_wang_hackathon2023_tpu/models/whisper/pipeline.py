@@ -406,13 +406,15 @@ class WhisperPipeline:
             for i, lang in enumerate(languages):
                 init[i, self.sot_index + 1] = (self.tokenizer.sot + 1 +
                                                list(LANGUAGES).index(lang))
-        tokens, lengths, sum_lp, ns_probs = self._generate_fn(
+        # ONE batched device->host fetch: each individual np.asarray on a
+        # device array is a full tunnel round trip (~25 ms on axon) —
+        # sequential fetches were costing more than the decode itself
+        tokens, lengths, sum_lp, ns_probs = jax.device_get(self._generate_fn(
             self._params_dec, jnp.asarray(init), cross_kv,
             jax.random.PRNGKey(seed), prompt_len=len(self.initial_tokens),
-            max_new=self.sample_len)
+            max_new=self.sample_len))
         lengths = np.full((b,), int(lengths), np.int32)  # shared loop counter
-        return (np.asarray(tokens), lengths,
-                np.asarray(sum_lp), np.asarray(ns_probs))
+        return tokens, lengths, sum_lp, ns_probs
 
     @staticmethod
     def compression_ratio(text: str) -> float:
@@ -423,6 +425,8 @@ class WhisperPipeline:
                      languages, audio_features=None) -> List[DecodingResult]:
         """ref post_process (decoding.py:827-877), greedy n_group=1 path."""
         tok = self.tokenizer
+        if audio_features is not None:
+            audio_features = np.asarray(audio_features)   # one fetch, not B
         results = []
         for i in range(tokens.shape[0]):
             seq = tokens[i, self.sample_begin:lengths[i]]

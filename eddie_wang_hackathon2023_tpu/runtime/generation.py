@@ -238,7 +238,9 @@ class GenerationSession:
             jax.random.PRNGKey(seed or self.sampling_config.random_seed),
             prompt_len=int(input_ids.shape[1]),
             max_new_tokens=max_new_tokens, beam=beam)
-        return np.asarray(tokens), np.asarray(lens), np.asarray(cum)
+        # one batched fetch — per-array transfers each pay a device round
+        # trip (severe over remote-device tunnels)
+        return jax.device_get((tokens, lens, cum))
 
     def best_sequences(self, tokens, seq_lens, cum):
         """Select the top beam per row (gather_tree + ranker equivalent)."""
@@ -246,5 +248,5 @@ class GenerationSession:
             jnp.asarray(tokens), jnp.asarray(cum), jnp.asarray(seq_lens),
             self.sampling_config.length_penalty)
         b = tokens.shape[0]
-        return (np.asarray(best_tokens),
-                np.asarray(seq_lens)[np.arange(b), np.asarray(best)])
+        best_tokens, best = jax.device_get((best_tokens, best))
+        return (best_tokens, np.asarray(seq_lens)[np.arange(b), best])
