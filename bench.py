@@ -40,14 +40,18 @@ def main():
 
     config = whisper_config(os.environ.get("BENCH_MODEL", "large-v2"),
                             dtype="bfloat16")
-    # "", "woq8", "woq4", optionally "+ckv8" (int8 cross-KV), e.g. "woq8+ckv8"
+    # BENCH_QUANT: "+"-joined subset of {woq8, woq4, kv8, ckv8}, e.g.
+    # "woq8+kv8+ckv8" = the reference's weight_only+int8_kv_cache combo
+    # plus the beyond-reference int8 cross-KV
     quant = os.environ.get("BENCH_QUANT", "")
-    ckv8 = quant.endswith("+ckv8")
-    quant = quant.removesuffix("+ckv8")
+    parts = set(p for p in quant.split("+") if p)
+    ckv8 = "ckv8" in parts
     from eddie_wang_hackathon2023_tpu.quantization import QuantMode
     qmode = QuantMode(0)
-    if quant.startswith("woq"):
-        qmode = QuantMode.use_weight_only(use_int4_weights=quant == "woq4")
+    if "woq8" in parts or "woq4" in parts:
+        qmode = QuantMode.use_weight_only(use_int4_weights="woq4" in parts)
+    if "kv8" in parts:
+        qmode = qmode.set_int8_kv_cache()
     enc = WhisperEncoder(config, qmode)
     dec = WhisperDecoder(config, qmode)
     ckv = CrossAttnKV(config, int8_output=ckv8)
@@ -58,8 +62,14 @@ def main():
         dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
-    print(f"[bench] quant mode: {quant or 'bf16'}"
-          f"{' +int8 cross-KV' if ckv8 else ''}", file=sys.stderr)
+    if qmode.has_int8_kv_cache():
+        # unit scales (zeros would divide by 0; values don't affect timing)
+        import jax.numpy as jnp
+        for name, p in dec.named_parameters():
+            if name.endswith("kv_orig_quant_scale") or \
+                    name.endswith("kv_quant_orig_scale"):
+                p.value = jnp.ones(p.value.shape, jnp.float32)
+    print(f"[bench] quant mode: {quant or 'bf16'}", file=sys.stderr)
 
     opts = DecodingOptions(language="en", sample_len=DECODE_TOKENS)
     pipe = WhisperPipeline(config, enc, dec, ckv, opts, qmode)
