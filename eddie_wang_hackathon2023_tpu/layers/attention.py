@@ -194,11 +194,11 @@ class Attention(Module):
 
     @staticmethod
     def _unpack_cross_kv(cv):
-        """-> (key [B,H,S,D], value, scale-or-None).  Accepted forms:
-        * [B,2,H,S,D] per-layer cross KV;
+        """-> (key, value, scale-or-None, seq_minor).  Accepted forms:
+        * [B,2,H,S,D] per-layer cross KV (seq_minor=False);
         * (kv, scale) — int8 per-layer KV with its dequant scale;
-        * (full, layer_idx) stacked mode, full = [L,B,2,H,S,D] or
-          (kv_stack, scales[L]) — sliced here as two separate K/V
+        * (full, layer_idx) stacked mode, full = [L,B,2,H,D,S] seq-minor
+          or (kv_stack, scales[L]) — sliced here as two separate K/V
           dynamic-slices so the reads fuse into the attention einsums."""
         if isinstance(cv, tuple) and (isinstance(cv[0], tuple)
                                       or getattr(cv[0], "ndim", 0) == 6):
@@ -210,11 +210,11 @@ class Attention(Module):
                 scale = jax.lax.dynamic_index_in_dim(
                     scales, jnp.asarray(l, jnp.int32), 0, keepdims=False)
             k, v = layer_kv_views(full, l)
-            return k, v, scale
+            return k, v, scale, True
         if isinstance(cv, tuple):
             kv, scale = cv
-            return kv[:, 0], kv[:, 1], scale
-        return cv[:, 0], cv[:, 1], None
+            return kv[:, 0], kv[:, 1], scale, False
+        return cv[:, 0], cv[:, 1], None, False
 
     def _split_heads(self, x):
         b, l, _ = x.shape
@@ -230,11 +230,13 @@ class Attention(Module):
         return 1.0 / self.norm_factor
 
     def new_kv_cache(self, batch: int, max_len: int):
-        """Allocate the in-place cache buffer ([B,2,H,S,D]; int8 when
-        quantised — ref WhisperDecoder.prepare_inputs int8 branch)."""
+        """Allocate the in-place cache buffer ([B,2,H,D,S] — SEQ-MINOR so
+        decode matvecs read full 128-lane tiles, see ops.attention.append_kv;
+        int8 when quantised — ref WhisperDecoder.prepare_inputs int8
+        branch)."""
         kv_dtype = jnp.int8 if self.use_int8_kv_cache else (self.dtype or jnp.float32)
-        return jnp.zeros((batch, 2, self.num_attention_kv_heads, max_len,
-                          self.attention_head_size), dtype=kv_dtype)
+        return jnp.zeros((batch, 2, self.num_attention_kv_heads,
+                          self.attention_head_size, max_len), dtype=kv_dtype)
 
     # -- forward ----------------------------------------------------------
 
@@ -254,7 +256,18 @@ class Attention(Module):
             query = self._split_heads(self.q_linear(hidden_states))
             assert cross_key_value is not None, \
                 "cross attention consumes precomputed cross K/V (ref attention.py:308-323)"
-            key, value, cross_scale = self._unpack_cross_kv(cross_key_value)
+            key, value, cross_scale, seq_minor = \
+                self._unpack_cross_kv(cross_key_value)
+            if seq_minor:
+                # stacked [.,.,D,S] views: unmasked attention via the
+                # seq-minor einsums (int8 dequant handled inside)
+                assert attention_mask is None
+                s_full = jnp.full((query.shape[0],), key.shape[3], jnp.int32)
+                ctx = cached_decode_attention(
+                    query, (key, value), s_full, scale=self.scale,
+                    kv_quant_orig_scale=cross_scale)
+                out = self.dense(self._merge_heads(ctx))
+                return (out, past_key_value) if use_cache else out
             if key.dtype == jnp.int8:
                 key = (key.astype(jnp.float32) * cross_scale).astype(query.dtype)
                 value = (value.astype(jnp.float32) * cross_scale).astype(query.dtype)
@@ -360,9 +373,9 @@ class Attention(Module):
             if self.attention_mask_type == AttentionMaskType.causal:
                 causal_offset = jnp.asarray(cache_write_index, jnp.int32)
             if self.position_embedding_type == PositionEmbeddingType.alibi:
-                s_max = (past_key_value[0].shape[2]
+                s_max = (past_key_value[0].shape[3]
                          if isinstance(past_key_value, tuple)
-                         else past_key_value.shape[3])
+                         else past_key_value.shape[4])
                 alibi = generate_alibi_biases(slopes, s_max)
             q_for_cache = q
             ctx = cached_decode_attention(

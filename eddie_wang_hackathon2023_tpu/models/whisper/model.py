@@ -154,8 +154,10 @@ class CrossAttnKV(Module):
             _KVLinearBlock(c.n_text_state, c.dtype), c.n_text_layer)
 
     def forward(self, xa):
-        """xa [B, 1500, d] -> stacked [n_layer, B, 2, H, 1500, head_dim]
-        (plus [n_layer] fp32 dequant scales when int8_output)."""
+        """xa [B, 1500, d] -> stacked [n_layer, B, 2, H, head_dim, 1500]
+        (SEQ-MINOR, matching the decode cache layout — full-lane reads in
+        the per-step cross matvecs; plus [n_layer] fp32 dequant scales
+        when int8_output)."""
         c = self.config
         b, l, _ = xa.shape
         h, hd = c.n_text_head, c.head_dim
@@ -164,8 +166,8 @@ class CrossAttnKV(Module):
 
         def step(carry, layer_params):
             k, v = block.apply(dict(layer_params), xa)
-            k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-            v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(b, l, h, hd).transpose(0, 2, 3, 1)   # [B,H,D,S]
+            v = v.reshape(b, l, h, hd).transpose(0, 2, 3, 1)
             kv = jnp.stack([k, v], axis=1)
             if self.int8_output:
                 amax = jnp.max(jnp.abs(kv.astype(jnp.float32)))

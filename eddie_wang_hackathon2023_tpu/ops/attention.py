@@ -67,15 +67,19 @@ def append_kv(cache, k_new, v_new, write_index,
     """Write new K/V into a preallocated cache at ``write_index`` (in place
     under jit via donation).
 
-    cache: [B, 2, H, S_max, D] (fp16/bf16, or int8 when quantised)
+    cache: [B, 2, H, D, S_max] (fp16/bf16, or int8 when quantised).
+    LAYOUT: the sequence axis is LAST.  With head_dim=64 as the minor axis
+    a bf16 (16,128) tile is half empty, so every cache read ran at ~25-38%
+    of HBM bandwidth; seq-minor puts full 128-lane rows under the decode
+    matvecs (measured ~1.7x faster reads on v5e).
     k_new/v_new: [B, H, L_new, D]
     write_index: scalar int32 — current sequence length before the write.
 
     int8 mode (ref attention.py:338-348 quantize_tensor): x*scale, round
     half-away-from-zero, clip to [-128,127], cast int8.
     """
-    kv = jnp.stack([k_new, v_new], axis=1)  # [B,2,H,L,D]
-    if cache.dtype == jnp.int8:
+    kv = jnp.stack([k_new, v_new], axis=1).transpose(0, 1, 2, 4, 3)
+    if cache.dtype == jnp.int8:                       # [B,2,H,D,L]
         assert kv_orig_quant_scale is not None
         scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
         kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
@@ -86,26 +90,27 @@ def append_kv(cache, k_new, v_new, write_index,
         # own length — the reference's in-flight-batching host pointer
         # tables become a vmapped dynamic_update_slice)
         return jax.vmap(
-            lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, 0, i, 0))
+            lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, 0, 0, i))
         )(cache, kv, write_index.astype(jnp.int32))
     return jax.lax.dynamic_update_slice(
-        cache, kv, (0, 0, 0, write_index, 0))
+        cache, kv, (0, 0, 0, 0, write_index))
 
 
 def append_kv_stacked(full_cache, k_new, v_new, layer_idx, write_index,
                       kv_orig_quant_scale=None) -> jnp.ndarray:
     """Write one layer's fresh K/V into the FULL stacked cache
-    [n_layer, B, 2, H, S_max, D] at (layer_idx, ..., write_index).
+    [n_layer, B, 2, H, D, S_max] at (layer_idx, ..., write_index)
+    (seq-minor layout — see append_kv).
 
     This is the bandwidth-shaped alternative to slicing a per-layer cache
     out of the stack, updating it, and re-stacking (what a scan with the
     cache as xs/ys does): profiling the large-v2 decode step showed that
     pattern costs ~4 copies of the 2.3 MB layer cache per layer per step
     (~0.8 ms/step of pure copies).  Here the write is just the new token's
-    K/V ([B,2,H,L_new,D], a few KB in decode) into the carried buffer —
-    XLA keeps the carry in place, so nothing else moves."""
-    kv = jnp.stack([k_new, v_new], axis=1)[None]   # [1,B,2,H,L_new,D]
-    if full_cache.dtype == jnp.int8:
+    K/V (a few KB in decode) into the carried buffer — XLA keeps the
+    carry in place, so nothing else moves."""
+    kv = jnp.stack([k_new, v_new], axis=1).transpose(0, 1, 2, 4, 3)[None]
+    if full_cache.dtype == jnp.int8:               # [1,B,2,H,D,L_new]
         assert kv_orig_quant_scale is not None
         scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
         kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
@@ -115,18 +120,21 @@ def append_kv_stacked(full_cache, k_new, v_new, layer_idx, write_index,
     if getattr(write_index, "ndim", 0) >= 1:
         # per-row positions (continuous batching): vmap over batch
         def upd(cache_b, kv_b, i):
-            # cache_b [L,2,H,S,D]; kv_b [2,H,L_new,D]
+            # cache_b [L,2,H,D,S]; kv_b [2,H,D,L_new]
             return jax.lax.dynamic_update_slice(
-                cache_b, kv_b[None], (layer_idx, 0, 0, i, 0))
+                cache_b, kv_b[None], (layer_idx, 0, 0, 0, i))
         return jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
             full_cache, kv[0], write_index.astype(jnp.int32))
     return jax.lax.dynamic_update_slice(
-        full_cache, kv, (layer_idx, 0, 0, 0, write_index, 0))
+        full_cache, kv, (layer_idx, 0, 0, 0, 0, write_index))
 
 
 def cast_kv_for_cache(k, v, cache_dtype, kv_orig_quant_scale=None):
     """Cast/quantize fresh K/V [B,H,L,D] exactly as a cache write would
-    (used by the deferred-write path so numerics match write-then-read)."""
+    and transpose to the cache's seq-minor layout [B,H,D,L] (used by the
+    deferred-write path so numerics match write-then-read)."""
+    k = k.transpose(0, 1, 3, 2)
+    v = v.transpose(0, 1, 3, 2)
     if cache_dtype == jnp.int8:
         assert kv_orig_quant_scale is not None
         out = []
@@ -141,31 +149,31 @@ def cast_kv_for_cache(k, v, cache_dtype, kv_orig_quant_scale=None):
 def write_fresh_kv(full_cache, kv_new, write_index) -> jnp.ndarray:
     """One batched store of every layer's fresh K/V (deferred-write mode).
 
-    full_cache [L,B,2,H,S,D]; kv_new [L,B,2,H,L_new,D] already in cache
-    dtype; write_index scalar or per-row [B]."""
+    full_cache [L,B,2,H,D,S]; kv_new [L,B,2,H,D,L_new] already in cache
+    dtype (seq-minor); write_index scalar or per-row [B]."""
     if getattr(write_index, "ndim", 0) >= 1:
-        def upd(cache_b, kv_b, i):      # [L,2,H,S,D], [L,2,H,L_new,D]
-            return jax.lax.dynamic_update_slice(cache_b, kv_b, (0, 0, 0, i, 0))
+        def upd(cache_b, kv_b, i):      # [L,2,H,D,S], [L,2,H,D,L_new]
+            return jax.lax.dynamic_update_slice(cache_b, kv_b, (0, 0, 0, 0, i))
         return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
             full_cache, kv_new, write_index.astype(jnp.int32))
     return jax.lax.dynamic_update_slice(
-        full_cache, kv_new, (0, 0, 0, 0, write_index, 0))
+        full_cache, kv_new, (0, 0, 0, 0, 0, write_index))
 
 
 def layer_kv_views(full_cache, layer_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Slice one layer's K and V [B,H,S,D] out of the stacked cache as two
-    separate dynamic-slices.  Each feeds exactly one einsum, so XLA fuses
-    the slice into the matmul read instead of materialising the full
-    [B,2,H,S,D] layer view (profiling showed the fused view costs ~0.5
-    ms/step on large-v2)."""
+    """Slice one layer's K and V [B,H,D,S] (seq-minor) out of the stacked
+    cache as two separate dynamic-slices.  Each feeds exactly one einsum,
+    so XLA fuses the slice into the matmul read instead of materialising
+    the full [B,2,H,D,S] layer view (profiling showed the fused view costs
+    ~0.5 ms/step on large-v2)."""
     l = jnp.asarray(layer_idx, jnp.int32)
     zero = jnp.zeros((), jnp.int32)
-    n_layer, b, _, h, s, d = full_cache.shape
+    n_layer, b, _, h, d, s = full_cache.shape
     k = jax.lax.dynamic_slice(full_cache, (l, zero, zero, zero, zero, zero),
-                              (1, b, 1, h, s, d))[0, :, 0]
+                              (1, b, 1, h, d, s))[0, :, 0]
     v = jax.lax.dynamic_slice(
         full_cache, (l, zero, jnp.ones((), jnp.int32), zero, zero, zero),
-        (1, b, 1, h, s, d))[0, :, 0]
+        (1, b, 1, h, d, s))[0, :, 0]
     return k, v
 
 
@@ -173,8 +181,8 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
                             kv_quant_orig_scale=None,
                             causal_offset: Optional[jnp.ndarray] = None,
                             start_index=None, bias=None, fresh_kv=None):
-    """Masked attention of q [B,H,Lq,D] against a full-size cache
-    [B,2,H,S_max,D], attending only to positions < seq_len (+ query offset
+    """Masked attention of q [B,H,Lq,D] against a full-size seq-minor cache
+    [B,2,H,D,S_max], attending only to positions < seq_len (+ query offset
     for Lq>1 causal prefill).
 
     ``fresh_kv``: optional (k_new, v_new) [B,H,Lq,D] for the *current*
@@ -195,10 +203,10 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     """
     b, h, lq, d = q.shape
     if isinstance(cache, tuple):
-        k, v = cache                       # pre-sliced views (layer_kv_views)
+        k, v = cache        # pre-sliced seq-minor views (layer_kv_views)
     else:
-        k, v = cache[:, 0], cache[:, 1]
-    s_max = k.shape[2]
+        k, v = cache[:, 0], cache[:, 1]    # [B,H,D,S]
+    s_max = k.shape[3]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     if k.dtype == jnp.int8:
@@ -208,7 +216,7 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
     acc_t = jnp.float32
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    scores = jnp.einsum("bhqd,bhds->bhqs", q, k,
                         preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
     if bias is not None:                    # e.g. ALiBi [1,H,1,s_max]
         assert fresh_kv is None, "deferred write not supported with bias"
@@ -233,14 +241,14 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     # KV cache it writes at the next layer
     scores = jnp.where(valid, scores, jnp.asarray(-1e30, scores.dtype))
     if fresh_kv is not None:
-        k_f, v_f = fresh_kv                 # [B,H,Lq,D], cache dtype
+        k_f, v_f = fresh_kv                 # [B,H,D,Lq] seq-minor, cache dtype
         if k_f.dtype == jnp.int8:
             k_f = (k_f.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
             v_f = (v_f.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
         else:
             k_f = k_f.astype(q.dtype)
             v_f = v_f.astype(q.dtype)
-        s_f = jnp.einsum("bhqd,bhkd->bhqk", q, k_f,
+        s_f = jnp.einsum("bhqd,bhds->bhqs", q, k_f,
                          preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
         if lq > 1:
             # causal among the fresh tokens themselves
@@ -251,12 +259,12 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
         all_scores = jnp.concatenate([scores, s_f], axis=-1)
         probs = jax.nn.softmax(all_scores, axis=-1)
         p_c, p_f = probs[..., :s_max], probs[..., s_max:]
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", p_c.astype(v.dtype), v,
+        ctx = jnp.einsum("bhqs,bhds->bhqd", p_c.astype(v.dtype), v,
                          preferred_element_type=acc_t) + \
-            jnp.einsum("bhqk,bhkd->bhqd", p_f.astype(v_f.dtype), v_f,
+            jnp.einsum("bhqs,bhds->bhqd", p_f.astype(v_f.dtype), v_f,
                        preferred_element_type=acc_t)
         return ctx.astype(q.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+    ctx = jnp.einsum("bhqs,bhds->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=acc_t)
     return ctx.astype(q.dtype)

@@ -29,8 +29,8 @@ def kv_abs_max(decoder, dec_params, tokens, cross_kv, lengths) -> np.ndarray:
     def run(params, tokens, cross_kv, lengths):
         cache = decoder.new_kv_cache(tokens.shape[0], max_len=t)
         _, cache = decoder.apply(params, tokens, cache, cross_kv, 0, lengths)
-        # cache [L, B, 2, H, T, D]; mask positions >= length
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, t, 1), 4)
+        # cache [L, B, 2, H, D, T] (seq-minor); mask positions >= length
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 1, t), 5)
         valid = pos < lengths[None, :, None, None, None, None]
         abskv = jnp.where(valid, jnp.abs(cache.astype(jnp.float32)), 0.0)
         return jnp.max(abskv, axis=(1, 2, 3, 4, 5))

@@ -39,7 +39,7 @@ def test_export_whisper_decode_step(tmp_path):
     dec.random_init(jax.random.PRNGKey(0), 0.05)
     params = dec.state_dict()
     cache = dec.new_kv_cache(1)
-    cross = jnp.zeros((2, 1, 2, 4, 16, 8), jnp.float32)
+    cross = jnp.zeros((2, 1, 2, 4, 8, 16), jnp.float32)   # [L,B,2,H,D,S]
     tokens = jnp.asarray([[7]], jnp.int32)
     widx = jnp.asarray(3, jnp.int32)
     slen = jnp.full((1,), 4, jnp.int32)

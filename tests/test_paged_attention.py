@@ -32,7 +32,7 @@ def _setup(dtype=jnp.float32, seed=0):
 def test_paged_matches_contiguous_through_decode_steps():
     rng, mgr, plens = _setup()
     pool = new_block_pool(POOL_BLOCKS, H, T, D, jnp.float32)
-    contig = jnp.zeros((B, 2, H, MAX_BLOCKS * T, D), jnp.float32)
+    contig = jnp.zeros((B, 2, H, D, MAX_BLOCKS * T), jnp.float32)
 
     # context phase: write prompts into both layouts
     maxp = max(plens)
@@ -63,7 +63,7 @@ def test_paged_int8_kv():
     rng, mgr, plens = _setup(seed=1)
     scale_in, scale_out = 0.25, 4.0
     pool = new_block_pool(POOL_BLOCKS, H, T, D, jnp.int8)
-    contig = jnp.zeros((B, 2, H, MAX_BLOCKS * T, D), jnp.int8)
+    contig = jnp.zeros((B, 2, H, D, MAX_BLOCKS * T), jnp.int8)
     maxp = max(plens)
     k = jnp.asarray(rng.normal(size=(B, H, maxp, D)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(B, H, maxp, D)), jnp.float32)

@@ -73,7 +73,7 @@ def test_decoder_prefill_matches_hf(hf_model, our_models):
     xa = enc(jnp.asarray(mel))
     cross_kv = ckv(xa)
     assert cross_kv.shape == (TINY.n_text_layer, 1, 2, TINY.n_text_head,
-                              TINY.n_audio_ctx, TINY.head_dim)
+                              TINY.head_dim, TINY.n_audio_ctx)
     cache = dec.new_kv_cache(1)
     logits, cache = dec(jnp.asarray(tokens), cache, cross_kv,
                         write_index=0,
@@ -141,4 +141,4 @@ def test_jitted_decode_step_in_place(hf_model, our_models):
     logits, cache = step(state, jnp.asarray([[7]]), cache, 0, jnp.array([1]))
     logits2, cache = step(state, jnp.asarray([[9]]), cache, 1, jnp.array([2]))
     assert logits.shape == (1, 1, TINY.n_vocab)
-    assert cache.shape[3:] == (TINY.n_text_head, TINY.n_text_ctx, TINY.head_dim)
+    assert cache.shape[3:] == (TINY.n_text_head, TINY.head_dim, TINY.n_text_ctx)
