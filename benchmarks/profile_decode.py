@@ -29,10 +29,28 @@ def profile_loop():
     enable_compile_cache()
     steps = int(os.environ.get("LOOP_STEPS", "16"))
     config = whisper_config("large-v2", dtype="bfloat16")
-    enc, dec, ckv = (WhisperEncoder(config), WhisperDecoder(config),
-                     CrossAttnKV(config))
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    parts = set(p for p in os.environ.get("BENCH_QUANT", "").split("+") if p)
+    qmode = QuantMode(0)
+    if "woq8" in parts or "woq4" in parts:
+        qmode = QuantMode.use_weight_only(use_int4_weights="woq4" in parts)
+    if "kv8" in parts:
+        qmode = qmode.set_int8_kv_cache()
+    enc, dec, ckv = (WhisperEncoder(config, qmode),
+                     WhisperDecoder(config, qmode),
+                     CrossAttnKV(config, int8_output="ckv8" in parts))
+    if qmode.is_weight_only():
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import \
+            weight_only_quantize
+        enc = weight_only_quantize(enc, qmode)
+        dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
+    if qmode.has_int8_kv_cache():
+        for name, p in dec.named_parameters():
+            if name.endswith("kv_orig_quant_scale") or \
+                    name.endswith("kv_quant_orig_scale"):
+                p.value = jnp.ones(p.value.shape, jnp.float32)
     pipe = WhisperPipeline(config, enc, dec, ckv,
                            DecodingOptions(language="en", sample_len=steps))
     pipe.bind_params()
