@@ -73,9 +73,43 @@ def profile_loop():
                               recursive=True), file=sys.stderr)
 
 
+def profile_encoder():
+    import numpy as np
+
+    from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
+    from eddie_wang_hackathon2023_tpu.models.whisper import (WhisperEncoder,
+                                                             whisper_config)
+    enable_compile_cache()
+    config = whisper_config("large-v2", dtype="bfloat16")
+    enc = WhisperEncoder(config)
+    enc.zeros_init()
+    params = enc.state_dict()
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, 80, 3000) * 0.1,
+                      enc.conv1.weight.value.dtype)
+
+    @jax.jit
+    def run(params, mel):
+        return enc.apply(params, mel)
+
+    xa = run(params, mel)
+    jax.block_until_ready(xa)
+    t0 = time.time()
+    for _ in range(10):
+        xa = run(params, mel)
+    jax.block_until_ready(xa)
+    print(f"encoder: {(time.time() - t0) / 10 * 1e3:.1f} ms", file=sys.stderr)
+    log_dir = os.environ.get("TRACE_DIR", "/tmp/ewt_trace")
+    with jax.profiler.trace(log_dir):
+        for _ in range(5):
+            xa = run(params, mel)
+        jax.block_until_ready(xa)
+
+
 def main():
     if os.environ.get("PROFILE_TARGET") == "loop":
         return profile_loop()
+    if os.environ.get("PROFILE_TARGET") == "encoder":
+        return profile_encoder()
     from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
     from eddie_wang_hackathon2023_tpu.models.whisper import (WhisperDecoder,
                                                              whisper_config)
