@@ -406,6 +406,15 @@ class WhisperPipeline:
             for i, lang in enumerate(languages):
                 init[i, self.sot_index + 1] = (self.tokenizer.sot + 1 +
                                                list(LANGUAGES).index(lang))
+        if self.n_group > 1:
+            # best_of: n_group independent trajectories per audio (ref
+            # decoding.py:786 repeat_interleave + MaximumLikelihoodRanker)
+            init = np.repeat(init, self.n_group, axis=0)
+            if isinstance(cross_kv, tuple):
+                cross_kv = (jnp.repeat(cross_kv[0], self.n_group, axis=1),
+                            cross_kv[1])
+            else:
+                cross_kv = jnp.repeat(cross_kv, self.n_group, axis=1)
         # ONE batched device->host fetch: each individual np.asarray on a
         # device array is a full tunnel round trip (~25 ms on axon) —
         # sequential fetches were costing more than the decode itself
@@ -413,7 +422,8 @@ class WhisperPipeline:
             self._params_dec, jnp.asarray(init), cross_kv,
             jax.random.PRNGKey(seed), prompt_len=len(self.initial_tokens),
             max_new=self.sample_len))
-        lengths = np.full((b,), int(lengths), np.int32)  # shared loop counter
+        lengths = np.full((tokens.shape[0],), int(lengths),
+                          np.int32)                     # shared loop counter
         return tokens, lengths, sum_lp, ns_probs
 
     @staticmethod
@@ -423,10 +433,32 @@ class WhisperPipeline:
 
     def post_process(self, tokens, lengths, sum_logprobs, no_speech_probs,
                      languages, audio_features=None) -> List[DecodingResult]:
-        """ref post_process (decoding.py:827-877), greedy n_group=1 path."""
+        """ref post_process (decoding.py:827-877): reshape trajectories to
+        (n_audio, n_group), rank, and decode the winners."""
         tok = self.tokenizer
         if audio_features is not None:
             audio_features = np.asarray(audio_features)   # one fetch, not B
+        g = self.n_group
+        if g > 1:
+            n_audio = tokens.shape[0] // g
+            groups_t, groups_lp = [], []
+            for i in range(n_audio):
+                rows = []
+                for j in range(g):
+                    seq = tokens[i * g + j,
+                                 self.sample_begin:lengths[i * g + j]]
+                    eot_pos = np.nonzero(seq == tok.eot)[0]
+                    rows.append(seq[:eot_pos[0]] if eot_pos.size else seq)
+                groups_t.append(rows)
+                groups_lp.append([float(sum_logprobs[i * g + j])
+                                  for j in range(g)])
+            best = _maximum_likelihood_rank(groups_t, groups_lp,
+                                            self.options.length_penalty)
+            idx = [i * g + best[i] for i in range(n_audio)]
+            tokens = tokens[idx]
+            lengths = np.asarray(lengths)[idx]
+            sum_logprobs = np.asarray(sum_logprobs)[idx]
+            no_speech_probs = np.asarray(no_speech_probs)[idx]
         results = []
         for i in range(tokens.shape[0]):
             seq = tokens[i, self.sample_begin:lengths[i]]

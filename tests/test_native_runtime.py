@@ -137,3 +137,19 @@ def test_scheduler_stop_conditions():
     nat.on_admitted(slot, 5)
     assert nat.push_token(slot, 1) == 0      # len 6
     assert nat.push_token(slot, 2) & FINISHED  # len 7 == S-1
+
+
+def test_cpp_self_test(tmp_path):
+    """Build and run the pure-C++ self-test binary (the reference's C++
+    unit-test tier, C/tests/, minus the gtest dependency)."""
+    import os
+    import subprocess
+    src_dir = os.path.dirname(batch_runtime.__file__)
+    exe = os.path.join(tmp_path, "test_batch_runtime")
+    subprocess.run(["g++", "-O1", "-std=c++17", "-o", exe,
+                    os.path.join(src_dir, "test_batch_runtime.cc"),
+                    os.path.join(src_dir, "batch_runtime.cc")],
+                   check=True, capture_output=True)
+    r = subprocess.run([exe], capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ALL NATIVE TESTS PASSED" in r.stdout
