@@ -89,6 +89,53 @@ class SmoothQuantLayerNorm(Module):
                        else 1.0 / self.act_scale.value))
 
 
+class SmoothQuantQKVLinear(Module):
+    """Fused-QKV SmoothQuant projection (the SmoothQuantAttention qkv of
+    ref layer.py:596, restricted to the projection — attention math is
+    shared with the float path).  qweight [in, 3*H*hd] int8."""
+
+    def __init__(self, hidden_size: int, num_heads: int, num_kv_heads: int,
+                 head_dim: int, bias: bool = True, dtype=None,
+                 quant_mode: QuantMode = QuantMode.use_smooth_quant()):
+        super().__init__()
+        assert num_kv_heads == num_heads, \
+            "smooth-quant MQA/GQA qkv not implemented yet"
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.quant_mode = quant_mode
+        self.dtype = dtype
+        out = 3 * num_heads * head_dim
+        self.qweight = Parameter(shape=(hidden_size, out), dtype="int8")
+        n_scale = out if quant_mode.has_per_channel_scaling() else 1
+        self.per_channel_scale = Parameter(shape=(n_scale,), dtype="float32")
+        if not quant_mode.has_per_token_dynamic_scaling():
+            self.act_scale = Parameter(shape=(1,), dtype="float32")
+        else:
+            self.register_parameter("act_scale", None)
+        if bias:
+            self.bias = Parameter(shape=(3, num_heads, head_dim), dtype=dtype)
+        else:
+            self.register_parameter("bias", None)
+
+    def forward(self, x):
+        if isinstance(x, tuple):
+            x_q, sx = x
+        elif self.quant_mode.has_per_token_dynamic_scaling():
+            x_q, sx = quantize_per_token(x)
+        else:
+            sx = self.act_scale.value
+            x_q = quantize(x, 1.0 / sx)
+        b, l = x_q.shape[0], x_q.shape[1]
+        out = smooth_quant_gemm(x_q, self.qweight.value, sx,
+                                self.per_channel_scale.value)
+        out = out.astype(self.dtype or jnp.float32)
+        qkv = out.reshape(b, l, 3, self.num_heads, self.head_dim)
+        if self.bias is not None:
+            qkv = qkv + self.bias.value.astype(qkv.dtype)
+        return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+
 def smooth_quantize_weights(w, per_channel: bool = True):
     """Offline: float [out, in] -> (int8 [in, out], step scales)."""
     import numpy as np

@@ -87,6 +87,123 @@ def weight_only_quantize(model: Module,
     return model
 
 
+def smooth_quantize(model: Module,
+                    quant_mode: QuantMode,
+                    exclude_modules: Optional[List[str]] = None) -> Module:
+    """SmoothQuant W8A8 module swap (ref quant.py:8-48 smooth_quantize).
+
+    Swaps every QKVLinear/Linear/RowLinear (except ``exclude_modules``,
+    default lm_head) for the SmoothQuant variants; the per-token dynamic
+    activation quantisation happens inside the swapped linears, so the
+    float layernorms stay (the reference's fused LN+quant layer exists in
+    smoothquant_layers for callers that want the handoff fused).
+    Weights must be (re)loaded afterwards via smooth_quantize_state_dict."""
+    from .smoothquant_layers import (SmoothQuantLinear, SmoothQuantQKVLinear,
+                                     SmoothQuantRowLinear)
+    assert quant_mode.has_act_and_weight_quant()
+    exclude = exclude_modules if exclude_modules is not None else DEFAULT_EXCLUDE
+
+    for name, child in list(model._modules.items()):
+        if name in exclude:
+            continue
+        replaced = None
+        if isinstance(child, QKVLinear):
+            lead = tuple(child.weight._shape[:-4])
+            hidden = child.weight._shape[-1]
+            replaced = _relayer(
+                SmoothQuantQKVLinear(hidden, child.num_heads,
+                                     child.num_kv_heads, child.head_dim,
+                                     bias=child.bias is not None,
+                                     dtype=None, quant_mode=quant_mode), lead)
+        elif isinstance(child, RowLinear):
+            lead = tuple(child.weight._shape[:-2])
+            replaced = _relayer(
+                SmoothQuantRowLinear(child.in_features, child.out_features,
+                                     bias=child.bias is not None,
+                                     dtype=child.dtype,
+                                     quant_mode=quant_mode), lead)
+        elif isinstance(child, Linear):
+            lead = tuple(child.weight._shape[:-2])
+            replaced = _relayer(
+                SmoothQuantLinear(child.in_features, child.out_features,
+                                  bias=child.bias is not None,
+                                  dtype=child.dtype,
+                                  quant_mode=quant_mode), lead)
+        if replaced is not None:
+            setattr(model, name, replaced)
+        else:
+            smooth_quantize(child, quant_mode, exclude)
+    return model
+
+
+def _sq_quantize_stacked(w: np.ndarray, lead_ndim: int, per_channel: bool):
+    """w [*lead, out, in] -> (q [*lead, in, out] int8, step [*lead, out|1])."""
+    lead = w.shape[:lead_ndim]
+    out_f, in_f = w.shape[lead_ndim], w.shape[lead_ndim + 1]
+    flat = w.reshape(-1, out_f, in_f)
+    qs, ss = [], []
+    for m in flat:
+        wt = np.ascontiguousarray(m.T.astype(np.float32))     # [in, out]
+        axis = 0 if per_channel else None
+        amax = np.max(np.abs(wt), axis=axis, keepdims=False)
+        step = np.maximum(amax, 1e-8) / 127.0
+        q = np.clip(np.round(wt / step), -127, 127).astype(np.int8)
+        qs.append(q)
+        ss.append(np.atleast_1d(step).astype(np.float32))
+    q = np.stack(qs, 0).reshape(lead + qs[0].shape)
+    s = np.stack(ss, 0).reshape(lead + ss[0].shape)
+    return q, s
+
+
+def smooth_quantize_state_dict(model: Module, state: Dict[str, np.ndarray],
+                               quant_mode: QuantMode,
+                               act_scales: Optional[Dict[str, np.ndarray]] = None,
+                               ln_paths: Optional[Dict[str, str]] = None,
+                               alpha: float = 0.5) -> Dict[str, np.ndarray]:
+    """Transform float weights to match a smooth-quantised ``model``.
+
+    ``act_scales``: optional {<linear path>: per-in-channel activation amax}
+    from calibration; when given, the alpha smoothing of ref
+    smoothquant.py:44 (smooth_gemm) is folded into the weight before
+    quantisation, and — when ``ln_paths`` maps the linear to its preceding
+    layernorm — the inverse scaling is folded into that LN's weight/bias so
+    the network function is preserved (ref apply_smoothing)."""
+    from .smoothquant_layers import (SmoothQuantLinear, SmoothQuantQKVLinear,
+                                     smooth_gemm)
+    per_channel = quant_mode.has_per_channel_scaling()
+    out = dict(state)
+    for path, mod in model.named_modules():
+        if not isinstance(mod, (SmoothQuantQKVLinear, SmoothQuantLinear)):
+            continue
+        key = f"{path}.weight"
+        if key not in out:
+            continue
+        w = np.asarray(out.pop(key), np.float32)
+        if isinstance(mod, SmoothQuantQKVLinear):
+            lead_ndim = w.ndim - 4
+            lead = w.shape[:lead_ndim]
+            three, h, hd, in_f = w.shape[lead_ndim:]
+            w = w.reshape(lead + (three * h * hd, in_f))
+        lead_ndim = w.ndim - 2
+        if act_scales is not None and path in act_scales:
+            ln = (ln_paths or {}).get(path)
+            lw = out.get(f"{ln}.weight") if ln else None
+            lb = out.get(f"{ln}.bias") if ln else None
+            flat = w.reshape(-1, w.shape[-1])
+            _, sm = smooth_gemm(flat, act_scales[path], lw, lb, alpha=alpha)
+            w = sm["gemm_weight"].reshape(w.shape)
+            if ln and lw is not None:
+                out[f"{ln}.weight"] = sm["layernorm_weight"]
+            if ln and lb is not None:
+                out[f"{ln}.bias"] = sm["layernorm_bias"]
+        q, s = _sq_quantize_stacked(w, lead_ndim, per_channel)
+        out[f"{path}.qweight"] = q
+        out[f"{path}.per_channel_scale"] = s
+        if not quant_mode.has_per_token_dynamic_scaling():
+            out.setdefault(f"{path}.act_scale", np.ones((1,), np.float32))
+    return out
+
+
 def quantize_state_dict(model: Module, state: Dict[str, np.ndarray],
                         quant_mode: QuantMode) -> Dict[str, np.ndarray]:
     """Transform float weights in ``state`` to match a weight-only-quantised

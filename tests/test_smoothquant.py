@@ -95,3 +95,40 @@ def test_smooth_gemm_outlier_migration():
     ref = x @ w.T
     got = (x / scales) @ out["gemm_weight"].T
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_smooth_quantize_model_surgery_e2e():
+    """ref quant.py:8-48 smooth_quantize: swap a GPT model's linears for
+    W8A8 variants and check generation stays close to float."""
+    import torch
+    import transformers as T
+
+    from eddie_wang_hackathon2023_tpu.models.families import build_from_hf
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        smooth_quantize, smooth_quantize_state_dict)
+    from eddie_wang_hackathon2023_tpu.runtime import (GenerationSession,
+                                                      ModelConfig,
+                                                      SamplingConfig)
+    torch.manual_seed(0)
+    cfg = T.GPT2Config(vocab_size=97, n_positions=64, n_embd=32, n_layer=2,
+                       n_head=4)
+    hf = T.GPT2LMHeadModel(cfg).eval()
+    model, config = build_from_hf("gpt2", hf, dtype="float32")
+    float_state = {k: np.asarray(v) for k, v in model.state_dict().items()}
+
+    mc = ModelConfig(vocab_size=97, num_layers=2, num_heads=4,
+                     hidden_size=32, max_seq_len=64)
+    sess_f = GenerationSession(mc, model, SamplingConfig(end_id=96, pad_id=96))
+    ids = np.array([[5, 11, 17, 3]], np.int32)
+    lens = np.array([4], np.int32)
+    tok_f, _, _ = sess_f.decode(ids, lens, max_new_tokens=8)
+
+    qmode = QuantMode.use_smooth_quant(per_token=True, per_channel=True)
+    qmodel = smooth_quantize(build_from_hf("gpt2", hf, dtype="float32")[0],
+                             qmode)
+    qstate = smooth_quantize_state_dict(qmodel, float_state, qmode)
+    qmodel.load_state_dict(qstate, strict=False)
+    sess_q = GenerationSession(mc, qmodel, SamplingConfig(end_id=96, pad_id=96))
+    tok_q, _, _ = sess_q.decode(ids, lens, max_new_tokens=8)
+    agree = (tok_f[0, 0] == tok_q[0, 0]).mean()
+    assert agree >= 0.75, (tok_f[0, 0], tok_q[0, 0])
