@@ -63,3 +63,20 @@ def aot_compile(fn, example_args):
     build_engine — but seconds, not hours, and cached persistently)."""
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
     return jitted.lower(*example_args).compile()
+
+
+def dump_hlo(fn, example_args, path: Optional[str] = None,
+             optimized: bool = False) -> str:
+    """Program text for inspection (ref E/gpt/visualize.py, which dumps
+    the TRT engine graph).  ``optimized=True`` returns the post-XLA HLO of
+    the compiled executable; otherwise the traced StableHLO module."""
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    lowered = jitted.lower(*example_args)
+    if optimized:
+        text = lowered.compile().as_text()
+    else:
+        text = lowered.as_text()
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

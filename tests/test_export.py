@@ -66,3 +66,15 @@ def test_aot_compile_executes():
     exe = aot_compile(f, (np.ones((8,), np.float32),))
     out = exe(np.full((8,), 3.0, np.float32))
     np.testing.assert_allclose(np.asarray(out), np.full((8,), 10.0))
+
+
+def test_dump_hlo():
+    from eddie_wang_hackathon2023_tpu.export import dump_hlo
+
+    def f(x):
+        return jnp.tanh(x) * 2.0
+
+    text = dump_hlo(f, (np.ones((4,), np.float32),))
+    assert "tanh" in text
+    opt = dump_hlo(f, (np.ones((4,), np.float32),), optimized=True)
+    assert len(opt) > 0
