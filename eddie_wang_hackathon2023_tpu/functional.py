@@ -227,11 +227,16 @@ def conv2d(x, weight, bias=None, stride=(1, 1), padding=(0, 0),
 
 
 def conv_transpose2d(x, weight, bias=None, stride=(1, 1), padding=(0, 0)):
-    """ref layers/conv.py ConvTranspose2d; weight [C_in, C_out, KH, KW]."""
+    """ref layers/conv.py ConvTranspose2d; weight [C_in, C_out, KH, KW]
+    (torch layout).  transpose_kernel=True treats the kernel as the
+    forward conv's [O,I] and flips it; torch's ``padding`` p maps to
+    lax padding k-1-p (verified against torch for stride 1..3, p 0..2)."""
+    kh, kw = weight.shape[2], weight.shape[3]
     out = jax.lax.conv_transpose(
-        x, jnp.swapaxes(weight, 0, 1),
+        x, weight,
         strides=tuple(stride),
-        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        padding=[(kh - 1 - padding[0], kh - 1 - padding[0]),
+                 (kw - 1 - padding[1], kw - 1 - padding[1])],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         transpose_kernel=True,
     ).astype(x.dtype)

@@ -161,3 +161,90 @@ def test_rope_matches_hf_llama_style():
     ref = x[0, :, 0] * cos + rotate_half(x[0, :, 0]) * sin
     got = _np(F.rope(jnp.asarray(x), jnp.asarray(pos)[None, :]))[0, :, 0]
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_conv_transpose2d_matches_torch():
+    import torch
+    from eddie_wang_hackathon2023_tpu.functional import conv_transpose2d
+    rs = np.random.RandomState(11)
+    x = rs.randn(1, 3, 8, 8).astype(np.float32)
+    w = rs.randn(3, 5, 4, 4).astype(np.float32)   # [in, out, kh, kw]
+    b = rs.randn(5).astype(np.float32)
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=2, padding=1).numpy()
+    got = conv_transpose2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                           stride=(2, 2), padding=(1, 1))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_activations_match_torch():
+    import torch
+    from eddie_wang_hackathon2023_tpu.functional import (mish, relu, sigmoid,
+                                                         silu, tanh)
+    x = np.linspace(-4, 4, 41).astype(np.float32)
+    xt = torch.from_numpy(x)
+    for fn, ref in ((relu, torch.nn.functional.relu),
+                    (sigmoid, torch.sigmoid), (tanh, torch.tanh),
+                    (silu, torch.nn.functional.silu),
+                    (mish, torch.nn.functional.mish)):
+        np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))),
+                                   ref(xt).numpy(), atol=1e-5,
+                                   err_msg=fn.__name__)
+
+
+def test_softmax_log_softmax_match_torch():
+    import torch
+    from eddie_wang_hackathon2023_tpu.functional import log_softmax, softmax
+    rs = np.random.RandomState(12)
+    x = rs.randn(3, 7).astype(np.float32) * 3
+    xt = torch.from_numpy(x)
+    np.testing.assert_allclose(np.asarray(softmax(jnp.asarray(x), dim=-1)),
+                               torch.softmax(xt, -1).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(log_softmax(jnp.asarray(x), dim=-1)),
+        torch.log_softmax(xt, -1).numpy(), atol=1e-5)
+
+
+def test_matmul_transpose_flags():
+    from eddie_wang_hackathon2023_tpu.functional import matmul
+    rs = np.random.RandomState(13)
+    a = rs.randn(4, 6).astype(np.float32)
+    b = rs.randn(6, 5).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(matmul(a, b)), a @ b, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(matmul(a.T, b, transa=True)),
+                               a @ b, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(matmul(a, b.T, transb=True)),
+                               a @ b, atol=1e-5)
+
+
+def test_split_torch_style():
+    from eddie_wang_hackathon2023_tpu.functional import split
+    x = jnp.arange(12).reshape(2, 6)
+    parts = split(x, 2, dim=1)             # chunk size 2 -> 3 chunks
+    assert len(parts) == 3 and parts[0].shape == (2, 2)
+    parts = split(x, [1, 2, 3], dim=1)
+    assert [p.shape[1] for p in parts] == [1, 2, 3]
+
+
+def test_where_masked_fill_clip():
+    from eddie_wang_hackathon2023_tpu.functional import (clip, masked_fill,
+                                                         where)
+    x = jnp.asarray([[1.0, -2.0], [3.0, -4.0]])
+    m = jnp.asarray([[True, False], [False, True]])
+    np.testing.assert_array_equal(np.asarray(where(m, x, 0.0 * x)),
+                                  [[1.0, 0.0], [0.0, -4.0]])
+    np.testing.assert_array_equal(np.asarray(masked_fill(x, m, 9.0)),
+                                  [[9.0, -2.0], [3.0, 9.0]])
+    np.testing.assert_array_equal(np.asarray(clip(x, -2.0, 1.0)),
+                                  [[1.0, -2.0], [1.0, -2.0]])
+
+
+def test_embedding_lookup():
+    from eddie_wang_hackathon2023_tpu.functional import embedding, lookup
+    w = jnp.arange(20.0).reshape(10, 2)
+    toks = jnp.asarray([[1, 3], [0, 9]])
+    out = embedding(toks, w)
+    np.testing.assert_array_equal(np.asarray(out[1, 1]), [18.0, 19.0])
+    np.testing.assert_array_equal(np.asarray(lookup(toks, w)),
+                                  np.asarray(out))
