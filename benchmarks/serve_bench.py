@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Continuous-batching serving benchmark (the batch-manager counterpart of
+gptManagerBenchmark): saturated request queue through
+ContinuousBatchingManager, reports request and token throughput.
+
+  python benchmarks/serve_bench.py -m gpt_125m --requests 64 \
+      --max_batch_size 8 --device cpu
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+MODELS = {
+    "gpt_350m": (24, 1024, 16, 51200),
+    "gpt_125m": (12, 768, 12, 50257),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-m", "--model", default="gpt_350m", choices=sorted(MODELS))
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--max_new_tokens", type=int, default=20)
+    p.add_argument("--prompt_len", type=int, default=60)
+    p.add_argument("--max_seq_len", type=int, default=128)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    args = p.parse_args()
+
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    import numpy as np
+
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    from eddie_wang_hackathon2023_tpu.runtime.batch_manager import (
+        ContinuousBatchingManager, InferenceRequest)
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import SamplingConfig
+
+    layers, hidden, heads, vocab = MODELS[args.model]
+    config = DecoderConfig(vocab_size=vocab, hidden_size=hidden,
+                           num_layers=layers, num_heads=heads,
+                           max_position_embeddings=args.max_seq_len,
+                           dtype=args.dtype)
+    model = DecoderLMHead(config)
+    model.zeros_init()
+
+    rs = np.random.RandomState(0)
+    queue = [InferenceRequest(i,
+                              rs.randint(0, vocab,
+                                         (args.prompt_len,)).astype(np.int32),
+                              max_new_tokens=args.max_new_tokens, end_id=-1)
+             for i in range(args.requests)]
+    done = []
+    mgr = ContinuousBatchingManager(
+        model, SamplingConfig(end_id=-1, pad_id=0),
+        max_batch_size=args.max_batch_size, max_seq_len=args.max_seq_len,
+        get_inference_requests=lambda n: [queue.pop(0)
+                                          for _ in range(min(n, len(queue)))],
+        send_response=lambda r: done.append(r) if r.finished else None)
+    # warm the two programs (prefill bucket + step) on one request
+    warm = [InferenceRequest(10**6, np.zeros((args.prompt_len,), np.int32),
+                             max_new_tokens=2, end_id=-1)]
+    wdone = []
+    wmgr_get = mgr.get_inference_requests
+    mgr.get_inference_requests = lambda n: [warm.pop()] if warm else []
+    mgr.send_response = lambda r: wdone.append(r)
+    mgr.run()
+    mgr.get_inference_requests = wmgr_get
+    mgr.send_response = lambda r: done.append(r) if r.finished else None
+
+    t0 = time.time()
+    mgr.run()
+    dt = time.time() - t0
+    toks = sum(len(r.output_ids) for r in done)
+    print(f"[BENCHMARK] serve model {args.model} slots {args.max_batch_size} "
+          f"requests {len(done)} total_new_tokens {toks} wall_s {dt:.2f} "
+          f"req_per_s {len(done) / dt:.2f} tokens_per_sec {toks / dt:.2f} "
+          f"scheduler {'native' if mgr.sched.__class__.__name__.startswith('Native') else 'python'}")
+
+
+if __name__ == "__main__":
+    main()
