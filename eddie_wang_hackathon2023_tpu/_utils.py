@@ -27,6 +27,19 @@ _STR_TO_DTYPE = {
 _DTYPE_TO_STR = {np.dtype(v): k for k, v in _STR_TO_DTYPE.items() if k != "fp8"}
 
 
+def runtime_platform() -> str:
+    """Platform computations actually run on.  ``jax.default_backend()``
+    reports the highest-priority REGISTERED backend even when
+    ``jax_default_device`` pins execution elsewhere (e.g. CPU-pinned tests
+    with a TPU plugin loaded) — kernel disppatch must look at the pin."""
+    dd = jax.config.jax_default_device
+    return dd.platform if dd is not None else jax.default_backend()
+
+
+def on_tpu() -> bool:
+    return runtime_platform() == "tpu"
+
+
 def str_dtype_to_jnp(dtype: str):
     """Map a config-file dtype string to a jnp dtype (ref: str_dtype_to_trt)."""
     if dtype not in _STR_TO_DTYPE:

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from .._utils import on_tpu as _on_tpu
 from ..functional import (causal_bias, generate_alibi_biases,
                           generate_alibi_slopes, rope)
 from ..module import Module
@@ -408,7 +409,7 @@ class Attention(Module):
                                                        k_full.shape[2])
                                       if is_causal else None,
                                       scale=self.scale) \
-                if q.shape[2] < 128 or jax.default_backend() != "tpu" else \
+                if q.shape[2] < 128 or not _on_tpu() else \
                 flash_mha(q, k_full, v_full, causal=is_causal,
                           scale=self.scale)
         else:

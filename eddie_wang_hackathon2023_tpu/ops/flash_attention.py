@@ -41,7 +41,8 @@ def flash_mha(q, k, v, causal: bool = False, scale: Optional[float] = None,
     the XLA path.  ``bias`` forces the XLA path (ALiBi etc.).
     """
     lq, lk = q.shape[2], k.shape[2]
-    use_flash = (jax.default_backend() == "tpu" and bias is None
+    from .._utils import on_tpu
+    use_flash = (on_tpu() and bias is None
                  and lq >= _MIN_FLASH_LEN and q.shape[-1] % 64 == 0)
     if not use_flash:
         cb = None

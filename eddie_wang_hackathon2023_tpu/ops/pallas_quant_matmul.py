@@ -29,6 +29,65 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _kernel_int4(x_ref, qw_ref, scale_ref, out_ref):
+    """qw block [K//2, TN] int8, half-split nibble packing (see
+    ops.quant_matmul.quantize_weights_int4): unpack with int32 shifts in
+    VMEM, concat the two K-halves, one MXU dot."""
+    x = x_ref[:]                                   # [TM, K]
+    p = qw_ref[:].astype(jnp.int32)                # [K//2, TN]
+    lo = ((p << 28) >> 28).astype(x.dtype)         # sign-extended low nibble
+    hi = ((p << 24) >> 28).astype(x.dtype)         # sign-extended high nibble
+    w = jnp.concatenate([lo, hi], axis=0)          # [K, TN]
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    out_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def quant_matmul_int4_pallas(x, qweight, scales, block_m: int = 256,
+                             block_n: int = 512):
+    """x [..., K] @ packed int4 weight [K//2, N] -> [..., N].
+
+    The decode path is HBM-bound on the weight read; keeping the nibbles
+    packed all the way into VMEM reads half the bytes of the int8 path
+    (the reference needs cutlass fpA_intB + interleaved preprocessing for
+    the same effect, kernels/cutlass_kernels/fpA_intB_gemm)."""
+    *lead, k = x.shape
+    n = qweight.shape[1]
+    m = 1
+    for s in lead:
+        m *= s
+    x2 = x.reshape(m, k)
+    tm = min(block_m, _round_up(m, 16))
+    tn = min(block_n, n)
+    m_pad = _round_up(m, tm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // tm, n // tn)
+    out = pl.pallas_call(
+        _kernel_int4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 2, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k * 2 + k * n // 2 + m_pad * n * 2,
+            transcendentals=0,
+        ),
+    )(x2, qweight, scales.reshape(1, n))
+    if m_pad != m:
+        out = out[:m]
+    return out.reshape(*lead, n)
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
 def quant_matmul_pallas(x, qweight, scales, block_m: int = 256,
                         block_n: int = 512):

@@ -41,7 +41,12 @@ def quantize_weights_int8(w) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def quantize_weights_int4(w) -> Tuple[np.ndarray, np.ndarray]:
-    """Symmetric int4: values in [-7, 7], two nibbles packed per int8 along K.
+    """Symmetric int4: values in [-7, 7], two nibbles packed per int8 along
+    K in HALF-SPLIT order — byte i holds rows i (low nibble) and i+K/2
+    (high nibble).  Unpacking is then a concat of two sign-extended planes
+    (no interleave relayout — this is what lets the Pallas kernel unpack in
+    VMEM with plain shifts; the CUDA reference needs its interleaved
+    cutlass_preprocessors layout for the same reason).
     Returns (packed [K//2, N] int8, scales [N] float32).  K must be even."""
     w = np.asarray(w, dtype=np.float32)
     k, n = w.shape
@@ -49,17 +54,17 @@ def quantize_weights_int4(w) -> Tuple[np.ndarray, np.ndarray]:
     amax = np.max(np.abs(w), axis=0)
     scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
     q = np.clip(np.round(w / scales[None, :]), -7, 7).astype(np.int8)
-    lo = q[0::2] & 0xF
-    hi = (q[1::2] & 0xF) << 4
+    lo = q[:k // 2] & 0xF
+    hi = (q[k // 2:] & 0xF) << 4
     return (lo | hi).astype(np.int8), scales
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """[K//2, N] packed -> [K, N] int8 in [-8, 7] (sign-extended nibbles)."""
+    """[K//2, N] packed -> [K, N] int8 in [-8, 7] (sign-extended nibbles,
+    half-split order: low nibbles are rows [0, K/2), high are [K/2, K))."""
     lo = (packed << 4).astype(jnp.int8) >> 4  # arithmetic shift sign-extends
     hi = packed >> 4
-    k2, n = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(k2 * 2, n)
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def weight_only_quant_matmul(x, qweight, scales, bits: int = 8,
@@ -69,10 +74,17 @@ def weight_only_quant_matmul(x, qweight, scales, bits: int = 8,
     ``use_pallas`` selects the fused VMEM-dequant kernel on TPU backends
     (falls back automatically elsewhere).
     """
-    if use_pallas and jax.default_backend() == "tpu" and bits == 8:
+    from .._utils import on_tpu
+    if use_pallas and on_tpu() and bits == 8:
         from .pallas_quant_matmul import quant_matmul_pallas
         return quant_matmul_pallas(x, qweight, scales)
     if bits == 4:
+        if on_tpu():
+            # XLA materialises the unpacked int8 weight per call (write +
+            # re-read = 3x the int4 bytes); the Pallas kernel unpacks
+            # inside VMEM so HBM only ever sees nibbles
+            from .pallas_quant_matmul import quant_matmul_int4_pallas
+            return quant_matmul_int4_pallas(x, qweight, scales)
         qweight = unpack_int4(qweight)
     acc = jnp.matmul(x, qweight.astype(x.dtype),
                      preferred_element_type=jnp.float32)
