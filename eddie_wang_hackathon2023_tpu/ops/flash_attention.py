@@ -76,9 +76,12 @@ def flash_mha(q, k, v, causal: bool = False, scale: Optional[float] = None,
     else:
         segment_ids = None
     lq_p, lk_p = q_p.shape[2], k_p.shape[2]
+    import os
+    bq, bkm, bk = (int(v) for v in os.environ.get(
+        "EWT_FLASH_BLOCKS", "512,512,512").split(","))
     block_sizes = BlockSizes(
-        block_q=min(512, lq_p), block_k_major=min(512, lk_p),
-        block_k=min(512, lk_p), block_b=1)
+        block_q=min(bq, lq_p), block_k_major=min(bkm, lk_p),
+        block_k=min(bk, lk_p), block_b=1)
     out = flash_attention(q_p, k_p, v_p, segment_ids=segment_ids,
                           causal=causal, sm_scale=float(scale),
                           block_sizes=block_sizes)
