@@ -270,3 +270,25 @@ def test_alibi_inplace_matches_concat():
                      sequence_length=jnp.array([7]), cache_write_index=6,
                      use_cache=True)
     assert np.abs(_np(out_p) - _np(out_i)).max() > 1e-3
+
+
+def test_prompt_tuning_embedding():
+    """ref embedding.py:38: ids >= vocab_size gather from the per-task
+    prompt table; normal ids from the vocab table."""
+    from eddie_wang_hackathon2023_tpu.layers import PromptTuningEmbedding
+    rs = np.random.RandomState(9)
+    vocab, hid, task_vocab, n_tasks = 10, 4, 3, 2
+    emb = PromptTuningEmbedding(vocab, hid, dtype="float32")
+    table = rs.randn(vocab, hid).astype(np.float32)
+    emb.weight.value = table
+    ptable = rs.randn(n_tasks * task_vocab, hid).astype(np.float32)
+    # row 0: normal ids; row 1: virtual ids for task 1
+    toks = np.array([[1, 5, 9], [10, 11, 12]], np.int32)
+    tasks = np.array([[0, 0, 0], [1, 1, 1]], np.int32)
+    out = np.asarray(emb(jnp.asarray(toks), jnp.asarray(ptable),
+                         jnp.asarray(tasks), task_vocab))
+    np.testing.assert_allclose(out[0], table[[1, 5, 9]], atol=1e-6)
+    np.testing.assert_allclose(out[1], ptable[[3, 4, 5]], atol=1e-6)
+    # without a prompt table it degrades to a plain embedding
+    np.testing.assert_allclose(np.asarray(emb(jnp.asarray(toks[:1]))),
+                               table[[1, 5, 9]][None], atol=1e-6)
