@@ -80,18 +80,17 @@ def main():
     mel = rs.randn(batch, config.n_mels, 3000).astype(np.float32) * 0.1
 
     def run_once():
-        xa = pipe.get_audio_features(mel)
-        cross = pipe.precompute_cross_kv(xa)
-        tokens, lengths, _, _ = pipe.main_loop(xa, cross)
-        jax.block_until_ready(tokens)
-        return lengths
+        # fused mel->text single-program path (language fixed), incl. the
+        # host-side post-processing the reference's wall time also pays
+        res = pipe.transcribe(mel)
+        return res
 
     t0 = time.time()
-    lengths = run_once()  # compile
+    res = run_once()  # compile
+    steps_run = len(res[0].tokens)
     print(f"[bench] first call (compile): {time.time() - t0:.1f}s; "
-          f"decoded len {int(lengths[0])}", file=sys.stderr)
-    steps_run = int(lengths[0]) - pipe.sample_begin
-    if steps_run < DECODE_TOKENS:
+          f"decoded {steps_run} tokens", file=sys.stderr)
+    if steps_run < DECODE_TOKENS - 2:    # result strips prompt + trailing eot
         print(f"[bench] warning: loop exited early at {steps_run} steps",
               file=sys.stderr)
 

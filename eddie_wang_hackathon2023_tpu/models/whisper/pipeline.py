@@ -143,6 +143,10 @@ class WhisperPipeline:
             partial(self._generate_impl),
             static_argnames=("prompt_len", "max_new"))
         self._detect_fn = jax.jit(self._detect_impl)
+        # fixed-language fast path: mel -> text in ONE program (each extra
+        # dispatch+fetch pays a device round trip — see main_loop note)
+        self._e2e_fn = jax.jit(self._e2e_impl,
+                               static_argnames=("prompt_len", "max_new"))
 
     # -- parameter management ---------------------------------------------
 
@@ -338,6 +342,21 @@ class WhisperPipeline:
         return (final["tokens"], final["cur_len"], final["sum_logprobs"],
                 no_speech_probs)
 
+    def _e2e_impl(self, enc_params, ckv_params, dec_params, mel, init_tokens,
+                  rng, prompt_len: int, max_new: int):
+        """encode -> cross-KV warping -> full generate, one program."""
+        xa = self.encoder.apply(enc_params, mel)
+        cross_kv = self.cross_kv.apply(ckv_params, xa)
+        if self.n_group > 1:
+            if isinstance(cross_kv, tuple):
+                cross_kv = (jnp.repeat(cross_kv[0], self.n_group, axis=1),
+                            cross_kv[1])
+            else:
+                cross_kv = jnp.repeat(cross_kv, self.n_group, axis=1)
+        out = self._generate_impl(dec_params, init_tokens, cross_kv, rng,
+                                  prompt_len, max_new)
+        return out + (xa,)
+
     def _detect_impl(self, dec_params, cross_kv):
         """ref detect_language (decoding.py:703-743): single [sot] step,
         mask to language tokens."""
@@ -483,7 +502,27 @@ class WhisperPipeline:
 
     def transcribe(self, mel, seed: int = 0) -> List[DecodingResult]:
         """Full pipeline for a batch of 30 s mel windows [B, n_mels, 3000]
-        (ref run.py generate():31-63)."""
+        (ref run.py generate():31-63).  With a fixed language the whole
+        mel->tokens path runs as one jitted program."""
+        self._ensure_params()
+        if self.options.language is not None and self.options.task != "lang_id":
+            b = mel.shape[0]
+            init = np.tile(np.asarray(self.initial_tokens, np.int32), (b, 1))
+            if self.n_group > 1:
+                init = np.repeat(init, self.n_group, axis=0)
+            mel_j = jnp.asarray(np.asarray(mel),
+                                dtype=self.encoder.conv1.weight.value.dtype)
+            out = self._e2e_fn(self._params_enc, self._params_ckv,
+                               self._params_dec, mel_j, jnp.asarray(init),
+                               jax.random.PRNGKey(seed),
+                               prompt_len=len(self.initial_tokens),
+                               max_new=self.sample_len)
+            tokens, cur_len, sum_lp, ns = jax.device_get(out[:4])
+            xa = out[4]
+            lengths = np.full((tokens.shape[0],), int(cur_len), np.int32)
+            languages = [self.options.language] * b
+            return self.post_process(tokens, lengths, sum_lp, ns, languages,
+                                     xa)
         xa = self.get_audio_features(mel)
         cross_kv = self.precompute_cross_kv(xa)
         languages, probs = self.detect_language(xa, cross_kv)
