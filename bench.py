@@ -80,8 +80,9 @@ def main():
     mel = rs.randn(batch, config.n_mels, 3000).astype(np.float32) * 0.1
 
     def run_once():
-        # fused mel->text single-program path (language fixed), incl. the
-        # host-side post-processing the reference's wall time also pays
+        # staged path (fused single-program measured slower — see
+        # WhisperPipeline.transcribe docstring), incl. the host-side
+        # post-processing the reference's wall time also pays
         res = pipe.transcribe(mel)
         return res
 

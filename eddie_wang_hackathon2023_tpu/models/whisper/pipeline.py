@@ -500,12 +500,20 @@ class WhisperPipeline:
             ))
         return results
 
-    def transcribe(self, mel, seed: int = 0) -> List[DecodingResult]:
+    def transcribe(self, mel, seed: int = 0,
+                   fused: bool = False) -> List[DecodingResult]:
         """Full pipeline for a batch of 30 s mel windows [B, n_mels, 3000]
-        (ref run.py generate():31-63).  With a fixed language the whole
-        mel->tokens path runs as one jitted program."""
+        (ref run.py generate():31-63).
+
+        ``fused=True`` runs mel->tokens as ONE jitted program (fixed
+        language only).  Measured on v5e it is NOT the default: the saved
+        dispatch round trips (~30 ms) are outweighed by XLA choosing worse
+        intermediate layouts for the cross-KV inside the single program
+        (~+95 ms on large-v2); at a program boundary the cross tensor is
+        materialised in the seq-minor layout the decode loop wants."""
         self._ensure_params()
-        if self.options.language is not None and self.options.task != "lang_id":
+        if fused and self.options.language is not None \
+                and self.options.task != "lang_id":
             b = mel.shape[0]
             init = np.tile(np.asarray(self.initial_tokens, np.int32), (b, 1))
             if self.n_group > 1:
