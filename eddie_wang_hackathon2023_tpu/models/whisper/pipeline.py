@@ -500,8 +500,8 @@ class WhisperPipeline:
             ))
         return results
 
-    def transcribe(self, mel, seed: int = 0,
-                   fused: bool = False) -> List[DecodingResult]:
+    def transcribe(self, mel, seed: int = 0, fused: bool = False,
+                   keep_audio_features: bool = False) -> List[DecodingResult]:
         """Full pipeline for a batch of 30 s mel windows [B, n_mels, 3000]
         (ref run.py generate():31-63).
 
@@ -530,10 +530,13 @@ class WhisperPipeline:
             lengths = np.full((tokens.shape[0],), int(cur_len), np.int32)
             languages = [self.options.language] * b
             return self.post_process(tokens, lengths, sum_lp, ns, languages,
-                                     xa)
+                                     xa if keep_audio_features else None)
         xa = self.get_audio_features(mel)
         cross_kv = self.precompute_cross_kv(xa)
         languages, probs = self.detect_language(xa, cross_kv)
         tokens, lengths, sum_lp, ns = self.main_loop(xa, cross_kv, seed,
                                                      languages=languages)
-        return self.post_process(tokens, lengths, sum_lp, ns, languages, xa)
+        # fetching audio features costs a multi-MB device->host transfer
+        # per call; only pay it when the caller wants them in the results
+        return self.post_process(tokens, lengths, sum_lp, ns, languages,
+                                 xa if keep_audio_features else None)
