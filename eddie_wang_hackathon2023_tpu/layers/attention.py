@@ -359,9 +359,13 @@ class Attention(Module):
             # left-padding -> fused flash attention over the fresh K/V only
             # (the reference's context-FMHA dispatch,
             # gptAttentionCommon.cpp:362 enqueueContext)
+            # (bidirectional prefill excluded: with right-padded prompts the
+            # unmasked flash path would let real tokens attend pad garbage;
+            # the cached path below masks keys by sequence_length)
             if (isinstance(cache_write_index, int) and cache_write_index == 0
                     and q.shape[2] > 1 and attention_start is None
                     and not self.use_int8_kv_cache
+                    and self.attention_mask_type == AttentionMaskType.causal
                     and self.position_embedding_type
                     != PositionEmbeddingType.alibi):
                 ctx = flash_mha(

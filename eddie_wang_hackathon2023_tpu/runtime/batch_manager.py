@@ -158,6 +158,10 @@ class ContinuousBatchingManager:
         self._requests: Dict[int, InferenceRequest] = {}   # queued, by id
         self.slot_request: Dict[int, InferenceRequest] = {}
         self.slot_output: Dict[int, List[int]] = {}
+        # true prompt length per slot — models with needs_context_lengths
+        # (GLM's 2D positions) require it at every step
+        self._needs_ctx = getattr(model, "needs_context_lengths", False)
+        self._ctx_lens = np.zeros((self.B,), np.int32)
 
         self._prefill_fns: Dict[int, Callable] = {}
         self._step_fn = jax.jit(self._step_impl, donate_argnums=(1,))
@@ -169,9 +173,11 @@ class ContinuousBatchingManager:
         returns (first sampled token, cache)."""
         p = tokens.shape[1]
         row_cache = jax.lax.dynamic_slice_in_dim(cache, slot, 1, axis=1)
+        extra = (dict(context_lengths=length[None])
+                 if self._needs_ctx else {})
         logits, row_cache = self.model.apply(
             params, tokens, row_cache, 0, length[None],
-            attention_start=None)
+            attention_start=None, **extra)
         cache = jax.lax.dynamic_update_slice_in_dim(cache, row_cache, slot,
                                                     axis=1)
         # logits at the last VALID position (prompt is right-padded)
@@ -179,12 +185,14 @@ class ContinuousBatchingManager:
         next_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
         return next_tok, cache
 
-    def _step_impl(self, params, cache, last_tokens, lengths, active):
+    def _step_impl(self, params, cache, last_tokens, lengths, active,
+                   ctx_lens=None):
         """One decode step for all slots.  last_tokens [B]; lengths [B] =
         tokens so far; active [B] bool."""
         seqlen = lengths + 1
+        extra = dict(context_lengths=ctx_lens) if self._needs_ctx else {}
         logits, cache = self.model.apply(
-            params, last_tokens[:, None], cache, lengths, seqlen)
+            params, last_tokens[:, None], cache, lengths, seqlen, **extra)
         logits = logits[:, -1].astype(jnp.float32)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(active, next_tok, self.sc.pad_id)
@@ -205,6 +213,7 @@ class ContinuousBatchingManager:
             self.params, self.cache, jnp.asarray(padded),
             jnp.asarray(slot, jnp.int32), jnp.asarray(p, jnp.int32))
         self.sched.on_admitted(slot, p)
+        self._ctx_lens[slot] = p
         self.slot_request[slot] = req
         self.slot_output[slot] = []
         self._push_token(slot, int(next_tok))
@@ -244,7 +253,8 @@ class ContinuousBatchingManager:
             return 0
         next_tok, self.cache = self._step_fn(
             self.params, self.cache, jnp.asarray(last_tokens),
-            jnp.asarray(lengths), jnp.asarray(active))
+            jnp.asarray(lengths), jnp.asarray(active),
+            jnp.asarray(self._ctx_lens))
         next_np = np.asarray(next_tok)
         for slot in range(self.B):
             if active[slot]:

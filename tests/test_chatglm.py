@@ -187,3 +187,36 @@ def test_generation_session_runs_glm(glm):
     lens = np.array([6, 4], np.int32)
     out, seq_lens, _ = sess.decode(ids, lens, max_new_tokens=4)
     assert out.shape == (2, 1, 10)
+
+
+def test_glm_continuous_batching(glm):
+    """GLM under the continuous-batching manager: needs context_lengths at
+    every step; results must match one-at-a-time runs."""
+    _, model, config = glm
+    from eddie_wang_hackathon2023_tpu.runtime.batch_manager import (
+        ContinuousBatchingManager, InferenceRequest)
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import SamplingConfig
+
+    prompts = [[5, 9, 2, 33, 60, 17], [7, 21, 60, 17], [1, 2, 3, 60, 17]]
+
+    def run(max_batch):
+        queue = [InferenceRequest(i, np.asarray(p, np.int32),
+                                  max_new_tokens=5, end_id=0)
+                 for i, p in enumerate(prompts)]
+        out = {}
+        mgr = ContinuousBatchingManager(
+            model, SamplingConfig(end_id=0, pad_id=0),
+            max_batch_size=max_batch, max_seq_len=32,
+            get_inference_requests=lambda n: [queue.pop(0)
+                                              for _ in range(min(n, len(queue)))],
+            send_response=lambda r: out.__setitem__(r.request_id,
+                                                    r.output_ids)
+            if r.finished else None)
+        mgr.run()
+        return out
+
+    batched = run(3)
+    solo = run(1)
+    assert set(batched) == {0, 1, 2}
+    for i in range(3):
+        assert batched[i] == solo[i], (i, batched[i], solo[i])
