@@ -24,6 +24,7 @@ def main():
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--max_batch_size", type=int, default=8)
     p.add_argument("--max_new_tokens", type=int, default=20)
+    p.add_argument("--steps_per_tick", type=int, default=1)
     p.add_argument("--prompt_len", type=int, default=60)
     p.add_argument("--max_seq_len", type=int, default=128)
     p.add_argument("--dtype", default="bfloat16")
@@ -59,6 +60,7 @@ def main():
     mgr = ContinuousBatchingManager(
         model, SamplingConfig(end_id=-1, pad_id=0),
         max_batch_size=args.max_batch_size, max_seq_len=args.max_seq_len,
+        steps_per_tick=args.steps_per_tick,
         get_inference_requests=lambda n: [queue.pop(0)
                                           for _ in range(min(n, len(queue)))],
         send_response=lambda r: done.append(r) if r.finished else None)
@@ -78,6 +80,7 @@ def main():
     dt = time.time() - t0
     toks = sum(len(r.output_ids) for r in done)
     print(f"[BENCHMARK] serve model {args.model} slots {args.max_batch_size} "
+          f"steps_per_tick {args.steps_per_tick} "
           f"requests {len(done)} total_new_tokens {toks} wall_s {dt:.2f} "
           f"req_per_s {len(done) / dt:.2f} tokens_per_sec {toks / dt:.2f} "
           f"scheduler {'native' if mgr.sched.__class__.__name__.startswith('Native') else 'python'}")

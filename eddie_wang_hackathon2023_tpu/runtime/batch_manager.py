@@ -143,11 +143,17 @@ class ContinuousBatchingManager:
                  get_inference_requests: Optional[Callable[[int], List[InferenceRequest]]] = None,
                  send_response: Optional[Callable[[Response], None]] = None,
                  params=None,
-                 native_scheduler: Optional[bool] = None):
+                 native_scheduler: Optional[bool] = None,
+                 steps_per_tick: int = 1):
         self.model = model
         self.sc = sampling_config
         self.B = max_batch_size
         self.S = max_seq_len
+        # tokens generated per scheduler tick: >1 amortises the host round
+        # trip (dominant on remote/tunnelled devices) at the cost of up to
+        # steps_per_tick-1 wasted steps after a slot hits EOT and the same
+        # added admission latency for queued requests
+        self.steps_per_tick = max(1, steps_per_tick)
         self.get_inference_requests = get_inference_requests or (lambda n: [])
         self.send_response = send_response or (lambda r: None)
         self.params = params if params is not None else model.state_dict()
@@ -187,16 +193,24 @@ class ContinuousBatchingManager:
 
     def _step_impl(self, params, cache, last_tokens, lengths, active,
                    ctx_lens=None):
-        """One decode step for all slots.  last_tokens [B]; lengths [B] =
-        tokens so far; active [B] bool."""
-        seqlen = lengths + 1
+        """steps_per_tick decode steps for all slots in one program.
+        last_tokens [B]; lengths [B] = tokens so far; active [B] bool.
+        Returns (tokens [B, steps_per_tick], cache)."""
         extra = dict(context_lengths=ctx_lens) if self._needs_ctx else {}
-        logits, cache = self.model.apply(
-            params, last_tokens[:, None], cache, lengths, seqlen, **extra)
-        logits = logits[:, -1].astype(jnp.float32)
-        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        next_tok = jnp.where(active, next_tok, self.sc.pad_id)
-        return next_tok, cache
+
+        def one(carry, _):
+            cache, toks, lens = carry
+            logits, cache = self.model.apply(
+                params, toks[:, None], cache, lens, lens + 1, **extra)
+            nt = jnp.argmax(logits[:, -1].astype(jnp.float32),
+                            axis=-1).astype(jnp.int32)
+            nt = jnp.where(active, nt, self.sc.pad_id)
+            return (cache, nt, lens + 1), nt
+
+        (cache, _, _), toks = jax.lax.scan(
+            one, (cache, last_tokens, lengths), None,
+            length=self.steps_per_tick)
+        return toks.T, cache
 
     # -- host-side scheduling (delegated to the scheduler backend) ---------
 
@@ -218,7 +232,7 @@ class ContinuousBatchingManager:
         self.slot_output[slot] = []
         self._push_token(slot, int(next_tok))
 
-    def _push_token(self, slot: int, tok: int) -> None:
+    def _push_token(self, slot: int, tok: int) -> int:
         """Account one generated token; the done/stream decision comes from
         the scheduler backend (native C++ when available)."""
         req = self.slot_request[slot]
@@ -232,6 +246,7 @@ class ContinuousBatchingManager:
         elif flags & STREAM:
             self.send_response(Response(req.request_id, [tok],
                                         finished=False))
+        return flags
 
     def step(self) -> int:
         """One scheduler tick: admit new requests into free slots, then one
@@ -255,10 +270,14 @@ class ContinuousBatchingManager:
             self.params, self.cache, jnp.asarray(last_tokens),
             jnp.asarray(lengths), jnp.asarray(active),
             jnp.asarray(self._ctx_lens))
-        next_np = np.asarray(next_tok)
-        for slot in range(self.B):
-            if active[slot]:
-                self._push_token(slot, int(next_np[slot]))
+        next_np = np.asarray(next_tok)                  # [B, steps_per_tick]
+        live = list(active)
+        for k in range(next_np.shape[1]):
+            for slot in range(self.B):
+                if live[slot]:
+                    flags = self._push_token(slot, int(next_np[slot, k]))
+                    if flags & FINISHED:
+                        live[slot] = False
         return self.sched.num_active
 
     def run(self, max_ticks: int = 1_000_000) -> None:
