@@ -74,8 +74,11 @@ def weight_only_quant_matmul(x, qweight, scales, bits: int = 8,
     ``use_pallas`` selects the fused VMEM-dequant kernel on TPU backends
     (falls back automatically elsewhere).
     """
+    import os
+
     from .._utils import on_tpu
-    if use_pallas and on_tpu() and bits == 8:
+    if (use_pallas or os.environ.get("EWT_WOQ_PALLAS") == "1") \
+            and on_tpu() and bits == 8:
         from .pallas_quant_matmul import quant_matmul_pallas
         return quant_matmul_pallas(x, qweight, scales)
     if bits == 4:
