@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...functional import gelu
+from ...functional import gelu, round_half_away
 from ...layers import (Attention, AttentionMaskType, Conv1d, Embedding,
                        LayerNorm, Linear)
 from ...module import Module, stack_parameter_shapes
@@ -172,8 +172,9 @@ class CrossAttnKV(Module):
             if self.int8_output:
                 amax = jnp.max(jnp.abs(kv.astype(jnp.float32)))
                 scale = jnp.maximum(amax, 1e-6) / 127.0
-                q = jnp.clip(jnp.round(kv.astype(jnp.float32) / scale),
-                             -127, 127).astype(jnp.int8)
+                q = jnp.clip(
+                    round_half_away(kv.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
                 return carry, (q, scale)
             return carry, kv
 
