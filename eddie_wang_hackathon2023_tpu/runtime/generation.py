@@ -6,11 +6,17 @@ Counterpart of the reference's ``tensorrt_llm/runtime/generation.py``
 the host: one engine enqueue per token, ping-pong execution contexts for the
 KV buffers, a torch ``DynamicDecodeOp`` for sampling, and a final
 ``gather_tree`` to reconstruct beams.  Here the whole thing — prefill,
-per-step decode, penalties, top-k/top-p sampling or beam search with beam
-reordering, and stop criteria — is one jitted ``lax.while_loop``; the KV
-cache is a donated in-place buffer (no ping-pong copies) and beams are kept
-contiguous by gathering carried state each step (no cache_indirection, no
-gather_tree pass).
+per-step decode, penalties, bad-words bans, top-k/top-p sampling or beam
+search with beam reordering, and stop criteria — is one jitted
+``lax.while_loop``; the KV cache is a donated in-place buffer (no ping-pong
+copies) and beams are kept contiguous by gathering carried state each step
+(no gather_tree pass).
+
+Per-request sampling parameters ride as traced [B] arrays
+(:class:`~.sampling.DecodeParams`), so changing temperatures / penalties /
+ban lists between calls reuses the compiled program.  Prompt lengths are
+bucketed (left-padding; the reference's optimization-profile trick) so
+varied prompts hit a handful of compiles instead of one per length.
 
 Ragged prompts are left-padded; ``attention_start`` masks the pad region
 (replacing the reference's masked_tokens / remove-input-padding machinery).
@@ -25,10 +31,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampling import (SamplingConfig, apply_min_length,
-                       apply_presence_penalty, apply_repetition_penalty,
-                       apply_top_k, apply_top_p, beam_search_step,
-                       finalize_beams, gather_beams)
+from .sampling import (DecodeParams, SamplingConfig, beam_search_step,
+                       dynamic_decode, finalize_beams, gather_beams,
+                       match_stop_words)
+
+PROMPT_BUCKETS = (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
+                  1024, 1536, 2048)
+
+
+def bucket_length(n: int, buckets=PROMPT_BUCKETS) -> int:
+    for s in buckets:
+        if n <= s:
+            return s
+    return n
 
 
 @dataclasses.dataclass
@@ -47,10 +62,12 @@ class GenerationSession:
     """Drives any model with the DecoderLMHead forward contract."""
 
     def __init__(self, model_config: ModelConfig, model,
-                 sampling_config: Optional[SamplingConfig] = None):
+                 sampling_config: Optional[SamplingConfig] = None,
+                 bucket_prompts: bool = True):
         self.model_config = model_config
         self.model = model
         self.sampling_config = sampling_config or SamplingConfig()
+        self.bucket_prompts = bucket_prompts
         self._params = None
         self._decode_fn = jax.jit(
             self._decode_impl,
@@ -62,18 +79,9 @@ class GenerationSession:
 
     # ------------------------------------------------------------------
 
-    def _sample_filters(self, logits, token_counts, cur_lengths):
-        sc = self.sampling_config
-        logits = apply_repetition_penalty(logits, token_counts,
-                                          sc.repetition_penalty)
-        logits = apply_presence_penalty(logits, token_counts,
-                                        sc.presence_penalty)
-        logits = apply_min_length(logits, cur_lengths, sc.min_length,
-                                  sc.end_id)
-        return logits
-
     def _decode_impl(self, params, input_ids, input_lengths, rng,
-                     prompt_len: int, max_new_tokens: int, beam: int):
+                     dparams: DecodeParams, prompt_len: int,
+                     max_new_tokens: int, beam: int):
         """input_ids [B, prompt_len] left-padded int32;
         input_lengths [B] true prompt lengths.
         Returns (tokens [B, beam, total_len], seq_lengths [B, beam],
@@ -107,6 +115,9 @@ class GenerationSession:
         extra_bb = (dict(context_lengths=jnp.repeat(input_lengths, beam, 0)
                          if beam > 1 else input_lengths)
                     if needs_ctx else {})
+        dp = (jax.tree.map(lambda x: jnp.repeat(x, beam, 0), dparams)
+              if beam > 1 else dparams)
+        end_id = dp.end_id                                  # [bb]
 
         tokens_buf = jnp.full((bb, total_len), sc.pad_id, jnp.int32)
         tokens_buf = jax.lax.dynamic_update_slice(
@@ -144,16 +155,16 @@ class GenerationSession:
         def body(s):
             cur = s["cur"]
             gen_len = cur - prompt_len
-            logits = self._sample_filters(
-                s["logits"], s["counts"],
-                jnp.full((bb,), gen_len, jnp.int32))
             rng, sub = jax.random.split(s["rng"])
             if beam > 1:
-                logprobs = jax.nn.log_softmax(
-                    logits.reshape(b, beam, v), axis=-1)
+                lg, _ = _filtered_logits(s["logits"], dp, s["counts"],
+                                         jnp.full((bb,), gen_len, jnp.int32),
+                                         s["tokens"], cur)
+                logprobs = jax.nn.log_softmax(lg.reshape(b, beam, v),
+                                              axis=-1)
                 parent, tok, cum, fin = beam_search_step(
                     logprobs, s["cum_lp"], s["finished"].reshape(b, beam),
-                    beam, sc.end_id, sc.length_penalty)
+                    beam, sc.end_id, sc.length_penalty, cur_len=gen_len)
                 # reorder carried state to follow the surviving beams
                 reordered = gather_beams(
                     dict(tokens=s["tokens"].reshape(b, beam, -1),
@@ -170,27 +181,27 @@ class GenerationSession:
                 next_tok = tok.reshape(bb)
                 finished = fin.reshape(bb)
                 cum_lp = cum
+                tokens = tokens.at[jnp.arange(bb), cur].set(next_tok)
+                if dp.stop_words is not None:
+                    stop = match_stop_words(tokens, cur, dp.stop_words,
+                                            dp.stop_word_lens)
+                    finished = jnp.logical_or(finished, stop)
             else:
-                scaled = logits / jnp.maximum(sc.temperature, 1e-6) \
-                    if sc.temperature not in (0.0, 1.0) else logits
-                if sc.top_k > 1:
-                    scaled = apply_top_k(scaled, sc.top_k)
-                if 0.0 < sc.top_p < 1.0:
-                    scaled = apply_top_p(scaled, sc.top_p)
-                if sc.temperature == 0.0 or (sc.top_k <= 1 and sc.top_p == 0.0):
-                    next_tok = jnp.argmax(scaled, axis=-1).astype(jnp.int32)
-                else:
-                    next_tok = jax.random.categorical(sub, scaled).astype(jnp.int32)
-                lp = jax.nn.log_softmax(logits, axis=-1)[
-                    jnp.arange(bb), next_tok]
+                next_tok, lp = dynamic_decode(
+                    s["logits"], sub, dp, token_counts=s["counts"],
+                    cur_lengths=jnp.full((bb,), gen_len, jnp.int32),
+                    tokens=s["tokens"], cur=cur)
                 cum_lp = s["cum_lp"] + jnp.where(s["finished"], 0.0, lp)
-                next_tok = jnp.where(s["finished"], sc.end_id, next_tok)
+                next_tok = jnp.where(s["finished"], end_id, next_tok)
                 finished = jnp.logical_or(s["finished"],
-                                          next_tok == sc.end_id)
-                tokens = s["tokens"]
+                                          next_tok == end_id)
+                tokens = s["tokens"].at[jnp.arange(bb), cur].set(next_tok)
+                if dp.stop_words is not None:
+                    stop = match_stop_words(tokens, cur, dp.stop_words,
+                                            dp.stop_word_lens)
+                    finished = jnp.logical_or(finished, stop)
                 counts = s["counts"]
                 cache = s["cache"]
-            tokens = tokens.at[jnp.arange(bb), cur].set(next_tok)
             counts = counts + jax.nn.one_hot(next_tok, v, dtype=jnp.int32) * \
                 jnp.logical_not(finished)[:, None]
             step_logits, cache = model.apply(
@@ -206,7 +217,7 @@ class GenerationSession:
         tokens = final["tokens"].reshape(b, beam, total_len)
         # per-sequence length: position of first end_id after the prompt
         gen = tokens[:, :, prompt_len:]
-        is_end = gen == sc.end_id
+        is_end = gen == jnp.reshape(end_id, (b, beam))[..., None]
         any_end = jnp.any(is_end, axis=-1)
         first_end = jnp.argmax(is_end, axis=-1)
         gen_lens = jnp.where(any_end, first_end, max_new_tokens)
@@ -223,24 +234,39 @@ class GenerationSession:
         """ref GenerationSession.decode():782.  input_ids [B, L] LEFT-padded
         (pad with anything; attention_start masks it).
         Returns (output_ids [B, beam, total_len] np, seq_lengths [B, beam],
-        cum_log_probs [B, beam])."""
+        cum_log_probs [B, beam]).  ``total_len = L + max_new_tokens`` — any
+        internal prompt bucketing is sliced back off before returning."""
         if sampling_config is not None:
+            # values ride as traced arrays; jit re-traces only if the
+            # config's *signature* (per-request-ness, word-list shapes,
+            # beam) changes — see SamplingConfig.cache_key
             self.sampling_config = sampling_config
-            self._decode_fn = jax.jit(
-                self._decode_impl,
-                static_argnames=("prompt_len", "max_new_tokens", "beam"))
         if self._params is None:
             self.setup()
-        beam = self.sampling_config.num_beams
+        sc = self.sampling_config
+        beam = sc.num_beams
+        b, in_len = input_ids.shape
+        prompt_len = (bucket_length(in_len) if self.bucket_prompts
+                      else in_len)
+        pad = prompt_len - in_len
+        if pad:
+            input_ids = np.concatenate(
+                [np.full((b, pad), sc.pad_id, input_ids.dtype), input_ids],
+                axis=1)
+        dparams = DecodeParams.from_config(sc, b)
         tokens, lens, cum = self._decode_fn(
             self._params, jnp.asarray(input_ids, jnp.int32),
             jnp.asarray(input_lengths, jnp.int32),
-            jax.random.PRNGKey(seed or self.sampling_config.random_seed),
-            prompt_len=int(input_ids.shape[1]),
+            jax.random.PRNGKey(seed or sc.random_seed),
+            dparams, prompt_len=prompt_len,
             max_new_tokens=max_new_tokens, beam=beam)
         # one batched fetch — per-array transfers each pay a device round
         # trip (severe over remote-device tunnels)
-        return jax.device_get((tokens, lens, cum))
+        tokens, lens, cum = jax.device_get((tokens, lens, cum))
+        if pad:
+            tokens = tokens[:, :, pad:]       # drop bucket left-padding
+            lens = lens - pad
+        return tokens, lens, cum
 
     def best_sequences(self, tokens, seq_lens, cum):
         """Select the top beam per row (gather_tree + ranker equivalent)."""
@@ -250,3 +276,18 @@ class GenerationSession:
         b = tokens.shape[0]
         best_tokens, best = jax.device_get((best_tokens, best))
         return (best_tokens, np.asarray(seq_lens)[np.arange(b), best])
+
+
+def _filtered_logits(logits, dp: DecodeParams, counts, gen_lens, tokens,
+                     cur):
+    """Penalties + min-length + bad-words (the filter half of
+    dynamic_decode) — used by the beam path, which selects tokens itself."""
+    from .sampling import (apply_min_length, apply_presence_penalty,
+                           apply_repetition_penalty, ban_bad_words)
+    logits = apply_repetition_penalty(logits, counts, dp.repetition_penalty)
+    logits = apply_presence_penalty(logits, counts, dp.presence_penalty)
+    logits = apply_min_length(logits, gen_lens, dp.min_length, dp.end_id)
+    if dp.bad_words is not None:
+        logits = ban_bad_words(logits, tokens, cur, dp.bad_words,
+                               dp.bad_word_lens)
+    return logits, None

@@ -156,3 +156,104 @@ class TestKVCacheManager:
         assert (idx[0, 0, :3] >= 0).all() and idx[0, 0, 3] == -1
         mgr.stop(seq)
         assert len(mgr.blocks_manager.free_blocks) == 16
+
+
+# -- per-request sampling / word bans / bucketing (round 2) ------------------
+
+def test_bad_words_never_generated(gpt2):
+    hf, model, mc = gpt2
+    base = GenerationSession(mc, model, SamplingConfig(end_id=96, pad_id=96))
+    prompt = np.array([[5, 11, 17, 23]], dtype=np.int32)
+    toks, lens, _ = base.decode(prompt, np.array([4]), max_new_tokens=12)
+    banned = [int(toks[0, 0, 4 + i]) for i in range(3)]
+    sc = SamplingConfig(end_id=96, pad_id=96,
+                        bad_words_list=[[t] for t in banned])
+    sess = GenerationSession(mc, model, sc)
+    toks2, lens2, _ = sess.decode(prompt, np.array([4]), max_new_tokens=12)
+    gen = toks2[0, 0, 4:lens2[0, 0]]
+    assert not set(banned) & set(int(t) for t in gen)
+
+
+def test_bad_words_multi_token_prefix(gpt2):
+    """Multi-token ban: the banned adjacent pair never appears, while its
+    first token alone remains allowed."""
+    hf, model, mc = gpt2
+    base = GenerationSession(mc, model, SamplingConfig(end_id=96, pad_id=96))
+    prompt = np.array([[5, 11, 17, 23]], dtype=np.int32)
+    toks, lens, _ = base.decode(prompt, np.array([4]), max_new_tokens=12)
+    seq = [int(t) for t in toks[0, 0, :lens[0, 0]]]
+    sc = SamplingConfig(end_id=96, pad_id=96,
+                        bad_words_list=[[seq[4], seq[5]]])
+    sess = GenerationSession(mc, model, sc)
+    toks2, lens2, _ = sess.decode(prompt, np.array([4]), max_new_tokens=12)
+    seq2 = [int(t) for t in toks2[0, 0, :lens2[0, 0]]]
+    assert seq2 != seq                                  # the ban did bite
+    for a, b in zip(seq2, seq2[1:]):
+        assert (a, b) != (seq[4], seq[5])
+
+
+def test_stop_words_terminate(gpt2):
+    """Decode ends exactly at the first occurrence of the stop pair."""
+    hf, model, mc = gpt2
+    base = GenerationSession(mc, model, SamplingConfig(end_id=96, pad_id=96))
+    prompt = np.array([[5, 11, 17, 23]], dtype=np.int32)
+    toks, lens, _ = base.decode(prompt, np.array([4]), max_new_tokens=12)
+    seq = [int(t) for t in toks[0, 0, :lens[0, 0]]]
+    stop = [seq[6], seq[7]]
+    sc = SamplingConfig(end_id=96, pad_id=96, stop_words_list=[stop])
+    sess = GenerationSession(mc, model, sc)
+    toks2, lens2, _ = sess.decode(prompt, np.array([4]), max_new_tokens=12)
+    seq2 = [int(t) for t in toks2[0, 0, :]]
+    # first position c >= first generated index where pair ends at c
+    first = next(c for c in range(4, len(seq))
+                 if seq[c - 1:c + 1] == stop)
+    assert seq2[:first + 1] == seq[:first + 1]          # prefix unchanged
+    assert all(t == 96 for t in seq2[first + 1:])       # then frozen
+
+
+def test_per_request_temperature_row_equivalence(gpt2):
+    """Row 0 greedy + row 1 sampled in one batch == separate decodes."""
+    _, model, mc = gpt2
+    prompts = np.array([[5, 11, 17, 23], [5, 11, 17, 23]], dtype=np.int32)
+    sc = SamplingConfig(end_id=96, pad_id=96,
+                        temperature=[0.0, 0.8], top_k=[1, 5])
+    sess = GenerationSession(mc, model, sc)
+    toks, lens, _ = sess.decode(prompts, np.array([4, 4]), max_new_tokens=8,
+                                seed=3)
+    solo = GenerationSession(mc, model, SamplingConfig(end_id=96, pad_id=96))
+    ref, rlens, _ = solo.decode(prompts[:1], np.array([4]), max_new_tokens=8)
+    np.testing.assert_array_equal(toks[0, 0, :lens[0, 0]],
+                                  ref[0, 0, :rlens[0, 0]])
+
+
+def test_sampling_value_change_does_not_recompile(gpt2):
+    _, model, mc = gpt2
+    sess = GenerationSession(mc, model,
+                             SamplingConfig(end_id=96, pad_id=96,
+                                            temperature=0.9, top_k=4))
+    prompt = np.array([[5, 11, 17, 23]], dtype=np.int32)
+    sess.decode(prompt, np.array([4]), max_new_tokens=8)
+    n0 = sess._decode_fn._cache_size()
+    sess.decode(prompt, np.array([4]),
+                SamplingConfig(end_id=96, pad_id=96, temperature=0.5,
+                               top_k=2), max_new_tokens=8)
+    assert sess._decode_fn._cache_size() == n0     # same program reused
+
+
+def test_prompt_bucketing_token_exact(gpt2):
+    """Bucketed (padded) prompt must decode exactly like the unbucketed."""
+    hf, model, mc = gpt2
+    sc = SamplingConfig(end_id=96, pad_id=96)
+    a = GenerationSession(mc, model, sc, bucket_prompts=True)
+    b = GenerationSession(mc, model, sc, bucket_prompts=False)
+    # length 5 buckets to 8
+    prompt = np.array([[5, 11, 17, 23, 2]], dtype=np.int32)
+    ta, la, _ = a.decode(prompt, np.array([5]), max_new_tokens=8)
+    tb, lb, _ = b.decode(prompt, np.array([5]), max_new_tokens=8)
+    assert ta.shape == tb.shape
+    np.testing.assert_array_equal(ta[0, 0, :la[0, 0]], tb[0, 0, :lb[0, 0]])
+    # two different raw lengths hit the same bucket -> one compile
+    a.decode(np.array([[5, 11, 17]], dtype=np.int32), np.array([3]),
+             max_new_tokens=8)
+    a.decode(np.array([[5, 11, 17, 23, 2, 7]], dtype=np.int32),
+             np.array([6]), max_new_tokens=8)

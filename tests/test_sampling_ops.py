@@ -88,3 +88,108 @@ def test_finalize_beams_gnmt_length_penalty():
     # with a strong penalty favouring length, beam 0 overtakes
     _, best2 = finalize_beams(tokens, cum, lens, 5.0)
     assert int(best2[0]) == 0
+
+
+# -- per-request params / ban & stop words (ref dynamicDecodeLayer.cpp:154,
+# banBadWords.cu, stop-criteria kernels) ------------------------------------
+
+def test_per_row_top_k():
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import apply_top_k
+    logits = jnp.asarray(np.random.RandomState(0).randn(3, 20), jnp.float32)
+    k = jnp.asarray([1, 5, 0], jnp.int32)          # 0 => unfiltered
+    out = np.asarray(apply_top_k(logits, k, max_k=5))
+    assert (out[0] > -np.inf).sum() == 1
+    assert (out[1] > -np.inf).sum() == 5
+    assert (out[2] > -np.inf).sum() == 20
+    # per-row result matches the scalar kernel row-by-row
+    ref1 = np.asarray(apply_top_k(logits[1:2], 5))
+    np.testing.assert_allclose(out[1:2], ref1)
+
+
+def test_per_row_top_p_matches_scalar():
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import apply_top_p
+    logits = jnp.asarray(np.random.RandomState(1).randn(2, 30), jnp.float32)
+    out = np.asarray(apply_top_p(logits, jnp.asarray([0.7, 0.0])))
+    ref = np.asarray(apply_top_p(logits[0:1], 0.7))
+    np.testing.assert_allclose(out[0:1], ref)
+    np.testing.assert_allclose(out[1], np.asarray(logits[1]))  # disabled row
+
+
+def test_ban_bad_words_prefix_semantics():
+    """ref banBadWords.cu: ban word[-1] iff sequence ends with word[:-1]."""
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import (ban_bad_words,
+                                                               pack_words)
+    words, lens = pack_words([[7], [3, 4, 5]])
+    v = 10
+    # row 0 ends ... 3 4 -> ban 5 and always-ban 7; row 1 ends ... 4 3 -> only 7
+    tokens = jnp.asarray([[1, 2, 3, 4, 0], [1, 2, 4, 3, 0]], jnp.int32)
+    logits = jnp.zeros((2, v), jnp.float32)
+    out = np.asarray(ban_bad_words(logits, tokens, jnp.asarray(4), words, lens))
+    assert out[0, 5] == -np.inf and out[0, 7] == -np.inf
+    assert out[1, 5] == 0.0 and out[1, 7] == -np.inf
+    assert (out[0, :5] == 0).all() and out[0, 6] == 0
+
+
+def test_ban_bad_words_prefix_does_not_fit():
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import (ban_bad_words,
+                                                               pack_words)
+    words, lens = pack_words([[3, 4, 5]])
+    tokens = jnp.asarray([[3, 4, 0, 0]], jnp.int32)
+    # cur=1: only one token of history, prefix [3,4] cannot fit
+    out = np.asarray(ban_bad_words(jnp.zeros((1, 10)), tokens,
+                                   jnp.asarray(1), words, lens))
+    assert (out == 0).all()
+
+
+def test_match_stop_words():
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import (
+        match_stop_words, pack_words)
+    words, lens = pack_words([[4, 5], [9]])
+    tokens = jnp.asarray([[1, 4, 5, 0], [1, 2, 9, 0], [1, 4, 6, 0]],
+                         jnp.int32)
+    got = np.asarray(match_stop_words(tokens, jnp.asarray(2), words, lens))
+    np.testing.assert_array_equal(got, [True, True, False])
+
+
+def test_dynamic_decode_mixed_greedy_and_sampled_rows():
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import (DecodeParams,
+                                                               SamplingConfig,
+                                                               dynamic_decode)
+    rs = np.random.RandomState(2)
+    logits = jnp.asarray(rs.randn(4, 50) * 3, jnp.float32)
+    sc = SamplingConfig(temperature=[0.0, 0.9, 0.0, 0.9],
+                        top_k=[1, 8, 1, 8])
+    p = DecodeParams.from_config(sc, 4)
+    assert not p.greedy and p.max_top_k == 8
+    tok, lp = dynamic_decode(logits, jax.random.PRNGKey(0), p)
+    tok = np.asarray(tok)
+    argmax = np.argmax(np.asarray(logits), axis=-1)
+    assert tok[0] == argmax[0] and tok[2] == argmax[2]   # greedy rows
+    # sampled rows stay within their top-k set
+    for r in (1, 3):
+        topk = set(np.argsort(np.asarray(logits[r]))[-8:])
+        assert tok[r] in topk
+
+
+def test_beam_online_length_penalty_changes_ranking():
+    """With a strong length penalty the online ranking must differ from
+    raw-logprob ranking when a short finished beam competes."""
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import beam_search_step
+    v = 6
+    logprobs = jnp.log(jax.nn.softmax(jnp.asarray(
+        [[[3.0, 2.9, 0, 0, 0, -9], [0, 0, 0, 0, 0, -9]]]), axis=-1))
+    cum = jnp.asarray([[-0.1, -4.0]])
+    fin = jnp.zeros((1, 2), bool)
+    p0 = beam_search_step(logprobs, cum, fin, 2, end_id=5,
+                          length_penalty=1.0, cur_len=10)
+    p2 = beam_search_step(logprobs, cum, fin, 2, end_id=5,
+                          length_penalty=1.0)
+    np.testing.assert_array_equal(np.asarray(p0[1]), np.asarray(p2[1]))
+    # penalized selection still returns RAW cum scores for the chosen pair
+    sel = beam_search_step(logprobs, cum, fin, 2, end_id=5,
+                           length_penalty=2.0, cur_len=10)
+    tot = np.asarray(cum)[0][:, None] + np.asarray(logprobs)[0]
+    for bi in range(2):
+        pa, to = int(np.asarray(sel[0])[0, bi]), int(np.asarray(sel[1])[0, bi])
+        np.testing.assert_allclose(np.asarray(sel[2])[0, bi], tot[pa, to],
+                                   rtol=1e-6)
