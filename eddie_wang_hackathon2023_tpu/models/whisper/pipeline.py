@@ -31,6 +31,7 @@ from ...logger import logger
 from ...quantization import QuantMode
 from ..whisper.config import WhisperConfig
 from ..whisper.model import CrossAttnKV, WhisperDecoder, WhisperEncoder
+from ...runtime.sampling import beam_search_step, gather_beams
 from ...text.tokenizer import Tokenizer, get_tokenizer
 
 CHUNK_LENGTH = 30
@@ -114,6 +115,20 @@ class WhisperPipeline:
         self.initial_tokens = self._get_initial_tokens()
         self.sample_begin = len(self.initial_tokens)
         self.sot_index = self.initial_tokens.index(tok.sot)
+        # ref decoding.py _verify_options: beam_size and best_of are
+        # mutually exclusive; best_of needs sampling; patience needs beams
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
+        if options.temperature == 0 and options.best_of is not None:
+            raise ValueError("best_of with greedy sampling is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
+        if options.patience is not None and options.patience != 1.0:
+            raise NotImplementedError(
+                "patience != 1 is not supported (finished beams are kept "
+                "in-beam with frozen scores; extra finished-candidate "
+                "collection is not implemented)")
+        self.beam = options.beam_size or 1     # real beam search (not best_of)
         self.n_group = options.beam_size or options.best_of or 1
 
         # -- static filter tables (host-precomputed, device-resident) -----
@@ -263,9 +278,18 @@ class WhisperPipeline:
     def _generate_impl(self, dec_params, init_tokens, cross_kv, rng,
                        prompt_len: int, max_new: int):
         """init_tokens [B, prompt_len] int32 -> (tokens [B, max_total],
-        lengths [B], sum_logprobs [B], no_speech_probs [B])."""
+        lengths [B], sum_logprobs [B], no_speech_probs [B]).
+
+        With ``options.beam_size`` this runs REAL on-device beam search
+        (ref openai BeamSearchDecoder, decoding.py:274+): rows come in
+        groups of ``beam`` per audio, all beams of a group expand jointly
+        by cumulative logprob, carried state (tokens, KV cache, timestamp
+        filter state) is reordered by parent each step, finished beams
+        propagate frozen EOS continuations, and the final group ranking is
+        the shared MaximumLikelihoodRanker in post_process."""
         tok = self.tokenizer
         b = init_tokens.shape[0]
+        beam = self.beam
         c = self.config
         max_total = prompt_len + max_new
         ts_begin = tok.timestamp_begin
@@ -299,6 +323,14 @@ class WhisperPipeline:
             has_ts=jnp.zeros((b,), jnp.bool_),
             rng=rng,
         )
+        if beam > 1:
+            # rows arrive pre-tiled in groups of `beam`; before the first
+            # expansion only beam 0 of each group may win (all beams are
+            # identical copies of the prefill), so the rest start at -inf
+            assert b % beam == 0
+            mask0 = (jnp.arange(b) % beam) != 0
+            init_state["sum_logprobs"] = jnp.where(mask0, -1e9, 0.0)
+        ng = b // beam
 
         def cond(s):
             return jnp.logical_and(s["cur_len"] < max_total,
@@ -311,28 +343,66 @@ class WhisperPipeline:
             penult_tok = s["tokens"][bidx, cur - 2]
             logits = self._apply_filters(s["logits"], cur, last_tok,
                                          penult_tok, s["last_ts"], s["has_ts"])
-            if self.options.temperature == 0:
-                next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if beam > 1:
+                # ref BeamSearchDecoder.update: joint expansion of each
+                # group's beams by cumulative logprob, frozen-EOS carry
+                logprobs = jax.nn.log_softmax(logits, axis=-1)
+                parent, tok_b, cum, fin = beam_search_step(
+                    logprobs.reshape(ng, beam, -1),
+                    s["sum_logprobs"].reshape(ng, beam),
+                    s["finished"].reshape(ng, beam), beam, tok.eot)
+                cache_g = jnp.moveaxis(
+                    s["cache"].reshape(s["cache"].shape[0], ng, beam,
+                                       *s["cache"].shape[2:]), 0, 2)
+                reord = gather_beams(
+                    dict(tokens=s["tokens"].reshape(ng, beam, -1),
+                         last_ts=s["last_ts"].reshape(ng, beam),
+                         has_ts=s["has_ts"].reshape(ng, beam),
+                         cache=cache_g),
+                    parent)
+                tokens = reord["tokens"].reshape(b, -1)
+                last_ts_p = reord["last_ts"].reshape(b)
+                has_ts_p = reord["has_ts"].reshape(b)
+                cache_in = jnp.moveaxis(reord["cache"], 2, 0).reshape(
+                    s["cache"].shape)
+                next_tok = tok_b.reshape(b)
+                was_finished = jnp.take_along_axis(
+                    s["finished"].reshape(ng, beam), parent, axis=1
+                ).reshape(b)
+                finished = fin.reshape(b)
+                sum_lp = cum.reshape(b)
+                next_tok = jnp.where(was_finished, tok.eot, next_tok)
                 rng = s["rng"]
             else:
-                rng, sub = jax.random.split(s["rng"])
-                next_tok = jax.random.categorical(
-                    sub, logits / self.options.temperature).astype(jnp.int32)
-            logprobs = jax.nn.log_softmax(logits, axis=-1)
-            cur_lp = logprobs[bidx, next_tok]
-            # ref GreedyDecoder.update: accumulate while previous != eot,
-            # and freeze token to eot once finished
-            sum_lp = s["sum_logprobs"] + jnp.where(s["finished"], 0.0, cur_lp)
-            next_tok = jnp.where(s["finished"], tok.eot, next_tok)
+                if self.options.temperature == 0:
+                    next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    rng = s["rng"]
+                else:
+                    rng, sub = jax.random.split(s["rng"])
+                    next_tok = jax.random.categorical(
+                        sub,
+                        logits / self.options.temperature).astype(jnp.int32)
+                logprobs = jax.nn.log_softmax(logits, axis=-1)
+                cur_lp = logprobs[bidx, next_tok]
+                # ref GreedyDecoder.update: accumulate while previous !=
+                # eot, and freeze token to eot once finished
+                sum_lp = s["sum_logprobs"] + jnp.where(s["finished"], 0.0,
+                                                       cur_lp)
+                next_tok = jnp.where(s["finished"], tok.eot, next_tok)
+                was_finished = s["finished"]
+                finished = jnp.logical_or(s["finished"], next_tok == tok.eot)
+                tokens = s["tokens"]
+                last_ts_p = s["last_ts"]
+                has_ts_p = s["has_ts"]
+                cache_in = s["cache"]
             is_ts = next_tok >= ts_begin
-            live_ts = jnp.logical_and(is_ts, jnp.logical_not(s["finished"]))
-            last_ts = jnp.where(live_ts, next_tok, s["last_ts"])
-            has_ts = jnp.logical_or(s["has_ts"], live_ts)
-            tokens = s["tokens"].at[bidx, cur].set(next_tok)
-            finished = jnp.logical_or(s["finished"], next_tok == tok.eot)
+            live_ts = jnp.logical_and(is_ts, jnp.logical_not(was_finished))
+            last_ts = jnp.where(live_ts, next_tok, last_ts_p)
+            has_ts = jnp.logical_or(has_ts_p, live_ts)
+            tokens = tokens.at[bidx, cur].set(next_tok)
             # next decode step
             seqlen = jnp.full((b,), cur + 1, jnp.int32)
-            step_logits, cache = dec(next_tok[:, None], s["cache"], cur, seqlen)
+            step_logits, cache = dec(next_tok[:, None], cache_in, cur, seqlen)
             return dict(logits=step_logits[:, -1].astype(jnp.float32),
                         tokens=tokens, cur_len=cur + 1, cache=cache,
                         sum_logprobs=sum_lp, finished=finished,

@@ -189,3 +189,58 @@ def test_best_of_sampling_groups(pipeline, features):
     ck = pipe.precompute_cross_kv(xa)
     tokens, lengths, lps, ns = pipe.main_loop(xa, ck, seed=0)
     assert tokens.shape[0] == mel.shape[0] * 3
+
+
+def test_beam_search_real(pipeline, features):
+    """beam_size runs REAL beam search: the winning trajectory's cumulative
+    logprob must be >= the greedy trajectory's (beam explores a superset),
+    and the beams within a group must not all be identical greedy copies
+    unless beam search provably collapses to greedy."""
+    mel, _ = features
+    pipe = WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                           pipeline.cross_kv,
+                           DecodingOptions(language="en", sample_len=8,
+                                           beam_size=3))
+    pipe.bind_params()
+    xa = pipe.get_audio_features(mel)
+    ck = pipe.precompute_cross_kv(xa)
+    tokens, lengths, lps, ns = pipe.main_loop(xa, ck)
+    assert tokens.shape[0] == mel.shape[0] * 3
+    # greedy baseline
+    g = WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                        pipeline.cross_kv,
+                        DecodingOptions(language="en", sample_len=8))
+    g.bind_params()
+    gt, gl, glp, _ = g.main_loop(xa, None)
+    ng = mel.shape[0]
+    lps = np.asarray(lps).reshape(ng, 3)
+    for i in range(ng):
+        assert lps[i].max() >= float(np.asarray(glp)[i]) - 1e-4
+    # beams are distinct trajectories (not n identical greedy copies)
+    t = np.asarray(tokens).reshape(ng, 3, -1)
+    distinct = any(not np.array_equal(t[i, 0], t[i, j])
+                   for i in range(ng) for j in (1, 2))
+    assert distinct or np.allclose(lps[:, 0:1], lps), \
+        "beams identical but scores differ -> degenerate best_of path"
+
+
+def test_beam_options_validation(pipeline):
+    with pytest.raises(ValueError):
+        WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                        pipeline.cross_kv,
+                        DecodingOptions(language="en", beam_size=2,
+                                        best_of=2))
+    with pytest.raises(ValueError):
+        WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                        pipeline.cross_kv,
+                        DecodingOptions(language="en", temperature=0.0,
+                                        best_of=2))
+    with pytest.raises(ValueError):
+        WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                        pipeline.cross_kv,
+                        DecodingOptions(language="en", patience=2.0))
+    with pytest.raises(NotImplementedError):
+        WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                        pipeline.cross_kv,
+                        DecodingOptions(language="en", beam_size=2,
+                                        patience=2.0))
