@@ -4,7 +4,10 @@ gptManagerBenchmark): saturated request queue through
 ContinuousBatchingManager, reports request and token throughput.
 
   python benchmarks/serve_bench.py -m gpt_125m --requests 64 \
-      --max_batch_size 8 --device cpu
+      --max_batch_size 8 --device cpu [--paged] [--top_p 0.9] [--matrix]
+
+--matrix sweeps (dense|paged) x (greedy|top-p) and prints one [BENCHMARK]
+line per cell (the serving capability/perf grid).
 """
 import argparse
 import sys
@@ -29,6 +32,13 @@ def main():
     p.add_argument("--max_seq_len", type=int, default=128)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--paged", action="store_true",
+                   help="block-paged KV pool instead of dense slot cache")
+    p.add_argument("--tokens_per_block", type=int, default=32)
+    p.add_argument("--top_p", type=float, default=0.0,
+                   help=">0: nucleus sampling at temperature 0.8")
+    p.add_argument("--matrix", action="store_true",
+                   help="sweep (dense|paged) x (greedy|top_p=0.9)")
     args = p.parse_args()
 
     import jax
@@ -50,6 +60,19 @@ def main():
     model = DecoderLMHead(config)
     model.zeros_init()
 
+    cells = ([(pg, tp) for pg in (False, True) for tp in (0.0, 0.9)]
+             if args.matrix else [(args.paged, args.top_p)])
+    for paged, top_p in cells:
+        run_cell(args, model, vocab, paged, top_p)
+
+
+def run_cell(args, model, vocab, paged, top_p):
+    import numpy as np
+    import time
+    from eddie_wang_hackathon2023_tpu.runtime.batch_manager import (
+        ContinuousBatchingManager, InferenceRequest)
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import SamplingConfig
+
     rs = np.random.RandomState(0)
     queue = [InferenceRequest(i,
                               rs.randint(0, vocab,
@@ -57,10 +80,13 @@ def main():
                               max_new_tokens=args.max_new_tokens, end_id=-1)
              for i in range(args.requests)]
     done = []
+    sc = (SamplingConfig(end_id=-1, pad_id=0, temperature=0.8, top_p=top_p)
+          if top_p > 0 else SamplingConfig(end_id=-1, pad_id=0))
     mgr = ContinuousBatchingManager(
-        model, SamplingConfig(end_id=-1, pad_id=0),
+        model, sc,
         max_batch_size=args.max_batch_size, max_seq_len=args.max_seq_len,
         steps_per_tick=args.steps_per_tick,
+        paged=paged, tokens_per_block=args.tokens_per_block,
         get_inference_requests=lambda n: [queue.pop(0)
                                           for _ in range(min(n, len(queue)))],
         send_response=lambda r: done.append(r) if r.finished else None)
@@ -80,6 +106,8 @@ def main():
     dt = time.time() - t0
     toks = sum(len(r.output_ids) for r in done)
     print(f"[BENCHMARK] serve model {args.model} slots {args.max_batch_size} "
+          f"kv {'paged' if paged else 'dense'} "
+          f"sampling {'top_p' + str(top_p) if top_p > 0 else 'greedy'} "
           f"steps_per_tick {args.steps_per_tick} "
           f"requests {len(done)} total_new_tokens {toks} wall_s {dt:.2f} "
           f"req_per_s {len(done) / dt:.2f} tokens_per_sec {toks / dt:.2f} "

@@ -318,6 +318,39 @@ class Attention(Module):
                      if self.use_int8_kv_cache else None)
             kv_qo = (self.kv_quant_orig_scale.value
                      if self.use_int8_kv_cache else None)
+            # ---- block-paged mode (ref paged_kv_cache attention,
+            # D/gpt_attention.md:168-200): pool + block tables instead of a
+            # dense per-slot cache; writes scatter through the tables ----
+            from ..ops.paged_attention import PagedKV
+            if isinstance(past_key_value, PagedKV):
+                from ..ops.paged_attention import (paged_append_kv,
+                                                   paged_decode_attention,
+                                                   paged_prefill)
+                pk = past_key_value
+                if q.shape[2] == 1:
+                    # generation phase: scatter one token, gather by table
+                    pool = paged_append_kv(
+                        pk.pool, k, v, pk.block_table,
+                        jnp.asarray(cache_write_index, jnp.int32).reshape(-1),
+                        kv_orig_quant_scale=kv_oq, layer_idx=pk.layer_idx)
+                    pool_l = jax.lax.dynamic_index_in_dim(
+                        pool, pk.layer_idx, 0, keepdims=False)
+                    ctx = paged_decode_attention(
+                        q, pool_l, pk.block_table, sequence_length,
+                        scale=self.scale, kv_quant_orig_scale=kv_qo)
+                else:
+                    # context phase (admission prefill from position 0):
+                    # paged store + attention over the contiguous fresh KV
+                    # (the reference's context FMHA reads unpaged QKV)
+                    pool = paged_prefill(pk.pool, k, v, pk.block_table,
+                                         kv_orig_quant_scale=kv_oq,
+                                         layer_idx=pk.layer_idx)
+                    assert self.attention_mask_type == AttentionMaskType.causal
+                    ctx = multihead_attention(
+                        q, k, v, bias=causal_bias(q.shape[2], k.shape[2]),
+                        scale=self.scale)
+                out = self.dense(self._merge_heads(ctx))
+                return (out, pool) if use_cache else out
             # stacked-cache mode: (full [n_layer,...] cache, layer_idx) —
             # write only the fresh token(s) into the carried buffer and
             # read this layer's view for the attention (avoids the

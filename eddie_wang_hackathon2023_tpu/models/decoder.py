@@ -170,6 +170,16 @@ class DecoderLMHead(Module):
         per_layer = self.blocks.attention.new_kv_cache(batch, max_len)
         return jnp.zeros((c.num_layers,) + per_layer.shape, per_layer.dtype)
 
+    def new_paged_pool(self, num_blocks: int, tokens_per_block: int):
+        """Stacked block pool [L, N, 2, Hkv, T, D] for paged serving
+        (ref paged_kv_cache mode, D/gpt_attention.md:168-200)."""
+        from ..ops.paged_attention import new_block_pool
+        c = self.config
+        dtype = self.blocks.attention.new_kv_cache(1, 1).dtype
+        return new_block_pool(num_blocks, c.num_kv_heads, tokens_per_block,
+                              c.head_dim, dtype=dtype,
+                              num_layers=c.num_layers)
+
     @property
     def needs_context_lengths(self) -> bool:
         """GLM's 2D positions depend on the original prompt length, which the
@@ -224,7 +234,28 @@ class DecoderLMHead(Module):
         # one batched store after the scan (see ops.attention.
         # append_kv_stacked / write_fresh_kv for the profiling story).
         layer_ids = jnp.arange(c.num_layers, dtype=jnp.int32)
-        if l == 1 and c.position_embedding != "alibi":
+        from ..ops.paged_attention import PagedCacheState, PagedKV
+        if isinstance(kv_cache, PagedCacheState):
+            # block-paged serving path: the pool rides the scan; each layer
+            # scatters its K/V through the block tables
+            table = kv_cache.block_table
+
+            def step2(carry, scanned):
+                h, pool = carry
+                layer_params, li = scanned
+                h, pool = block.apply(
+                    dict(layer_params), h,
+                    kv_cache=PagedKV(pool, table, li),
+                    write_index=write_index,
+                    sequence_length=sequence_length,
+                    attention_start=attention_start,
+                    position_ids=position_ids)
+                return (h, pool), None
+
+            (x, pool), _ = jax.lax.scan(step2, (x, kv_cache.pool),
+                                        (stacked, layer_ids))
+            new_kv = PagedCacheState(pool, table)
+        elif l == 1 and c.position_embedding != "alibi":
             def step(h, scanned):
                 layer_params, li = scanned
                 h, fresh = block.apply(

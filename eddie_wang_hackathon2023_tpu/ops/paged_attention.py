@@ -15,6 +15,7 @@ native.batch_runtime.NativeKVCacheManager (C++), shape [B, max_blocks],
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -23,23 +24,54 @@ import jax.numpy as jnp
 from ..functional import round_half_away
 
 
+@dataclasses.dataclass(frozen=True)
+class PagedKV:
+    """Per-attention-call paged-cache bundle threaded through a layer scan:
+    the full stacked pool [L, N, 2, H, T, D], the batch's block tables
+    [B, max_blocks] (int32, -1 padded) and the scanned layer index."""
+    pool: jnp.ndarray
+    block_table: jnp.ndarray
+    layer_idx: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    PagedKV, data_fields=["pool", "block_table", "layer_idx"],
+    meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedCacheState:
+    """The serving runtime's cache argument in paged mode (replaces the
+    dense stacked [L, B, 2, H, D, S] array): one pool tensor + the current
+    block tables.  ref D/gpt_attention.md:168-200 paged_kv_cache."""
+    pool: jnp.ndarray            # [L, N, 2, H, T, D]
+    block_table: jnp.ndarray     # [B, max_blocks] int32
+
+
+jax.tree_util.register_dataclass(
+    PagedCacheState, data_fields=["pool", "block_table"], meta_fields=[])
+
+
 def new_block_pool(num_blocks: int, num_kv_heads: int, tokens_per_block: int,
-                   head_dim: int, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return jnp.zeros((num_blocks, 2, num_kv_heads, tokens_per_block,
-                      head_dim), dtype)
+                   head_dim: int, dtype=jnp.bfloat16,
+                   num_layers: Optional[int] = None) -> jnp.ndarray:
+    shape = (num_blocks, 2, num_kv_heads, tokens_per_block, head_dim)
+    if num_layers is not None:
+        shape = (num_layers,) + shape
+    return jnp.zeros(shape, dtype)
 
 
 def paged_append_kv(pool, k_new, v_new, block_table, write_pos,
-                    kv_orig_quant_scale=None) -> jnp.ndarray:
+                    kv_orig_quant_scale=None, layer_idx=None) -> jnp.ndarray:
     """Scatter one new token's K/V per sequence into the pool (in place
     under jit via donation).
 
-    pool        [N, 2, H, T, D]
+    pool        [N, 2, H, T, D] (or [L, N, 2, H, T, D] with ``layer_idx``)
     k_new/v_new [B, H, 1, D]  (decode step)
     block_table [B, max_blocks] int32
     write_pos   [B] int32 — token position this write lands at.
     """
-    n, _, h, t, d = pool.shape
+    n, _, h, t, d = pool.shape[-5:]
     kv = jnp.stack([k_new[:, :, 0], v_new[:, :, 0]], axis=1)  # [B,2,H,D]
     if pool.dtype == jnp.int8:
         assert kv_orig_quant_scale is not None
@@ -54,6 +86,9 @@ def paged_append_kv(pool, k_new, v_new, block_table, write_pos,
     # unallocated table slots (-1) become out-of-range indices and the
     # scatter drops them — no masking read, no write hazard
     block_of = jnp.where(block_of >= 0, block_of, n)
+    if layer_idx is not None:
+        return pool.at[layer_idx, block_of, :, :, offset].set(kv,
+                                                              mode="drop")
     return pool.at[block_of, :, :, offset].set(kv, mode="drop")
 
 
@@ -95,16 +130,18 @@ def paged_decode_attention(q, pool, block_table, seq_len,
     return ctx.astype(q.dtype)
 
 
-def paged_prefill(pool, k, v, block_table, kv_orig_quant_scale=None):
+def paged_prefill(pool, k, v, block_table, kv_orig_quant_scale=None,
+                  layer_idx=None):
     """Write a whole prompt's K/V into the pool (context phase).
 
     k/v [B, H, P, D]; block_table [B, max_blocks]; positions 0..P-1.
+    pool [N, 2, H, T, D] or stacked [L, N, 2, H, T, D] with ``layer_idx``.
     The prompt attention itself runs on the contiguous fresh K/V (flash
     path) — only the cache write is paged, mirroring the reference where
     the context FMHA reads the unpaged QKV and the kernel stores to blocks.
     """
     b, h, p, d = k.shape
-    n, _, hk, t, _ = pool.shape
+    n, _, hk, t, _ = pool.shape[-5:]
     kv = jnp.stack([k, v], axis=1)  # [B,2,H,P,D]
     if pool.dtype == jnp.int8:
         assert kv_orig_quant_scale is not None
@@ -122,4 +159,6 @@ def paged_prefill(pool, k, v, block_table, kv_orig_quant_scale=None):
     bidx = block_idx.reshape(-1)                       # [B*P]
     oidx = jnp.tile(offset, b)                         # [B*P]
     upd = kv.transpose(0, 3, 1, 2, 4).reshape(b * p, 2, h, d)
+    if layer_idx is not None:
+        return pool.at[layer_idx, bidx, :, :, oidx].set(upd, mode="drop")
     return pool.at[bidx, :, :, oidx].set(upd, mode="drop")

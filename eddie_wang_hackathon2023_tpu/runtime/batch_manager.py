@@ -6,14 +6,24 @@ pre-built static lib — plus the IFB attention plugin and
 ``D/in_flight_batching.md``): requests enter and leave the running batch
 between decode steps, without draining it.
 
-TPU-native shape: a fixed pool of B slots over one preallocated KV cache
-[n_layer, B, 2, H, S_max, D].  Admission runs a bucketed-length prefill
-that writes the prompt's KV into the slot (per-row write positions via the
-vmapped cache update in ops/attention.append_kv); every scheduler tick then
-runs ONE jitted decode step over all slots with per-slot lengths and
-active masks.  Finished slots are freed and refilled.  All shapes are
-static => exactly two compiled programs per prompt bucket (prefill) + one
-step program, reused forever.
+TPU-native shape: a fixed pool of B slots over one preallocated KV cache —
+either a dense [n_layer, B, 2, H, S_max, D] slot cache or (``paged=True``)
+a block pool [n_layer, N, 2, H, T, D] addressed through per-slot block
+tables from the (python or native C++) KV cache manager, the reference's
+paged_kv_cache mode (D/gpt_attention.md:168-200).  Admission runs a
+bucketed-length prefill that writes the prompt's KV into the slot; every
+scheduler tick then runs ONE jitted decode step over all slots with
+per-slot lengths and active masks.  All shapes are static => exactly two
+compiled programs per prompt bucket (prefill) + one step program, reused
+forever.
+
+Sampling is first-class (ref GptManager serving arbitrary per-request
+SamplingConfig): each slot carries its request's temperature / top-k /
+top-p / penalties / min-length / end-id and bad-words list as rows of
+traced device arrays consumed by :func:`~.sampling.dynamic_decode` inside
+the jitted step — values change per request, the compiled program doesn't.
+Per-request stop-words are enforced host-side at push time (exact
+semantics, any list shape).
 
 API mirrors the reference's callback design (GetInferenceRequestsCallback /
 SendResponseCallback, ref callbacks.h).
@@ -27,7 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampling import SamplingConfig
+from .kv_cache_manager import GenerationSequence, KVCacheManager
+from .sampling import DecodeParams, SamplingConfig, dynamic_decode
 
 
 @dataclasses.dataclass
@@ -38,6 +49,9 @@ class InferenceRequest:
     max_new_tokens: int = 64
     end_id: Optional[int] = None
     streaming: bool = False
+    # per-request sampling overrides (ref GptManager.h:48 per-entry
+    # SamplingConfig); None => the manager's config
+    sampling: Optional[SamplingConfig] = None
 
 
 @dataclasses.dataclass
@@ -144,7 +158,13 @@ class ContinuousBatchingManager:
                  send_response: Optional[Callable[[Response], None]] = None,
                  params=None,
                  native_scheduler: Optional[bool] = None,
-                 steps_per_tick: int = 1):
+                 steps_per_tick: int = 1,
+                 paged: bool = False,
+                 tokens_per_block: int = 32,
+                 num_blocks: Optional[int] = None,
+                 max_top_k: int = 64,
+                 max_bad_words: int = 4,
+                 max_bad_word_len: int = 4):
         self.model = model
         self.sc = sampling_config
         self.B = max_batch_size
@@ -157,9 +177,25 @@ class ContinuousBatchingManager:
         self.get_inference_requests = get_inference_requests or (lambda n: [])
         self.send_response = send_response or (lambda r: None)
         self.params = params if params is not None else model.state_dict()
+        self.paged = paged
+        self.tokens_per_block = tokens_per_block
+        self.max_blocks_per_seq = -(-self.S // tokens_per_block)
+        self.max_top_k = max_top_k
 
-        self.cache = model.new_kv_cache(self.B, self.S)
-        self.sched = make_scheduler(self.B, self.S, self.sc.end_id,
+        if paged:
+            nb = num_blocks or self.B * self.max_blocks_per_seq
+            self.num_blocks = nb
+            self.pool = model.new_paged_pool(nb, tokens_per_block)
+            self.kvman = KVCacheManager(
+                num_layers=self.pool.shape[0], num_blocks=nb,
+                tokens_per_block=tokens_per_block,
+                max_blocks_per_seq=self.max_blocks_per_seq)
+            self._kv_seqs: Dict[int, GenerationSequence] = {}   # slot -> seq
+            self._seq_counter = 0
+            self.cache = None
+        else:
+            self.cache = model.new_kv_cache(self.B, self.S)
+        self.sched = make_scheduler(self.B, self.S, _scalar(self.sc.end_id),
                                     native_scheduler)
         self._requests: Dict[int, InferenceRequest] = {}   # queued, by id
         self.slot_request: Dict[int, InferenceRequest] = {}
@@ -169,76 +205,258 @@ class ContinuousBatchingManager:
         self._needs_ctx = getattr(model, "needs_context_lengths", False)
         self._ctx_lens = np.zeros((self.B,), np.int32)
 
+        # -- per-slot sampling state (host mirrors of the traced arrays) --
+        v = model.config.vocab_size
+        self._vocab = v
+        sc = self.sc
+        self._temp = np.full((self.B,), _scalar(sc.temperature), np.float32)
+        self._topk = np.full((self.B,), _scalar(sc.top_k), np.int32)
+        self._topp = np.full((self.B,), _scalar(sc.top_p), np.float32)
+        self._rep = np.full((self.B,), _scalar(sc.repetition_penalty),
+                            np.float32)
+        self._pres = np.full((self.B,), _scalar(sc.presence_penalty),
+                             np.float32)
+        self._minlen = np.full((self.B,), _scalar(sc.min_length), np.int32)
+        self._end_ids = np.full((self.B,), _scalar(sc.end_id), np.int32)
+        self._seeds = np.zeros((self.B,), np.int64)
+        self.NW, self.MW = max_bad_words, max_bad_word_len
+        self._bad_words = np.zeros((self.B, self.NW, self.MW), np.int32)
+        self._bad_lens = np.zeros((self.B, self.NW), np.int32)
+        self._stop_words: Dict[int, List[List[int]]] = {}
+        self._tail_len = max(self.MW - 1, 1)
+        # device-resident penalty counts + ban-window tail, carried through
+        # the jitted programs (never round-tripped to host)
+        self._counts = jnp.zeros((self.B, v), jnp.int32)
+        self._tail = jnp.full((self.B, self._tail_len), -1, jnp.int32)
+        self._base_key = jax.random.PRNGKey(_scalar(sc.random_seed))
+        self._tick = 0
+
         self._prefill_fns: Dict[int, Callable] = {}
-        self._step_fn = jax.jit(self._step_impl, donate_argnums=(1,))
+        self._step_fn = jax.jit(self._step_impl,
+                                donate_argnums=(1, 3, 4))
 
     # -- jitted programs ---------------------------------------------------
 
-    def _prefill_impl(self, params, cache, tokens, slot, length):
+    def _decode_params(self, batch: int) -> DecodeParams:
+        return DecodeParams(
+            temperature=jnp.asarray(self._temp[:batch]),
+            top_k=jnp.asarray(self._topk[:batch]),
+            top_p=jnp.asarray(self._topp[:batch]),
+            repetition_penalty=jnp.asarray(self._rep[:batch]),
+            presence_penalty=jnp.asarray(self._pres[:batch]),
+            min_length=jnp.asarray(self._minlen[:batch]),
+            end_id=jnp.asarray(self._end_ids[:batch]),
+            bad_words=jnp.asarray(self._bad_words[:batch]),
+            bad_word_lens=jnp.asarray(self._bad_lens[:batch]),
+            max_top_k=self.max_top_k, greedy=False)
+
+    def _slot_params(self, slot: int) -> DecodeParams:
+        return DecodeParams(
+            temperature=jnp.asarray(self._temp[slot:slot + 1]),
+            top_k=jnp.asarray(self._topk[slot:slot + 1]),
+            top_p=jnp.asarray(self._topp[slot:slot + 1]),
+            repetition_penalty=jnp.asarray(self._rep[slot:slot + 1]),
+            presence_penalty=jnp.asarray(self._pres[slot:slot + 1]),
+            min_length=jnp.asarray(self._minlen[slot:slot + 1]),
+            end_id=jnp.asarray(self._end_ids[slot:slot + 1]),
+            bad_words=jnp.asarray(self._bad_words[slot:slot + 1]),
+            bad_word_lens=jnp.asarray(self._bad_lens[slot:slot + 1]),
+            max_top_k=self.max_top_k, greedy=False)
+
+    def _prefill_impl(self, params, cache, table, counts, tail, tokens,
+                      slot, length, dp_row, rng):
         """tokens [1, P] (right-padded to bucket); writes KV at slot,
-        returns (first sampled token, cache)."""
-        p = tokens.shape[1]
-        row_cache = jax.lax.dynamic_slice_in_dim(cache, slot, 1, axis=1)
+        seeds the slot's penalty counts and ban tail, samples the first
+        token.  Returns (first token, cache, counts, tail)."""
+        v = self._vocab
         extra = (dict(context_lengths=length[None])
                  if self._needs_ctx else {})
-        logits, row_cache = self.model.apply(
-            params, tokens, row_cache, 0, length[None],
-            attention_start=None, **extra)
-        cache = jax.lax.dynamic_update_slice_in_dim(cache, row_cache, slot,
-                                                    axis=1)
+        if self.paged:
+            from ..ops.paged_attention import PagedCacheState
+            logits, state = self.model.apply(
+                params, tokens, PagedCacheState(cache, table), 0,
+                length[None], attention_start=None, **extra)
+            new_cache = state.pool
+        else:
+            row_cache = jax.lax.dynamic_slice_in_dim(cache, slot, 1, axis=1)
+            logits, row_cache = self.model.apply(
+                params, tokens, row_cache, 0, length[None],
+                attention_start=None, **extra)
+            new_cache = jax.lax.dynamic_update_slice_in_dim(
+                cache, row_cache, slot, axis=1)
+        # prompt token counts (penalties scan the full history)
+        p = tokens.shape[1]
+        oh = jax.nn.one_hot(tokens[0], v, dtype=jnp.int32)
+        valid = (jnp.arange(p) < length)[:, None]
+        counts = counts.at[slot].set(jnp.sum(oh * valid, axis=0))
+        # ban tail = last tokens of the prompt (right-padded buffer)
+        tl = self._tail_len
+        pos = length - tl + jnp.arange(tl)
+        tail_row = jnp.where(pos >= 0,
+                             tokens[0, jnp.clip(pos, 0, p - 1)], -1)
+        tail = tail.at[slot].set(tail_row)
         # logits at the last VALID position (prompt is right-padded)
-        last = logits[0, length - 1].astype(jnp.float32)
-        next_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        return next_tok, cache
+        last = logits[0, length - 1].astype(jnp.float32)[None]
+        counts_row = jax.lax.dynamic_slice_in_dim(counts, slot, 1, axis=0)
+        tail_row2 = jax.lax.dynamic_slice_in_dim(tail, slot, 1, axis=0)
+        nt, _ = dynamic_decode(last, rng, dp_row, token_counts=counts_row,
+                               cur_lengths=jnp.zeros((1,), jnp.int32),
+                               tokens=tail_row2, cur=tl)
+        counts = counts.at[slot, nt[0]].add(1)
+        tail = tail.at[slot].set(
+            jnp.concatenate([tail_row[1:], nt.astype(jnp.int32)]))
+        return nt[0], new_cache, counts, tail
 
-    def _step_impl(self, params, cache, last_tokens, lengths, active,
-                   ctx_lens=None):
+    def _step_impl(self, params, cache, table, counts, tail, last_tokens,
+                   lengths, gen_lens, active, dp, rng, ctx_lens=None):
         """steps_per_tick decode steps for all slots in one program.
-        last_tokens [B]; lengths [B] = tokens so far; active [B] bool.
-        Returns (tokens [B, steps_per_tick], cache)."""
+        last_tokens [B] pending tokens (KV not yet written); lengths [B] =
+        tokens so far INCLUDING the pending one (so the pending token's KV
+        is written at position lengths-1 with sequence_length = lengths);
+        active [B] bool.  Returns (tokens [B, steps_per_tick], cache,
+        counts, tail)."""
         extra = dict(context_lengths=ctx_lens) if self._needs_ctx else {}
+        pad_id = _scalar(self.sc.pad_id)
+        v = self._vocab
+        if self.paged:
+            from ..ops.paged_attention import PagedCacheState
+            model_cache = PagedCacheState(cache, table)
+        else:
+            model_cache = cache
 
-        def one(carry, _):
-            cache, toks, lens = carry
-            logits, cache = self.model.apply(
-                params, toks[:, None], cache, lens, lens + 1, **extra)
-            nt = jnp.argmax(logits[:, -1].astype(jnp.float32),
-                            axis=-1).astype(jnp.int32)
-            nt = jnp.where(active, nt, self.sc.pad_id)
-            return (cache, nt, lens + 1), nt
+        def one(carry, k):
+            mcache, counts, tail, toks, lens, glens = carry
+            logits, mcache = self.model.apply(
+                params, toks[:, None], mcache, lens - 1, lens, **extra)
+            nt, _ = dynamic_decode(
+                logits[:, -1].astype(jnp.float32),
+                jax.random.fold_in(rng, k), dp, token_counts=counts,
+                cur_lengths=glens, tokens=tail, cur=self._tail_len)
+            nt = jnp.where(active, nt, pad_id).astype(jnp.int32)
+            counts = counts + jax.nn.one_hot(nt, v, dtype=jnp.int32) * \
+                active[:, None]
+            tail = jnp.concatenate([tail[:, 1:], nt[:, None]], axis=1)
+            return (mcache, counts, tail, nt, lens + 1, glens + 1), nt
 
-        (cache, _, _), toks = jax.lax.scan(
-            one, (cache, last_tokens, lengths), None,
-            length=self.steps_per_tick)
-        return toks.T, cache
+        (model_cache, counts, tail, *_), toks = jax.lax.scan(
+            one, (model_cache, counts, tail, last_tokens, lengths, gen_lens),
+            jnp.arange(self.steps_per_tick))
+        out_cache = (model_cache.pool if self.paged else model_cache)
+        return toks.T, out_cache, counts, tail
 
     # -- host-side scheduling (delegated to the scheduler backend) ---------
+
+    def _set_slot_sampling(self, slot: int, req: InferenceRequest) -> None:
+        sc = req.sampling or self.sc
+        self._temp[slot] = _scalar(sc.temperature)
+        self._topk[slot] = min(_scalar(sc.top_k), self.max_top_k)
+        self._topp[slot] = _scalar(sc.top_p)
+        self._rep[slot] = _scalar(sc.repetition_penalty)
+        self._pres[slot] = _scalar(sc.presence_penalty)
+        self._minlen[slot] = _scalar(sc.min_length)
+        self._end_ids[slot] = (req.end_id if req.end_id is not None
+                               else _scalar(sc.end_id))
+        self._seeds[slot] = _scalar(sc.random_seed)
+        self._bad_words[slot] = 0
+        self._bad_lens[slot] = 0
+        words = list(sc.bad_words_list or [])
+        if req.sampling is not None and self.sc.bad_words_list:
+            # manager-level bans apply on top of per-request lists
+            words += [w for w in self.sc.bad_words_list if w not in words]
+        for i, w in enumerate(words[:self.NW]):
+            w = list(w)[:self.MW]
+            self._bad_words[slot, i, :len(w)] = w
+            self._bad_lens[slot, i] = len(w)
+        self._stop_words[slot] = [list(w)
+                                  for w in (sc.stop_words_list or [])]
 
     def _admit(self, req: InferenceRequest, slot: int) -> None:
         prompt = np.asarray(req.input_ids, np.int32).reshape(1, -1)
         p = prompt.shape[1]
         bucket = _bucket(p)
-        padded = np.full((1, bucket), self.sc.pad_id, np.int32)
+        padded = np.full((1, bucket), _scalar(self.sc.pad_id), np.int32)
         padded[0, :p] = prompt[0]
-        if bucket not in self._prefill_fns:
-            self._prefill_fns[bucket] = jax.jit(self._prefill_impl,
-                                                donate_argnums=(1,))
-        next_tok, self.cache = self._prefill_fns[bucket](
-            self.params, self.cache, jnp.asarray(padded),
-            jnp.asarray(slot, jnp.int32), jnp.asarray(p, jnp.int32))
+        self._set_slot_sampling(slot, req)
+        if self.paged:
+            seq = GenerationSequence(self._seq_counter, slot)
+            self._seq_counter += 1
+            self.kvman.add_sequence(seq, p)
+            self._kv_seqs[slot] = seq
+            # cover the pending token's position p (new block if p % T == 0)
+            self._kv_step_one(slot)
+            table = self._block_tables()
+            cache_arg = self.pool
+            table_arg = jnp.asarray(table[slot:slot + 1])
+        else:
+            cache_arg = self.cache
+            table_arg = None
+        key = (bucket, self.paged)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = jax.jit(self._prefill_impl,
+                                             donate_argnums=(1, 3, 4))
+        rng = jax.random.fold_in(self._base_key,
+                                 (self._seeds[slot] * 1000003 + slot
+                                  + self._tick) % (2**31))
+        next_tok, new_cache, self._counts, self._tail = self._prefill_fns[key](
+            self.params, cache_arg, table_arg, self._counts, self._tail,
+            jnp.asarray(padded), jnp.asarray(slot, jnp.int32),
+            jnp.asarray(p, jnp.int32), self._slot_params(slot), rng)
+        if self.paged:
+            self.pool = new_cache
+        else:
+            self.cache = new_cache
         self.sched.on_admitted(slot, p)
         self._ctx_lens[slot] = p
         self.slot_request[slot] = req
         self.slot_output[slot] = []
         self._push_token(slot, int(next_tok))
 
+    # -- paged bookkeeping -------------------------------------------------
+
+    def _kv_step_one(self, only_slot: Optional[int] = None) -> None:
+        """Advance block coverage one position for live sequences (ref
+        KVCacheManager.step)."""
+        finished = [only_slot is not None and s.batch_idx != only_slot
+                    for s in self.kvman.sequences]
+        self.kvman.step(finished)
+
+    def _block_tables(self) -> np.ndarray:
+        arr = np.full((self.B, self.max_blocks_per_seq), -1, np.int32)
+        if self.kvman.sequences:
+            idx = self.kvman.get_block_index_arrays()   # [n, beam, max]
+            for i, seq in enumerate(self.kvman.sequences):
+                arr[seq.batch_idx] = idx[i, 0]
+        return arr
+
+    # -- token push / responses -------------------------------------------
+
     def _push_token(self, slot: int, tok: int) -> int:
         """Account one generated token; the done/stream decision comes from
-        the scheduler backend (native C++ when available)."""
+        the scheduler backend (native C++ when available).  Per-request
+        stop-words are enforced here (host side — exact semantics for any
+        list shape)."""
         req = self.slot_request[slot]
         self.slot_output[slot].append(tok)
-        flags = self.sched.push_token(slot, tok)
+        stops = self._stop_words.get(slot)
+        hit_stop = False
+        if stops:
+            seq = (list(np.asarray(req.input_ids).reshape(-1))
+                   + self.slot_output[slot])
+            for w in stops:
+                if len(w) and len(seq) >= len(w) and \
+                        [int(x) for x in seq[-len(w):]] == [int(x) for x in w]:
+                    hit_stop = True
+                    break
+        if hit_stop:
+            # force the scheduler to finish the slot (accounting identical
+            # to an end_id hit; the stop word stays in the output)
+            flags = self.sched.push_token(slot, int(self._end_ids[slot]))
+            flags |= FINISHED
+        else:
+            flags = self.sched.push_token(slot, tok)
         if flags & FINISHED:
+            if self.paged and slot in self._kv_seqs:
+                self.kvman.stop(self._kv_seqs.pop(slot))
             self.send_response(Response(req.request_id,
                                         list(self.slot_output[slot]),
                                         finished=True))
@@ -254,7 +472,8 @@ class ContinuousBatchingManager:
         free = self.B - self.sched.num_active
         if free > 0:
             for req in self.get_inference_requests(free):
-                eid = req.end_id if req.end_id is not None else self.sc.end_id
+                eid = req.end_id if req.end_id is not None \
+                    else _scalar(self.sc.end_id)
                 self._requests[req.request_id] = req
                 self.sched.add_request(req.request_id, req.max_new_tokens,
                                        eid, req.streaming)
@@ -266,10 +485,28 @@ class ContinuousBatchingManager:
         active, lengths, last_tokens = self.sched.state()
         if not active.any():
             return 0
-        next_tok, self.cache = self._step_fn(
-            self.params, self.cache, jnp.asarray(last_tokens),
-            jnp.asarray(lengths), jnp.asarray(active),
+        if self.paged:
+            # pre-extend block coverage for every position this tick writes
+            for _ in range(self.steps_per_tick):
+                self.kvman.step([False] * len(self.kvman.sequences))
+            cache_arg = self.pool
+            table_arg = jnp.asarray(self._block_tables())
+        else:
+            cache_arg = self.cache
+            table_arg = None
+        self._tick += 1
+        rng = jax.random.fold_in(self._base_key, self._tick)
+        gen_lens = lengths - self._ctx_lens
+        next_tok, new_cache, self._counts, self._tail = self._step_fn(
+            self.params, cache_arg, table_arg, self._counts, self._tail,
+            jnp.asarray(last_tokens), jnp.asarray(lengths),
+            jnp.asarray(gen_lens), jnp.asarray(active),
+            self._decode_params(self.B), rng,
             jnp.asarray(self._ctx_lens))
+        if self.paged:
+            self.pool = new_cache
+        else:
+            self.cache = new_cache
         next_np = np.asarray(next_tok)                  # [B, steps_per_tick]
         live = list(active)
         for k in range(next_np.shape[1]):
@@ -291,3 +528,12 @@ class ContinuousBatchingManager:
                     break
             else:
                 idle = 0
+
+
+def _scalar(x) -> float:
+    """Serving configs must be scalar-per-request; reject [B] arrays."""
+    if np.ndim(x):
+        raise ValueError("ContinuousBatchingManager takes scalar "
+                         "SamplingConfig fields (per-request variation "
+                         "comes from InferenceRequest.sampling)")
+    return x if isinstance(x, (int, float)) else float(x)

@@ -250,28 +250,39 @@ def ban_bad_words(logits, tokens, cur, words, word_lens):
 
     tokens: [B, T] full sequence buffer (prompt + generated), valid up to
     position ``cur`` (exclusive — the next token will land at ``cur``).
-    words [N, M] int32 padded, word_lens [N].  A length-1 word is always
-    banned."""
+    ``cur`` may be a scalar or per-row [B] (continuous batching).
+    words: [N, M] int32 padded (shared across rows) or [B, N, M]
+    (per-request lists); word_lens [N] or [B, N] to match.  A length-1
+    word is always banned; length-0 rows are inert padding."""
     if words is None:
         return logits
     b, v = logits.shape
-    n, m = words.shape
+    if words.ndim == 2:
+        words_b = jnp.broadcast_to(words[None], (b,) + words.shape)
+        lens_b = jnp.broadcast_to(word_lens[None], (b,) + word_lens.shape)
+    else:
+        words_b, lens_b = words, word_lens                 # [B,N,M], [B,N]
+    n, m = words_b.shape[1:]
     t = tokens.shape[1]
-    j = jnp.arange(max(m - 1, 1))[None, :]                 # [1, M-1]
+    mm1 = max(m - 1, 1)
+    j = jnp.arange(mm1)[None, None, :]                     # [1,1,M-1]
+    cur3 = jnp.reshape(jnp.asarray(cur, jnp.int32), (-1, 1, 1))
+    lens3 = lens_b[..., None]                              # [B,N,1]
     # prefix of word i occupies sequence positions cur-(L-1) .. cur-1
-    idx = cur - (word_lens[:, None] - 1) + j               # [N, M-1]
-    fits = (cur - (word_lens - 1)) >= 0                    # [N]
-    hist = tokens[:, jnp.clip(idx, 0, t - 1)]              # [B, N, M-1]
-    pad = j >= (word_lens[:, None] - 1)
-    match = jnp.all(
-        jnp.logical_or(hist == words[None, :, :max(m - 1, 1)], pad[None]),
-        axis=-1)                                           # [B, N]
-    match = jnp.logical_and(match, fits[None, :])
+    idx = cur3 - (lens3 - 1) + j                           # [B,N,M-1]
+    fits = jnp.logical_and((cur3 - (lens3 - 1))[..., 0] >= 0,
+                           lens_b > 0)                     # [B,N]
+    hist = jnp.take_along_axis(
+        jnp.broadcast_to(tokens[:, None, :], (b, n, t)),
+        jnp.clip(idx, 0, t - 1), axis=2)                   # [B,N,M-1]
+    pad = j >= (lens3 - 1)
+    match = jnp.all(jnp.logical_or(hist == words_b[..., :mm1], pad),
+                    axis=-1)                               # [B,N]
+    match = jnp.logical_and(match, fits)
     ban_tok = jnp.take_along_axis(
-        words, jnp.maximum(word_lens[:, None] - 1, 0), axis=1)[:, 0]  # [N]
-    onehot = jax.nn.one_hot(ban_tok, v, dtype=jnp.float32)
-    banned = jnp.einsum("bn,nv->bv", match.astype(jnp.float32),
-                        onehot) > 0.0
+        words_b, jnp.maximum(lens3 - 1, 0), axis=2)[..., 0]  # [B,N]
+    banned = jnp.zeros((b, v), jnp.bool_).at[
+        jnp.arange(b)[:, None], ban_tok].max(match)
     return jnp.where(banned, NEG_INF, logits)
 
 
