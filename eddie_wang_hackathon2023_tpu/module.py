@@ -177,9 +177,15 @@ def stack_parameter_shapes(module: "Module", n_layer: int) -> "Module":
     weight, and ``lax.scan`` over that pytree feeds per-layer slices to
     ``module.apply`` with zero gather/copy cost — the TPU-native replacement
     for the reference's 32 separately-traced transformer blocks."""
+    from jax.sharding import PartitionSpec
     for _, p in module.named_parameters():
         if p._shape is not None:
             p._shape = (n_layer,) + p._shape
+        # shift the sharding spec with the new leading layer axis (layers
+        # are never sharded; without this the per-dim axis names land one
+        # dim early — silently mis-sharding every stacked weight)
+        if tuple(p.pspec):
+            p.pspec = PartitionSpec(None, *tuple(p.pspec))
         p._value = None
     return module
 

@@ -50,5 +50,11 @@ def _legalize(spec: PartitionSpec, shape, mesh: Mesh) -> PartitionSpec:
         if i < len(shape) and shape[i] % max(size, 1) == 0:
             parts.append(axis)
         else:
+            # replicating instead of sharding silently costs memory and
+            # bandwidth at scale — make the fallback visible
+            from ..logger import logger
+            logger.warning(
+                f"sharding: dim {i} of shape {tuple(shape)} not divisible "
+                f"by mesh axis '{axis}' (size {size}); replicating instead")
             parts.append(None)
     return PartitionSpec(*parts)

@@ -38,11 +38,17 @@ def _quantize_stacked(w: np.ndarray, lead_ndim: int, bits: int):
 
 
 def _relayer(new_mod: Module, lead: Tuple[int, ...]) -> Module:
-    """Prepend stacked lead dims to a freshly-built module's param shapes."""
+    """Prepend stacked lead dims to a freshly-built module's param shapes
+    (and shift the sharding specs past the unsharded lead axes — else the
+    per-dim axis names land early and mis-shard every stacked weight)."""
     if lead:
+        from jax.sharding import PartitionSpec
         for _, p in new_mod.named_parameters():
             if p._shape is not None:
                 p._shape = tuple(lead) + p._shape
+            if tuple(p.pspec):
+                p.pspec = PartitionSpec(*((None,) * len(lead)),
+                                        *tuple(p.pspec))
     return new_mod
 
 
@@ -189,13 +195,46 @@ def smooth_quantize_state_dict(model: Module, state: Dict[str, np.ndarray],
             ln = (ln_paths or {}).get(path)
             lw = out.get(f"{ln}.weight") if ln else None
             lb = out.get(f"{ln}.bias") if ln else None
-            flat = w.reshape(-1, w.shape[-1])
-            _, sm = smooth_gemm(flat, act_scales[path], lw, lb, alpha=alpha)
-            w = sm["gemm_weight"].reshape(w.shape)
-            if ln and lw is not None:
-                out[f"{ln}.weight"] = sm["layernorm_weight"]
-            if ln and lb is not None:
-                out[f"{ln}.bias"] = sm["layernorm_bias"]
+            act = np.asarray(act_scales[path], np.float32)
+            if lead_ndim == 0:
+                _, sm = smooth_gemm(w, act, lw, lb, alpha=alpha)
+                w = sm["gemm_weight"]
+                if ln and lw is not None:
+                    out[f"{ln}.weight"] = sm["layernorm_weight"]
+                if ln and lb is not None:
+                    out[f"{ln}.bias"] = sm["layernorm_bias"]
+            else:
+                # stacked [n_layer, out, in]: per-LAYER smoothing scales
+                # (ref smooth_gemm runs per linear, one scale per layer —
+                # a shared scale across layers degrades outlier migration)
+                lead = w.shape[:lead_ndim]
+                wf = w.reshape((-1,) + w.shape[lead_ndim:])
+                n = wf.shape[0]
+                actf = (np.broadcast_to(act, (n, wf.shape[-1]))
+                        if act.ndim <= 1
+                        else act.reshape(n, wf.shape[-1]))
+                lwf = (np.asarray(lw, np.float32).reshape(n, -1)
+                       if ln and lw is not None else None)
+                lbf = (np.asarray(lb, np.float32).reshape(n, -1)
+                       if ln and lb is not None else None)
+                rows, lws, lbs = [], [], []
+                for i in range(n):
+                    _, sm = smooth_gemm(
+                        wf[i], actf[i],
+                        lwf[i] if lwf is not None else None,
+                        lbf[i] if lbf is not None else None, alpha=alpha)
+                    rows.append(sm["gemm_weight"])
+                    if lwf is not None:
+                        lws.append(sm["layernorm_weight"])
+                    if lbf is not None:
+                        lbs.append(sm["layernorm_bias"])
+                w = np.stack(rows, 0).reshape(w.shape)
+                if lwf is not None:
+                    out[f"{ln}.weight"] = np.stack(lws, 0).reshape(
+                        np.asarray(lw).shape)
+                if lbf is not None:
+                    out[f"{ln}.bias"] = np.stack(lbs, 0).reshape(
+                        np.asarray(lb).shape)
         q, s = _sq_quantize_stacked(w, lead_ndim, per_channel)
         out[f"{path}.qweight"] = q
         out[f"{path}.per_channel_scale"] = s

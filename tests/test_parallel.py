@@ -122,3 +122,76 @@ def test_mapping_validation(cpu_devices):
     m = Mapping(world_size=8, dp_size=2, tp_size=4, devices=cpu_devices)
     assert m.mesh.shape == {"dp": 2, "tp": 4, "pp": 1}
     assert m.tp_group == list(range(8))
+
+
+def test_sharded_woq_generation_matches(cpu_devices):
+    """Weight-only-quantised model sharded on a tp=4 mesh must decode
+    BIT-EXACTLY like the same quantised model on one device (the shipping
+    configuration: quant x TP; ref per-rank WOQ engines, E/gpt/build.py:274)."""
+    import torch
+    import transformers as T
+    from eddie_wang_hackathon2023_tpu.models.families import build_from_hf
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        weight_only_quantize_state)
+    from eddie_wang_hackathon2023_tpu.runtime import (GenerationSession,
+                                                      ModelConfig,
+                                                      SamplingConfig)
+    torch.manual_seed(1)
+    cfg = T.GPT2Config(vocab_size=96, n_positions=64, n_embd=32, n_layer=2,
+                       n_head=4, initializer_range=0.2)
+    hf = T.GPT2LMHeadModel(cfg).eval()
+    model, config = build_from_hf("gpt2", hf, dtype="float32")
+    qmode = QuantMode.use_weight_only(False)
+    qmodel, qstate = weight_only_quantize_state(model, model.state_dict(),
+                                                qmode)
+    qmodel.load_state_dict(qstate, strict=False)
+    mc = ModelConfig(vocab_size=96, num_layers=2, num_heads=4, hidden_size=32,
+                     max_seq_len=64)
+    prompt = np.array([[5, 11, 17, 23], [2, 3, 4, 5]], dtype=np.int32)
+    sess = GenerationSession(mc, qmodel, SamplingConfig(end_id=95, pad_id=95))
+    ref_tokens, ref_lens, _ = sess.decode(prompt, np.array([4, 4]),
+                                          max_new_tokens=8)
+
+    mapping = Mapping(world_size=4, tp_size=4, devices=cpu_devices[:4])
+    pspecs = qmodel.pspecs()
+    # int8 qweight tensors must actually be sharded, not replicated
+    assert any("qweight" in k and any(ax is not None for ax in tuple(v))
+               for k, v in pspecs.items()), pspecs
+    sharded = shard_state(qmodel.state_dict(), pspecs, mapping.mesh)
+    sess2 = GenerationSession(mc, qmodel, SamplingConfig(end_id=95, pad_id=95))
+    sess2.setup(sharded)
+    got_tokens, got_lens, _ = sess2.decode(prompt, np.array([4, 4]),
+                                           max_new_tokens=8)
+    np.testing.assert_array_equal(ref_tokens, got_tokens)
+    np.testing.assert_array_equal(ref_lens, got_lens)
+
+
+def test_sharded_woq_whisper_decoder(models, cpu_devices):
+    """Quantised Whisper decoder logits on a dp=2 x tp=2 mesh == single
+    device (int8 qweight pspecs exercised on a real mesh)."""
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        weight_only_quantize_state)
+    from eddie_wang_hackathon2023_tpu.models.whisper import WhisperDecoder
+    qmode = QuantMode.use_weight_only(False)
+    dec = WhisperDecoder(TINY, qmode)
+    base = WhisperDecoder(TINY)
+    base.random_init(jax.random.PRNGKey(1), 0.05)
+    dec, qstate = weight_only_quantize_state(base, base.state_dict(), qmode)
+    dec.load_state_dict(qstate, strict=False)
+    _, _, ckv = models
+    rs = np.random.RandomState(3)
+    xa = jnp.asarray(rs.randn(2, TINY.n_audio_ctx,
+                              TINY.n_audio_state).astype(np.float32))
+    cross = ckv(xa)
+    tokens = np.array([[5, 17, 42], [3, 9, 27]], dtype=np.int32)
+    cache = dec.new_kv_cache(2)
+    ref, _ = dec(jnp.asarray(tokens), cache, cross, 0, jnp.array([3, 3]))
+    mapping = Mapping(world_size=4, dp_size=2, tp_size=2,
+                      devices=cpu_devices[:4])
+    sharded = shard_state(dec.state_dict(), dec.pspecs(), mapping.mesh)
+    got, _ = jax.jit(lambda p, t, c, cr, w, s: dec.apply(p, t, c, cr, w, s))(
+        sharded, jnp.asarray(tokens), dec.new_kv_cache(2), cross, 0,
+        jnp.array([3, 3]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)

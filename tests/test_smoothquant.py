@@ -132,3 +132,57 @@ def test_smooth_quantize_model_surgery_e2e():
     tok_q, _, _ = sess_q.decode(ids, lens, max_new_tokens=8)
     agree = (tok_f[0, 0] == tok_q[0, 0]).mean()
     assert agree >= 0.75, (tok_f[0, 0], tok_q[0, 0])
+
+
+def test_per_layer_smoothing_scales():
+    """Stacked weights must get per-LAYER smoothing scales: with the same
+    activation amax, a layer with huge weights and a layer with tiny
+    weights produce different scales, and the function is preserved per
+    layer (w/s folded into LN)."""
+    import numpy as np
+    from eddie_wang_hackathon2023_tpu.quantization.smoothquant_layers import (
+        smooth_gemm)
+    rs = np.random.RandomState(0)
+    in_f, out_f = 8, 6
+    w = np.stack([rs.randn(out_f, in_f).astype(np.float32) * 10.0,
+                  rs.randn(out_f, in_f).astype(np.float32) * 0.01])
+    act = np.abs(rs.randn(in_f).astype(np.float32)) + 1.0
+    lw = np.ones((2, in_f), np.float32)
+    lb = np.zeros((2, in_f), np.float32)
+    s0, sm0 = smooth_gemm(w[0], act, lw[0], lb[0])
+    s1, sm1 = smooth_gemm(w[1], act, lw[1], lb[1])
+    assert not np.allclose(s0, s1)          # layer-dependent scales
+    # the state-dict transform must reproduce exactly these per-layer folds
+    from eddie_wang_hackathon2023_tpu.layers import LayerNorm, Linear
+    from eddie_wang_hackathon2023_tpu.module import Module
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        smooth_quantize_state_dict)
+    from eddie_wang_hackathon2023_tpu.quantization.smoothquant_layers import (
+        SmoothQuantLinear)
+
+    class Tiny(Module):
+        def __init__(self):
+            super().__init__()
+            self.ln = LayerNorm(in_f, dtype="float32")
+            self.fc = SmoothQuantLinear(in_f, out_f,
+                                        QuantMode.use_smooth_quant(True, True),
+                                        dtype="float32")
+
+    m = Tiny()
+    state = {"fc.weight": w, "ln.weight": lw, "ln.bias": lb}
+    out = smooth_quantize_state_dict(
+        m, state, QuantMode.use_smooth_quant(True, True),
+        act_scales={"fc": act}, ln_paths={"fc": "ln"})
+    np.testing.assert_allclose(out["ln.weight"][0], sm0["layernorm_weight"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(out["ln.weight"][1], sm1["layernorm_weight"],
+                               rtol=1e-6)
+    # and the quantised weights dequantise back to the per-layer smoothed w
+    q = out["fc.qweight"].astype(np.float32)      # [2, in, out]
+    s = out["fc.per_channel_scale"].reshape(2, 1, -1)
+    deq = (q * s).transpose(0, 2, 1)              # back to [2, out, in]
+    np.testing.assert_allclose(deq[0], sm0["gemm_weight"],
+                               atol=np.abs(sm0["gemm_weight"]).max() / 100)
+    np.testing.assert_allclose(deq[1], sm1["gemm_weight"],
+                               atol=np.abs(sm1["gemm_weight"]).max() / 100)
