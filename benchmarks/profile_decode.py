@@ -12,6 +12,8 @@ import sys
 import time
 from functools import partial
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -134,6 +134,7 @@ class Attention(Module):
                  position_embedding_type: PositionEmbeddingType = PositionEmbeddingType.learned_absolute,
                  neox_rotary_style: bool = True,
                  use_int8_kv_cache: bool = False,
+                 use_fp8_kv_cache: bool = False,
                  rotary_embedding_percentage: float = 1.0,
                  rotary_base: float = 10000.0,
                  tp_group=None,
@@ -165,8 +166,12 @@ class Attention(Module):
             self.rotary_embedding_dim = self.attention_head_size // 2
         self.dtype = dtype
         self.use_int8_kv_cache = use_int8_kv_cache
-        if use_int8_kv_cache:
+        self.use_fp8_kv_cache = use_fp8_kv_cache
+        assert not (use_int8_kv_cache and use_fp8_kv_cache)
+        if use_int8_kv_cache or use_fp8_kv_cache:
             # scale_y_quant_orig semantics, ref attention.py:100-105
+            # (fp8 KV mode, ref QuantMode.FP8_KV_CACHE, shares the scale
+            # plumbing; values are cast to e4m3 instead of int8)
             self.kv_orig_quant_scale = Parameter(shape=(1,), dtype="float32")
             self.kv_quant_orig_scale = Parameter(shape=(1,), dtype="float32")
         else:
@@ -235,7 +240,9 @@ class Attention(Module):
         decode matvecs read full 128-lane tiles, see ops.attention.append_kv;
         int8 when quantised — ref WhisperDecoder.prepare_inputs int8
         branch)."""
-        kv_dtype = jnp.int8 if self.use_int8_kv_cache else (self.dtype or jnp.float32)
+        kv_dtype = (jnp.int8 if self.use_int8_kv_cache
+                    else jnp.float8_e4m3fn if self.use_fp8_kv_cache
+                    else (self.dtype or jnp.float32))
         return jnp.zeros((batch, 2, self.num_attention_kv_heads,
                           self.attention_head_size, max_len), dtype=kv_dtype)
 
@@ -314,10 +321,9 @@ class Attention(Module):
         if cache_write_index is not None:
             # ---- in-place mode (gpt_attention plugin semantics) ----
             assert past_key_value is not None and sequence_length is not None
-            kv_oq = (self.kv_orig_quant_scale.value
-                     if self.use_int8_kv_cache else None)
-            kv_qo = (self.kv_quant_orig_scale.value
-                     if self.use_int8_kv_cache else None)
+            quant_kv = self.use_int8_kv_cache or self.use_fp8_kv_cache
+            kv_oq = self.kv_orig_quant_scale.value if quant_kv else None
+            kv_qo = self.kv_quant_orig_scale.value if quant_kv else None
             # ---- block-paged mode (ref paged_kv_cache attention,
             # D/gpt_attention.md:168-200): pool + block tables instead of a
             # dense per-slot cache; writes scatter through the tables ----
@@ -398,6 +404,7 @@ class Attention(Module):
             if (isinstance(cache_write_index, int) and cache_write_index == 0
                     and q.shape[2] > 1 and attention_start is None
                     and not self.use_int8_kv_cache
+                    and not self.use_fp8_kv_cache
                     and self.attention_mask_type == AttentionMaskType.causal
                     and self.position_embedding_type
                     != PositionEmbeddingType.alibi):
@@ -463,9 +470,11 @@ class Attention(Module):
 
         if use_cache:
             present = jnp.stack([k_full, v_full], axis=1)
-            if self.use_int8_kv_cache:
-                from ..functional import round_half_away
-                scaled = present.astype(jnp.float32) * self.kv_orig_quant_scale.value
-                present = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
+            if self.use_int8_kv_cache or self.use_fp8_kv_cache:
+                from ..ops.attention import quantize_cache_values
+                present = quantize_cache_values(
+                    present,
+                    jnp.int8 if self.use_int8_kv_cache else jnp.float8_e4m3fn,
+                    self.kv_orig_quant_scale.value)
             return out, present
         return out

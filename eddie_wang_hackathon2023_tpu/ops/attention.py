@@ -28,6 +28,29 @@ import jax.numpy as jnp
 from ..functional import round_half_away
 
 
+def quantize_cache_values(kv, cache_dtype, kv_orig_quant_scale):
+    """Cast fresh K/V values into the cache dtype: int8 (round-half-away,
+    ref quantize_tensor) or fp8 e4m3 (IEEE-saturating cast, ref fp8 KV mode
+    FP8_KV_CACHE); float dtypes pass through."""
+    if cache_dtype == jnp.int8:
+        assert kv_orig_quant_scale is not None
+        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
+        return jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
+    if cache_dtype == jnp.float8_e4m3fn:
+        assert kv_orig_quant_scale is not None
+        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
+        return scaled.astype(jnp.float8_e4m3fn)
+    return kv.astype(cache_dtype)
+
+
+def dequantize_cache_values(x, kv_quant_orig_scale, out_dtype):
+    """Inverse of quantize_cache_values for int8/fp8 caches."""
+    if x.dtype in (jnp.int8, jnp.float8_e4m3fn):
+        assert kv_quant_orig_scale is not None
+        return (x.astype(jnp.float32) * kv_quant_orig_scale).astype(out_dtype)
+    return x.astype(out_dtype)
+
+
 def length_mask_bias(lengths, max_len: int, dtype=jnp.float32):
     """Additive bias [B, 1, 1, max_len]: 0 for positions < length, -inf after.
 
@@ -79,12 +102,7 @@ def append_kv(cache, k_new, v_new, write_index,
     half-away-from-zero, clip to [-128,127], cast int8.
     """
     kv = jnp.stack([k_new, v_new], axis=1).transpose(0, 1, 2, 4, 3)
-    if cache.dtype == jnp.int8:                       # [B,2,H,D,L]
-        assert kv_orig_quant_scale is not None
-        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
-        kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
-    else:
-        kv = kv.astype(cache.dtype)
+    kv = quantize_cache_values(kv, cache.dtype, kv_orig_quant_scale)
     if getattr(write_index, "ndim", 0) >= 1:
         # per-row write positions (continuous batching: every slot is at its
         # own length — the reference's in-flight-batching host pointer
@@ -110,12 +128,7 @@ def append_kv_stacked(full_cache, k_new, v_new, layer_idx, write_index,
     K/V (a few KB in decode) into the carried buffer — XLA keeps the
     carry in place, so nothing else moves."""
     kv = jnp.stack([k_new, v_new], axis=1).transpose(0, 1, 2, 4, 3)[None]
-    if full_cache.dtype == jnp.int8:               # [1,B,2,H,D,L_new]
-        assert kv_orig_quant_scale is not None
-        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
-        kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
-    else:
-        kv = kv.astype(full_cache.dtype)
+    kv = quantize_cache_values(kv, full_cache.dtype, kv_orig_quant_scale)
     layer_idx = jnp.asarray(layer_idx, jnp.int32)
     if getattr(write_index, "ndim", 0) >= 1:
         # per-row positions (continuous batching): vmap over batch
@@ -135,15 +148,8 @@ def cast_kv_for_cache(k, v, cache_dtype, kv_orig_quant_scale=None):
     deferred-write path so numerics match write-then-read)."""
     k = k.transpose(0, 1, 3, 2)
     v = v.transpose(0, 1, 3, 2)
-    if cache_dtype == jnp.int8:
-        assert kv_orig_quant_scale is not None
-        out = []
-        for t in (k, v):
-            scaled = t.astype(jnp.float32) * kv_orig_quant_scale
-            out.append(jnp.clip(round_half_away(scaled), -128,
-                                127).astype(jnp.int8))
-        return tuple(out)
-    return k.astype(cache_dtype), v.astype(cache_dtype)
+    return (quantize_cache_values(k, cache_dtype, kv_orig_quant_scale),
+            quantize_cache_values(v, cache_dtype, kv_orig_quant_scale))
 
 
 def write_fresh_kv(full_cache, kv_new, write_index) -> jnp.ndarray:
@@ -209,12 +215,9 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     s_max = k.shape[3]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
-    if k.dtype == jnp.int8:
-        assert kv_quant_orig_scale is not None
-        k = k.astype(jnp.float32) * kv_quant_orig_scale
-        v = v.astype(jnp.float32) * kv_quant_orig_scale
-        k = k.astype(q.dtype)
-        v = v.astype(q.dtype)
+    if k.dtype in (jnp.int8, jnp.float8_e4m3fn):
+        k = dequantize_cache_values(k, kv_quant_orig_scale, q.dtype)
+        v = dequantize_cache_values(v, kv_quant_orig_scale, q.dtype)
     acc_t = jnp.float32
     scores = jnp.einsum("bhqd,bhds->bhqs", q, k,
                         preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
@@ -242,12 +245,8 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     scores = jnp.where(valid, scores, jnp.asarray(-1e30, scores.dtype))
     if fresh_kv is not None:
         k_f, v_f = fresh_kv                 # [B,H,D,Lq] seq-minor, cache dtype
-        if k_f.dtype == jnp.int8:
-            k_f = (k_f.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
-            v_f = (v_f.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
-        else:
-            k_f = k_f.astype(q.dtype)
-            v_f = v_f.astype(q.dtype)
+        k_f = dequantize_cache_values(k_f, kv_quant_orig_scale, q.dtype)
+        v_f = dequantize_cache_values(v_f, kv_quant_orig_scale, q.dtype)
         s_f = jnp.einsum("bhqd,bhds->bhqs", q, k_f,
                          preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
         if lq > 1:
