@@ -164,7 +164,9 @@ class ContinuousBatchingManager:
                  num_blocks: Optional[int] = None,
                  max_top_k: int = 64,
                  max_bad_words: int = 4,
-                 max_bad_word_len: int = 4):
+                 max_bad_word_len: int = 4,
+                 mixed_admission: bool = False,
+                 chunk_width: int = 16):
         self.model = model
         self.sc = sampling_config
         self.B = max_batch_size
@@ -230,6 +232,26 @@ class ContinuousBatchingManager:
         self._tail = jnp.full((self.B, self._tail_len), -1, jnp.int32)
         self._base_key = jax.random.PRNGKey(_scalar(sc.random_seed))
         self._tick = 0
+
+        # -- mixed context+generation step (true in-flight batching, ref
+        # ibGptAttentionPlugin / T/functional.py:2985-3137): admission
+        # prefill is fed in chunk_width-token chunks through the SAME tick
+        # program that decodes every other slot, so admissions never stall
+        # the running batch
+        self.mixed_admission = mixed_admission
+        self.chunk_width = max(2, chunk_width)
+        if mixed_admission:
+            assert not getattr(model.config, "bidirectional_context", False), \
+                "mixed admission needs causal prompt attention"
+            if paged:
+                raise NotImplementedError(
+                    "mixed_admission currently requires the dense slot "
+                    "cache (paged window-append at chunk offsets is not "
+                    "implemented)")
+        self._prefill_prompt: Dict[int, np.ndarray] = {}
+        self._prefill_progress: Dict[int, int] = {}
+        self._mixed_fn = jax.jit(self._mixed_step_impl,
+                                 donate_argnums=(1, 3, 4))
 
         self._prefill_fns: Dict[int, Callable] = {}
         self._step_fn = jax.jit(self._step_impl,
@@ -344,6 +366,120 @@ class ContinuousBatchingManager:
         out_cache = (model_cache.pool if self.paged else model_cache)
         return toks.T, out_cache, counts, tail
 
+    def _mixed_step_impl(self, params, cache, table, counts, tail, window,
+                         write_pos, valid, is_prefill, sample_mask,
+                         reset_mask, gen_lens, active, dp, rng,
+                         ctx_lens=None):
+        """ONE program serving mixed phases (ref ibGptAttention mixed
+        context+generation enqueue): every row gets a [W]-token window —
+        decode rows carry their pending token at index 0 (valid=1), rows in
+        context phase carry the next prompt chunk (valid<=W) at positions
+        write_pos..write_pos+valid-1.  Pad lanes write dead KV beyond
+        sequence_length that later real tokens overwrite before it is ever
+        attended.  Rows finishing their prompt this tick (and all decode
+        rows) sample one token."""
+        b, w = window.shape
+        v = self._vocab
+        counts = jnp.where(reset_mask[:, None], 0, counts)
+        tail = jnp.where(reset_mask[:, None], -1, tail)
+        seq_after = write_pos + valid
+        extra = dict(context_lengths=ctx_lens) if self._needs_ctx else {}
+        if self.paged:
+            from ..ops.paged_attention import PagedCacheState
+            model_cache = PagedCacheState(cache, table)
+        else:
+            model_cache = cache
+        logits, model_cache = self.model.apply(
+            params, window, model_cache, write_pos, seq_after, **extra)
+        out_cache = model_cache.pool if self.paged else model_cache
+        j = jnp.arange(w)
+        real = j[None, :] < valid[:, None]                 # [B, W]
+        # context rows accumulate prompt-history penalty counts; decode
+        # rows' pending token was counted when it was sampled
+        oh = jax.nn.one_hot(window, v, dtype=jnp.int32) * real[..., None]
+        counts = counts + jnp.where(is_prefill[:, None], oh.sum(axis=1), 0)
+        # ban-window tail absorbs the window's real tokens (context rows)
+        stream = jnp.concatenate([tail, window], axis=1)   # [B, T+W]
+        off1 = jnp.where(is_prefill, valid, 0)
+        tl = self._tail_len
+        gidx = off1[:, None] + jnp.arange(tl)[None, :]
+        tail = jnp.take_along_axis(stream, gidx, axis=1)
+        # logits at each row's last real position
+        idx = jnp.clip(valid - 1, 0, w - 1)
+        last = jnp.take_along_axis(
+            logits, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        nt, _ = dynamic_decode(last.astype(jnp.float32), rng, dp,
+                               token_counts=counts, cur_lengths=gen_lens,
+                               tokens=tail, cur=tl)
+        pad_id = _scalar(self.sc.pad_id)
+        emit = jnp.logical_and(sample_mask, active)
+        nt = jnp.where(emit, nt, pad_id).astype(jnp.int32)
+        counts = counts + jax.nn.one_hot(nt, v, dtype=jnp.int32) * \
+            emit[:, None]
+        tail = jnp.where(emit[:, None],
+                         jnp.concatenate([tail[:, 1:], nt[:, None]], axis=1),
+                         tail)
+        return nt, out_cache, counts, tail
+
+    def _mixed_tick(self) -> int:
+        """One mixed context+generation tick (replaces separate admission
+        prefills while any slot is in context phase)."""
+        active, lengths, last_tokens = self.sched.state()
+        if not active.any():
+            return 0
+        B, W = self.B, self.chunk_width
+        window = np.zeros((B, W), np.int32)
+        write_pos = np.zeros((B,), np.int32)
+        valid = np.zeros((B,), np.int32)
+        is_prefill = np.zeros((B,), bool)
+        sample_mask = np.zeros((B,), bool)
+        reset_mask = np.zeros((B,), bool)
+        gen_lens = np.zeros((B,), np.int32)
+        chunk_of: Dict[int, int] = {}
+        for slot in range(B):
+            if slot in self._prefill_progress:
+                off = self._prefill_progress[slot]
+                prompt = self._prefill_prompt[slot]
+                p = len(prompt)
+                k = min(W, p - off)
+                window[slot, :k] = prompt[off:off + k]
+                write_pos[slot] = off
+                valid[slot] = k
+                is_prefill[slot] = True
+                sample_mask[slot] = (off + k == p)
+                reset_mask[slot] = (off == 0)
+                chunk_of[slot] = k
+            elif active[slot]:
+                window[slot, 0] = last_tokens[slot]
+                write_pos[slot] = lengths[slot] - 1
+                valid[slot] = 1
+                sample_mask[slot] = True
+                gen_lens[slot] = lengths[slot] - self._ctx_lens[slot]
+        cache_arg = self.cache
+        table_arg = None
+        self._tick += 1
+        rng = jax.random.fold_in(self._base_key, self._tick)
+        nt, new_cache, self._counts, self._tail = self._mixed_fn(
+            self.params, cache_arg, table_arg, self._counts, self._tail,
+            jnp.asarray(window), jnp.asarray(write_pos), jnp.asarray(valid),
+            jnp.asarray(is_prefill), jnp.asarray(sample_mask),
+            jnp.asarray(reset_mask), jnp.asarray(gen_lens),
+            jnp.asarray(active), self._decode_params(self.B), rng,
+            jnp.asarray(self._ctx_lens))
+        self.cache = new_cache
+        nt_np = np.asarray(nt)
+        for slot in range(B):
+            if slot in self._prefill_progress:
+                if sample_mask[slot]:
+                    del self._prefill_progress[slot]
+                    del self._prefill_prompt[slot]
+                    self._push_token(slot, int(nt_np[slot]))
+                else:
+                    self._prefill_progress[slot] += chunk_of[slot]
+            elif active[slot]:
+                self._push_token(slot, int(nt_np[slot]))
+        return self.sched.num_active
+
     # -- host-side scheduling (delegated to the scheduler backend) ---------
 
     def _set_slot_sampling(self, slot: int, req: InferenceRequest) -> None:
@@ -373,6 +509,17 @@ class ContinuousBatchingManager:
     def _admit(self, req: InferenceRequest, slot: int) -> None:
         prompt = np.asarray(req.input_ids, np.int32).reshape(1, -1)
         p = prompt.shape[1]
+        if self.mixed_admission:
+            # deferred: the prompt is fed in chunks by the mixed tick; no
+            # separate prefill dispatch ever runs
+            self._set_slot_sampling(slot, req)
+            self.sched.on_admitted(slot, p)
+            self._ctx_lens[slot] = p
+            self.slot_request[slot] = req
+            self.slot_output[slot] = []
+            self._prefill_prompt[slot] = prompt[0]
+            self._prefill_progress[slot] = 0
+            return
         bucket = _bucket(p)
         padded = np.full((1, bucket), _scalar(self.sc.pad_id), np.int32)
         padded[0, :p] = prompt[0]
@@ -482,6 +629,10 @@ class ContinuousBatchingManager:
             if slot < 0:
                 break
             self._admit(self._requests.pop(rid), slot)
+        if self.mixed_admission and self._prefill_progress:
+            # one mixed context+generation step: prompts advance a chunk,
+            # every decode slot still produces its token this tick
+            return self._mixed_tick()
         active, lengths, last_tokens = self.sched.state()
         if not active.any():
             return 0

@@ -272,3 +272,55 @@ def test_serving_stop_and_bad_words(sharp):
                                                   bad_words_list=[[banned]]))],
         max_batch_size=2, max_seq_len=64)[0]
     assert banned not in got2
+
+
+def test_mixed_admission_token_exact(sharp):
+    """True in-flight batching: admissions fed as chunks through the SAME
+    tick that decodes other slots must reproduce the separate-prefill
+    manager's outputs exactly — and a long prompt admitted mid-flight must
+    not change the already-running request's tokens at all."""
+    model, mc = sharp
+    prompts = [[5, 11, 17, 23, 31],
+               list(range(3, 40)),            # long prompt: 3 chunks at W=16
+               [40, 2],
+               [7, 8, 9, 10, 11, 12, 13]]
+    queue = lambda: [InferenceRequest(i, np.asarray(p, np.int32),
+                                      max_new_tokens=10, end_id=210)
+                     for i, p in enumerate(prompts)]
+    plain = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64)
+    mixed = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
+                         mixed_admission=True, chunk_width=16)
+    assert mixed == plain
+
+
+def test_mixed_admission_no_decode_stall(sharp):
+    """While a long prompt is being chunked in, the already-running slot
+    keeps producing one token per tick (no admission stall)."""
+    model, mc = sharp
+    events = []
+
+    q = [InferenceRequest(0, np.asarray([5, 11, 17], np.int32),
+                          max_new_tokens=20, end_id=210, streaming=True),
+         InferenceRequest(1, np.asarray(list(range(3, 67)), np.int32),
+                          max_new_tokens=4, end_id=210)]
+    released = [q.pop(0)]
+
+    def get_requests(n):
+        if released:
+            return [released.pop(0)]
+        if events.count(0) == 3 and q:      # admit long prompt mid-decode
+            return [q.pop(0)]
+        return []
+
+    def send(r):
+        events.append(r.request_id)
+
+    mgr = ContinuousBatchingManager(
+        model, SamplingConfig(end_id=210, pad_id=210), max_batch_size=2,
+        max_seq_len=128, mixed_admission=True, chunk_width=16,
+        get_inference_requests=get_requests, send_response=send)
+    mgr.run()
+    # request 0 streamed a token on EVERY tick including the 4 chunk ticks
+    # of request 1's 64-token prompt: it must have kept going throughout
+    assert events.count(0) >= 20            # 19 stream + 1 final
+    assert 1 in events
