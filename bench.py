@@ -19,7 +19,7 @@ import os
 import sys
 import time
 
-DECODE_TOKENS = 40
+DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "40"))
 BASELINE_UTT_PER_S = 2620.0 / 1333.0  # reference TRT-LLM+plugins on A10
 
 
@@ -53,7 +53,7 @@ def main():
     if "kv8" in parts:
         qmode = qmode.set_int8_kv_cache()
     enc = WhisperEncoder(config, qmode)
-    dec = WhisperDecoder(config, qmode)
+    dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in parts)
     ckv = CrossAttnKV(config, int8_output=ckv8)
     if qmode.is_weight_only():
         from eddie_wang_hackathon2023_tpu.quantization.surgery import \
@@ -62,6 +62,10 @@ def main():
         dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
+    if "lmq8" in parts:
+        import jax.numpy as jnp
+        dec.lm_head_scale.value = jnp.ones(dec.lm_head_scale.value.shape,
+                                           jnp.float32)
     if qmode.has_int8_kv_cache():
         # unit scales (zeros would divide by 0; values don't affect timing)
         import jax.numpy as jnp

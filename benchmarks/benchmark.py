@@ -28,6 +28,11 @@ def main():
     p.add_argument("--batch_size", default="1,8")
     p.add_argument("--input_output_len", nargs="+", default=["60,20"])
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "woq8", "woq4", "sq"],
+                   help="woq*: weight-only int8/int4; sq: SmoothQuant "
+                        "W8A8 (int8 x int8 MXU GEMMs, per-channel + "
+                        "per-token scales)")
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--warm_up", type=int, default=2)
     p.add_argument("--num_runs", type=int, default=3)
@@ -52,6 +57,23 @@ def main():
                            dtype=args.dtype)
     model = DecoderLMHead(config)
     model.zeros_init()
+    if args.quant in ("woq8", "woq4"):
+        from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+            weight_only_quantize_state)
+        qmode = QuantMode.use_weight_only(args.quant == "woq4")
+        model, qstate = weight_only_quantize_state(model, model.state_dict(),
+                                                   qmode)
+        model.load_state_dict(qstate, strict=False)
+    elif args.quant == "sq":
+        from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+            smooth_quantize, smooth_quantize_state_dict)
+        qmode = QuantMode.use_smooth_quant(per_token=True, per_channel=True)
+        state = model.state_dict()
+        model = smooth_quantize(model, qmode)
+        qstate = smooth_quantize_state_dict(model, state, qmode)
+        model.load_state_dict(qstate, strict=False)
     mc = ModelConfig(vocab_size=vocab, num_layers=layers, num_heads=heads,
                      hidden_size=hidden, max_seq_len=max(2048, max_len))
     # end_id outside vocab => decode never stops early (pure throughput)
@@ -75,6 +97,7 @@ def main():
             print(f"[BENCHMARK] model_name {args.model} world_size 1 "
                   f"num_heads {heads} num_layers {layers} hidden_size {hidden} "
                   f"vocab_size {vocab} precision {args.dtype} "
+                  f"quant {args.quant} "
                   f"batch_size {bs} input_length {in_len} "
                   f"output_length {out_len} latency(ms) {latency * 1e3:.2f} "
                   f"tokens_per_sec {toks / latency:.2f}")

@@ -42,6 +42,18 @@ from ..ops.flash_attention import flash_mha
 from .linear import ColumnLinear, RowLinear
 
 
+def _pallas_decode() -> bool:
+    """Fused Pallas decode-attention kernel knob: on TPU the hand kernel
+    replaces the XLA einsum formulation of the cached decode attention
+    (see ops/pallas_decode_attention.py); EWT_PALLAS_DECODE=0 forces the
+    XLA path."""
+    import os
+    v = os.environ.get("EWT_PALLAS_DECODE")
+    if v is not None:
+        return v not in ("0", "false", "off")
+    return _on_tpu()
+
+
 class AttentionMaskType(enum.Enum):
     padding = 0
     causal = 1
@@ -257,6 +269,7 @@ class Attention(Module):
                 position_ids=None,
                 cache_write_index=None,
                 attention_start=None,
+                beam_indirection=None,
                 use_cache: bool = False):
         b, l, _ = hidden_states.shape
 
@@ -271,9 +284,19 @@ class Attention(Module):
                 # seq-minor einsums (int8 dequant handled inside)
                 assert attention_mask is None
                 s_full = jnp.full((query.shape[0],), key.shape[3], jnp.int32)
-                ctx = cached_decode_attention(
-                    query, (key, value), s_full, scale=self.scale,
-                    kv_quant_orig_scale=cross_scale)
+                if query.shape[2] == 1 and _pallas_decode():
+                    from ..ops.pallas_decode_attention import \
+                        fused_decode_attention
+                    full, li = cross_key_value
+                    if isinstance(full, tuple):
+                        full = full[0]
+                    ctx = fused_decode_attention(
+                        full, li, query, s_full, self.scale,
+                        kv_quant_orig_scale=cross_scale)
+                else:
+                    ctx = cached_decode_attention(
+                        query, (key, value), s_full, scale=self.scale,
+                        kv_quant_orig_scale=cross_scale)
                 out = self.dense(self._merge_heads(ctx))
                 return (out, past_key_value) if use_cache else out
             if key.dtype == jnp.int8:
@@ -372,11 +395,39 @@ class Attention(Module):
                 assert q.shape[2] == 1 and attention_mask is None and \
                     self.position_embedding_type != PositionEmbeddingType.alibi
                 k_st, v_st = cast_kv_for_cache(k, v, full_cache.dtype, kv_oq)
-                ctx = cached_decode_attention(
-                    q, layer_kv_views(full_cache, layer_idx),
-                    sequence_length, scale=self.scale,
-                    kv_quant_orig_scale=kv_qo,
-                    start_index=attention_start, fresh_kv=(k_st, v_st))
+                if beam_indirection is not None:
+                    # cache_indirection beam mode (ref T/functional.py:2738
+                    # cache_indirection plugin arg): the per-(beam,
+                    # position) physical-row map rides into the attention
+                    # READ instead of physically reordering the cache every
+                    # step — the gather fuses into the K/V consumption
+                    kk, vv = layer_kv_views(full_cache, layer_idx)
+                    bb, hh, dd, ss = kk.shape
+                    bg, bw, _ = beam_indirection.shape
+                    idx = beam_indirection[:, :, None, None, :]
+                    kk = jnp.take_along_axis(
+                        kk.reshape(bg, bw, hh, dd, ss), idx,
+                        axis=1).reshape(bb, hh, dd, ss)
+                    vv = jnp.take_along_axis(
+                        vv.reshape(bg, bw, hh, dd, ss), idx,
+                        axis=1).reshape(bb, hh, dd, ss)
+                    ctx = cached_decode_attention(
+                        q, (kk, vv), sequence_length, scale=self.scale,
+                        kv_quant_orig_scale=kv_qo,
+                        start_index=attention_start, fresh_kv=(k_st, v_st))
+                elif attention_start is None and _pallas_decode():
+                    from ..ops.pallas_decode_attention import \
+                        fused_decode_attention
+                    ctx = fused_decode_attention(
+                        full_cache, layer_idx, q, sequence_length,
+                        self.scale, kv_quant_orig_scale=kv_qo,
+                        fresh_kv=(k_st, v_st))
+                else:
+                    ctx = cached_decode_attention(
+                        q, layer_kv_views(full_cache, layer_idx),
+                        sequence_length, scale=self.scale,
+                        kv_quant_orig_scale=kv_qo,
+                        start_index=attention_start, fresh_kv=(k_st, v_st))
                 out = self.dense(self._merge_heads(ctx))
                 return (out, (k_st, v_st)) if use_cache else out
             if stacked_cache:

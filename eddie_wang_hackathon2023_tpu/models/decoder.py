@@ -121,12 +121,14 @@ class DecoderBlock(Module):
                            bias=c.mlp_bias, dtype=c.dtype)
 
     def forward(self, x, kv_cache, write_index, sequence_length,
-                attention_start=None, position_ids=None):
+                attention_start=None, position_ids=None,
+                beam_indirection=None):
         normed = self.input_layernorm(x)
         attn_out, new_cache = self.attention(
             normed, past_key_value=kv_cache, sequence_length=sequence_length,
             cache_write_index=write_index, attention_start=attention_start,
-            position_ids=position_ids, use_cache=True)
+            position_ids=position_ids, beam_indirection=beam_indirection,
+            use_cache=True)
         if self.config.deepnorm_alpha is not None:
             alpha = self.config.deepnorm_alpha
             x = normed * alpha + attn_out
@@ -189,8 +191,8 @@ class DecoderLMHead(Module):
         return self.config.position_embedding == "glm_rope"
 
     def forward(self, tokens, kv_cache, write_index, sequence_length,
-                attention_start=None,
-                context_lengths=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                attention_start=None, context_lengths=None,
+                beam_indirection=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tokens [B, L] int32 (left-padded prompts use attention_start);
         ``context_lengths`` [B]: true prompt lengths (glm_rope only);
         returns (logits [B, L, V] fp32, new stacked cache)."""
@@ -263,7 +265,8 @@ class DecoderLMHead(Module):
                     write_index=write_index,
                     sequence_length=sequence_length,
                     attention_start=attention_start,
-                    position_ids=position_ids)
+                    position_ids=position_ids,
+                    beam_indirection=beam_indirection)
                 return h, fresh
 
             x, (k_new, v_new) = jax.lax.scan(step, x, (stacked, layer_ids))

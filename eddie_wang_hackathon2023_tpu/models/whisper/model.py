@@ -188,13 +188,26 @@ class WhisperDecoder(Module):
     (ref model.py:200-467)."""
 
     def __init__(self, config: WhisperConfig,
-                 quant_mode: QuantMode = QuantMode(0)):
+                 quant_mode: QuantMode = QuantMode(0),
+                 quantize_lm_head: bool = False):
         super().__init__()
         c = config
         self.config = c
         self.quant_mode = quant_mode
         self.token_embedding = Embedding(c.n_vocab, c.n_text_state,
                                          dtype=c.dtype)
+        # int8 tied-logits GEMM: the reference EXCLUDES lm_head from WOQ by
+        # choice (T/models/quantized/quant.py:51 exclude list), but at
+        # batch-1 decode the [n_vocab, d] tied-embedding read is the single
+        # largest tensor touched per step (132 MB bf16 on large-v2); a
+        # per-vocab-row int8 copy halves it.  The float embedding stays for
+        # the input lookup; see quantize_lm_head_state for the transform
+        self.quantize_lm_head = quantize_lm_head
+        if quantize_lm_head:
+            self.lm_head_qweight = Parameter(
+                shape=(c.n_vocab, c.n_text_state), dtype="int8")
+            self.lm_head_scale = Parameter(shape=(c.n_vocab,),
+                                           dtype="float32")
         self.positional_embedding = Parameter(
             shape=(c.n_text_ctx, c.n_text_state), dtype=c.dtype)
         self.blocks = stack_parameter_shapes(
@@ -262,7 +275,32 @@ class WhisperDecoder(Module):
             (x, new_kv), _ = jax.lax.scan(
                 step, (x, kv_cache), (stacked, layer_ids))
         x = self.ln(x)
-        logits = jnp.einsum("bld,vd->blv", x,
-                            self.token_embedding.weight.value,
-                            preferred_element_type=jnp.float32)
+        if self.quantize_lm_head:
+            # int8 -> compute-dtype convert fuses into the GEMM weight read
+            # (same measured-faster pattern as the WOQ linears); scales
+            # apply per vocab row on the f32 accumulator
+            qw = self.lm_head_qweight.value.astype(x.dtype)
+            logits = jnp.einsum("bld,vd->blv", x, qw,
+                                preferred_element_type=jnp.float32)
+            logits = logits * self.lm_head_scale.value[None, None, :]
+        else:
+            logits = jnp.einsum("bld,vd->blv", x,
+                                self.token_embedding.weight.value,
+                                preferred_element_type=jnp.float32)
         return logits, new_kv
+
+
+def quantize_lm_head_state(dec_state):
+    """Add int8 lm-head tensors to a WhisperDecoder state dict built for
+    ``quantize_lm_head=True``: symmetric per-vocab-row quantisation of the
+    tied embedding (the offline weightOnlyQuantOp equivalent, applied to
+    the one matrix the reference's exclude-list spares)."""
+    import numpy as np
+    w = np.asarray(dec_state["token_embedding.weight"], np.float32)
+    amax = np.abs(w).max(axis=1)
+    scale = np.maximum(amax, 1e-8) / 127.0
+    q = np.clip(np.round(w / scale[:, None]), -127, 127).astype(np.int8)
+    out = dict(dec_state)
+    out["lm_head_qweight"] = q
+    out["lm_head_scale"] = scale.astype(np.float32)
+    return out

@@ -1,0 +1,155 @@
+"""Fused single-token decode attention (Pallas).
+
+The hand kernel the survey called the hard part (SURVEY.md §7) — the
+TPU counterpart of the reference's decoderMaskedMultiheadAttention CUDA
+family (``C/tensorrt_llm/kernels/decoderMaskedMultiheadAttention/``,
+~6.5k LoC): for one query token per sequence, read the cached K/V,
+dequantize (int8/fp8) on the fly, compute masked scores, softmax in fp32
+and accumulate V — all in ONE kernel per layer, straight out of the
+STACKED cache.
+
+Shape strategy: ONE grid cell per batch row — all H heads are processed
+as one batched ``dot_general`` pair per cell (H tiny MXU ops inside one
+program beat H separate grid cells by an order of magnitude in launch
+overhead at decode sizes).  Both K and V panels arrive in a single block
+DMA.  Quantized caches are consumed at their storage dtype and the
+per-tensor scale is applied to the (linear) score/context results, so no
+fp32 copy of the cache is ever materialised in VMEM.
+
+Layout contract (matches ops.attention): stacked cache
+``[L, B, 2, H, D, S]`` — SEQ-MINOR; the layer index is a scalar-prefetch
+argument consumed by the BlockSpec index maps, so no layer slice is ever
+materialised in HBM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(layer_ref, seqlen_ref, kscale_ref, q_ref, kv_ref, *rest,
+            scale: float, quant: bool, with_fresh: bool, cdt):
+    # positional order: scalar-prefetch refs, input refs, output ref
+    o_ref = rest[-1]
+    fresh = rest[:-1]
+    b = pl.program_id(0)
+    kscale = kscale_ref[0] if quant else 1.0
+    q = q_ref[0, :, 0, :].astype(cdt)                      # [H, D]
+    kv = kv_ref[0, 0]                                      # [2, H, D, S]
+    k = kv[0].astype(cdt)                                  # [H, D, S]
+    v = kv[1].astype(cdt)
+    # batched over heads: [H,1,D] x [H,D,S] -> [H,1,S] fp32
+    s = jax.lax.dot_general(
+        q[:, None, :], k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s * (scale * kscale)
+    pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    seq_len = seqlen_ref[b]
+    cache_len = seq_len - 1 if with_fresh else seq_len
+    s = jnp.where(pos < cache_len, s, NEG)
+    if with_fresh:
+        fk_ref, fv_ref = fresh
+        fk = fk_ref[0, :, :, 0].astype(jnp.float32)        # [H, D]
+        fv = fv_ref[0, :, :, 0].astype(jnp.float32)        # [H, D]
+        s_f = jnp.sum(q.astype(jnp.float32) * fk,
+                      axis=-1) * (scale * kscale)          # [H]
+        m = jnp.maximum(jnp.max(s, axis=2), s_f[:, None])  # [H, 1]
+        p = jnp.exp(s - m[:, :, None])                     # [H, 1, S]
+        p_f = jnp.exp(s_f - m[:, 0])                       # [H]
+        denom = jnp.sum(p, axis=2)[:, 0] + p_f             # [H]
+        # [H,D,S] x [H,1,S] -> [H,D,1]
+        ctx = jax.lax.dot_general(
+            v, p.astype(cdt),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, :, 0]   # [H, D]
+        ctx = (ctx * kscale + fv * (kscale * p_f[:, None]))
+        ctx = ctx / denom[:, None]
+    else:
+        m = jnp.max(s, axis=2)                             # [H, 1]
+        p = jnp.exp(s - m[:, :, None])
+        denom = jnp.sum(p, axis=2)[:, 0]                   # [H]
+        ctx = jax.lax.dot_general(
+            v, p.astype(cdt),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, :, 0]
+        ctx = ctx * (kscale / denom[:, None])
+    o_ref[0, :, 0, :] = ctx.astype(o_ref.dtype)
+
+
+def fused_decode_attention(full_cache, layer_idx, q, seq_len,
+                           scale: float,
+                           kv_quant_orig_scale=None,
+                           fresh_kv: Optional[Tuple] = None,
+                           interpret: bool = False):
+    """One-token attention against one layer of the stacked cache.
+
+    full_cache [L, B, 2, H, D, S] (bf16/int8/fp8 seq-minor);
+    layer_idx scalar int32; q [B, H, 1, D]; seq_len [B] int32 — total valid
+    length INCLUDING the current token.  ``fresh_kv``: (k, v) [B, H, D, 1]
+    in cache dtype for the deferred-write mode (current token's K/V not in
+    the cache yet).  Returns ctx [B, H, 1, D] in q.dtype.
+    """
+    L, B, _, H, D, S = full_cache.shape
+    quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
+    with_fresh = fresh_kv is not None
+
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)
+    if seqlen_arr.shape[0] != B:
+        seqlen_arr = jnp.broadcast_to(seqlen_arr, (B,))
+    if kv_quant_orig_scale is None:
+        kscale_arr = jnp.ones((1,), jnp.float32)
+    else:
+        kscale_arr = jnp.asarray(kv_quant_orig_scale,
+                                 jnp.float32).reshape(-1)[:1]
+
+    # index maps receive (grid ids..., scalar-prefetch refs...)
+    def kv_map(b, lref, sref, kref):
+        return (lref[0], b, 0, 0, 0, 0)
+
+    def q_map(b, lref, sref, kref):
+        return (b, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 2, H, D, S), kv_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q, full_cache]
+    if with_fresh:
+        fk, fv = fresh_kv
+        in_specs += [
+            pl.BlockSpec((1, H, D, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, D, 1), q_map, memory_space=pltpu.VMEM),
+        ]
+        args += [fk, fv]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, 1, D), q_map,
+                               memory_space=pltpu.VMEM),
+    )
+    cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
+    kernel = functools.partial(
+        _kernel, scale=float(scale), quant=quant, with_fresh=with_fresh,
+        cdt=cdt)
+    bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * D * S, bytes_accessed=bytes_cost,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(layer_arr, seqlen_arr, kscale_arr, *args)
+    return out

@@ -33,7 +33,7 @@ import numpy as np
 
 from .sampling import (DecodeParams, SamplingConfig, beam_search_step,
                        dynamic_decode, finalize_beams, gather_beams,
-                       match_stop_words)
+                       match_stop_words, update_indirection)
 
 PROMPT_BUCKETS = (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
                   1024, 1536, 2048)
@@ -63,11 +63,18 @@ class GenerationSession:
 
     def __init__(self, model_config: ModelConfig, model,
                  sampling_config: Optional[SamplingConfig] = None,
-                 bucket_prompts: bool = True):
+                 bucket_prompts: bool = True,
+                 use_cache_indirection: bool = False):
         self.model_config = model_config
         self.model = model
         self.sampling_config = sampling_config or SamplingConfig()
         self.bucket_prompts = bucket_prompts
+        # beam search without the per-step full-cache reorder: carry a
+        # [B, beam, S] physical-row map instead (the reference's
+        # cache_indirection, T/functional.py:2738) and let the attention
+        # read gather through it.  Requires the model to accept
+        # ``beam_indirection`` (DecoderLMHead does)
+        self.use_cache_indirection = use_cache_indirection
         self._params = None
         self._decode_fn = jax.jit(
             self._decode_impl,
@@ -132,6 +139,7 @@ class GenerationSession:
         live = pos >= jnp.reshape(start, (-1, 1, 1))
         token_counts = jnp.sum(one_hot * live, axis=1)
 
+        use_ind = beam > 1 and self.use_cache_indirection
         init = dict(
             logits=logits,
             tokens=tokens_buf,
@@ -143,6 +151,11 @@ class GenerationSession:
             counts=token_counts,
             rng=rng,
         )
+        if use_ind:
+            # after prefill every beam holds its own copy of the prompt KV
+            init["ind"] = jnp.broadcast_to(
+                jnp.arange(beam, dtype=jnp.int32)[None, :, None],
+                (b, beam, total_len))
         if beam > 1:
             # all but beam 0 start at -inf so the first expansion picks
             # distinct continuations of the single prefill beam
@@ -165,19 +178,23 @@ class GenerationSession:
                 parent, tok, cum, fin = beam_search_step(
                     logprobs, s["cum_lp"], s["finished"].reshape(b, beam),
                     beam, sc.end_id, sc.length_penalty, cur_len=gen_len)
-                # reorder carried state to follow the surviving beams
-                reordered = gather_beams(
-                    dict(tokens=s["tokens"].reshape(b, beam, -1),
-                         counts=s["counts"].reshape(b, beam, v),
-                         cache=jnp.moveaxis(
-                             s["cache"].reshape(
-                                 s["cache"].shape[0], b, beam,
-                                 *s["cache"].shape[2:]), 0, 2)),
-                    parent)
+                # reorder carried state to follow the surviving beams —
+                # with cache_indirection the CACHE itself stays put and
+                # only the [B, beam, S] row map is advanced
+                to_gather = dict(tokens=s["tokens"].reshape(b, beam, -1),
+                                 counts=s["counts"].reshape(b, beam, v))
+                if not use_ind:
+                    to_gather["cache"] = jnp.moveaxis(
+                        s["cache"].reshape(s["cache"].shape[0], b, beam,
+                                           *s["cache"].shape[2:]), 0, 2)
+                reordered = gather_beams(to_gather, parent)
                 tokens = reordered["tokens"].reshape(bb, -1)
                 counts = reordered["counts"].reshape(bb, v)
-                cache = jnp.moveaxis(reordered["cache"], 2, 0).reshape(
-                    s["cache"].shape)
+                if use_ind:
+                    cache = s["cache"]
+                else:
+                    cache = jnp.moveaxis(reordered["cache"], 2, 0).reshape(
+                        s["cache"].shape)
                 next_tok = tok.reshape(bb)
                 finished = fin.reshape(bb)
                 cum_lp = cum
@@ -204,14 +221,20 @@ class GenerationSession:
                 cache = s["cache"]
             counts = counts + jax.nn.one_hot(next_tok, v, dtype=jnp.int32) * \
                 jnp.logical_not(finished)[:, None]
+            extra_step = dict(extra_bb)
+            out_state = {}
+            if use_ind:
+                ind = update_indirection(s["ind"], parent, cur)
+                extra_step["beam_indirection"] = ind
+                out_state["ind"] = ind
             step_logits, cache = model.apply(
                 params, next_tok[:, None], cache, cur,
                 jnp.full((bb,), cur + 1, jnp.int32), attention_start=start,
-                **extra_bb)
+                **extra_step)
             return dict(logits=step_logits[:, -1].astype(jnp.float32),
                         tokens=tokens, cache=cache, cur=cur + 1,
                         finished=finished, cum_lp=cum_lp, counts=counts,
-                        rng=rng)
+                        rng=rng, **out_state)
 
         final = jax.lax.while_loop(cond, body, init)
         tokens = final["tokens"].reshape(b, beam, total_len)

@@ -257,3 +257,18 @@ def test_prompt_bucketing_token_exact(gpt2):
              max_new_tokens=8)
     a.decode(np.array([[5, 11, 17, 23, 2, 7]], dtype=np.int32),
              np.array([6]), max_new_tokens=8)
+
+
+def test_beam_cache_indirection_matches_gather(gpt2):
+    """cache_indirection beam mode (no per-step cache reorder) must produce
+    exactly the same beams/scores as the gather mode."""
+    hf, model, mc = gpt2
+    sc = SamplingConfig(end_id=96, pad_id=96, num_beams=3)
+    prompt = np.array([[5, 11, 17, 23], [2, 3, 4, 7]], dtype=np.int32)
+    a = GenerationSession(mc, model, sc)
+    tg, lg, cg = a.decode(prompt, np.array([4, 4]), max_new_tokens=10)
+    b = GenerationSession(mc, model, sc, use_cache_indirection=True)
+    ti, li, ci = b.decode(prompt, np.array([4, 4]), max_new_tokens=10)
+    np.testing.assert_array_equal(tg, ti)
+    np.testing.assert_array_equal(lg, li)
+    np.testing.assert_allclose(cg, ci, rtol=1e-5)

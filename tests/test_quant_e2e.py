@@ -131,3 +131,37 @@ def test_int8_cross_kv_e2e(fp_pipe, fp_result):
     a, b = fp_result[0].tokens, res[0].tokens
     agree = sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
     assert agree > 0.5, (a, b)
+
+
+def test_int8_lm_head_e2e(fp_pipe, fp_result):
+    """int8 tied-logits GEMM (per-vocab-row scales): transcription stays
+    greedy-equivalent on random weights at tiny dims."""
+    from eddie_wang_hackathon2023_tpu.models.whisper.model import (
+        quantize_lm_head_state)
+    dec = WhisperDecoder(CFG, quantize_lm_head=True)
+    dec.load_state_dict(quantize_lm_head_state(dict(DEC_SD)), strict=False)
+    enc = WhisperEncoder(CFG)
+    enc.load_state_dict(dict(ENC_SD))
+    ckv = CrossAttnKV(CFG)
+    ckv.load_state_dict(dict(CKV_SD))
+    pipe = WhisperPipeline(CFG, enc, dec, ckv,
+                           DecodingOptions(language="en", sample_len=10))
+    pipe.bind_params()
+    res = pipe.transcribe(MEL)
+    a, b = fp_result[0].tokens, res[0].tokens
+    agree = sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
+    assert agree >= 0.8, (a, b)
+    # logits themselves are close in max-norm
+    import jax.numpy as jnp
+    xa = pipe.get_audio_features(MEL)
+    cross = pipe.precompute_cross_kv(xa)
+    cache_q = dec.new_kv_cache(1)
+    cache_f = fp_pipe.decoder.new_kv_cache(1)
+    toks = jnp.asarray([[50258, 50259]], jnp.int32)
+    lq, _ = dec(toks, cache_q, cross, 0, jnp.array([2]))
+    lf, _ = fp_pipe.decoder(toks, cache_f,
+                            fp_pipe.precompute_cross_kv(xa), 0,
+                            jnp.array([2]))
+    rel = (np.abs(np.asarray(lq) - np.asarray(lf)).max()
+           / (np.abs(np.asarray(lf)).max() + 1e-9))
+    assert rel < 0.02, rel
