@@ -24,6 +24,7 @@ HOP_LENGTH = 160
 N_MELS = 80
 CHUNK_LENGTH = 30
 N_SAMPLES = CHUNK_LENGTH * SAMPLE_RATE  # 480000
+N_FRAMES = N_SAMPLES // HOP_LENGTH      # 3000 mel frames / window
 
 
 def _hz_to_mel_slaney(f):

@@ -570,6 +570,83 @@ class WhisperPipeline:
             ))
         return results
 
+    def transcribe_long(self, audio, seed: int = 0) -> Dict:
+        """Long-form (>30 s) transcription — the capability the reference
+        simply skips (summarize.py:118-119 drops clips over 30 s): slide a
+        30 s window over the audio and advance it by the last *paired*
+        timestamp token of each decode (openai transcribe.py seek
+        semantics), so windows start where speech actually stopped.
+
+        audio: 1-D float waveform at 16 kHz (any length).
+        Returns {"text", "segments": [{start, end, text}], "language"}.
+        """
+        import numpy as np
+        from ...audio import HOP_LENGTH, SAMPLE_RATE, log_mel_spectrogram
+        tok = self.tokenizer
+        ts_begin = tok.timestamp_begin
+        mel = np.asarray(log_mel_spectrogram(audio))        # [80, T]
+        n_frames_total = mel.shape[-1]
+        # window geometry from the model config (stride-2 encoder conv:
+        # 2 mel frames per audio position; 3000 frames/30 s on large-v2)
+        n_frames = 2 * self.config.n_audio_ctx
+        input_stride = 2                                    # frames/pos
+        time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # s/pos
+        seek = 0
+        segments: List[Dict] = []
+        texts: List[str] = []
+        language = self.options.language or "en"
+        while seek < n_frames_total:
+            window = mel[:, seek:seek + n_frames]
+            pad = n_frames - window.shape[-1]
+            if pad > 0:
+                window = np.pad(window, ((0, 0), (0, pad)))
+            time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+            result = self.transcribe(window[None], seed=seed)[0]
+            language = result.language
+            tokens = np.asarray(result.tokens)
+            is_ts = tokens >= ts_begin
+            # a CONSECUTIVE timestamp pair closes a segment and opens the
+            # next (openai transcribe.py); each slice ends at the first
+            # timestamp of a pair
+            consecutive = np.where(is_ts[:-1] & is_ts[1:])[0] + 1
+            if len(consecutive):
+                last_slice = 0
+                for c in consecutive:
+                    seg = tokens[last_slice:c]
+                    ts_in = seg[seg >= ts_begin]
+                    if len(ts_in) >= 2:
+                        segments.append(dict(
+                            start=time_offset + float(ts_in[0] - ts_begin)
+                            * time_precision,
+                            end=time_offset + float(ts_in[-1] - ts_begin)
+                            * time_precision,
+                            text=tok.decode([int(t) for t in seg
+                                             if t < tok.eot]).strip()))
+                    last_slice = c
+                seek_units = int(tokens[consecutive[-1]] - ts_begin)
+                seek += (seek_units * input_stride if seek_units > 0
+                         else n_frames)       # degenerate: avoid stalling
+            else:
+                # no closing pair: consume the whole window; use trailing
+                # timestamps for the segment span when present
+                ts_in = tokens[is_ts]
+                end = (time_offset + float(ts_in[-1] - ts_begin)
+                       * time_precision if len(ts_in)
+                       else time_offset + min(
+                           n_frames, n_frames_total - seek) * HOP_LENGTH
+                       / SAMPLE_RATE)
+                text = tok.decode([int(t) for t in tokens
+                                   if t < tok.eot]).strip()
+                if text:
+                    segments.append(dict(start=time_offset, end=end,
+                                         text=text))
+                seek += n_frames
+            if segments and segments[-1]["text"]:
+                texts.append(segments[-1]["text"])
+        return dict(text=" ".join(t for t in (s["text"] for s in segments)
+                                  if t).strip(),
+                    segments=segments, language=language)
+
     def transcribe(self, mel, seed: int = 0, fused: bool = False,
                    keep_audio_features: bool = False) -> List[DecodingResult]:
         """Full pipeline for a batch of 30 s mel windows [B, n_mels, 3000]

@@ -244,3 +244,58 @@ def test_beam_options_validation(pipeline):
                         pipeline.cross_kv,
                         DecodingOptions(language="en", beam_size=2,
                                         patience=2.0))
+
+
+def test_transcribe_long_sliding_window(pipeline):
+    """>30 s audio: the window slides over the whole clip and the seek
+    advances by the last paired timestamp of each decode (the reference
+    SKIPS such clips, summarize.py:118-119)."""
+    import numpy as np
+
+    calls = []
+    real_transcribe = pipeline.transcribe
+    tok = pipeline.tokenizer
+    tsb = tok.timestamp_begin
+    hello = tok.encode("hello")
+
+    def fake_transcribe(mel, seed=0, **kw):
+        calls.append(np.asarray(mel).shape)
+        from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
+            DecodingResult)
+        # tiny config: window = 120 mel frames (1.2 s), 0.02 s/unit
+        if len(calls) == 1:
+            # <|0.00|> hello <|0.48|><|0.48|> hello <|0.80|><|0.80|>
+            toks = ([tsb] + hello + [tsb + 24, tsb + 24] + hello
+                    + [tsb + 40, tsb + 40])
+        else:
+            toks = [tsb] + hello + [tsb + 10]       # open segment
+        return [DecodingResult(audio_features=None, language="en",
+                               tokens=toks, text="hello")]
+
+    pipeline.transcribe = fake_transcribe
+    try:
+        audio = np.zeros(32000, np.float32)         # 2 s = 200 mel frames
+        out = pipeline.transcribe_long(audio)
+    finally:
+        pipeline.transcribe = real_transcribe
+    # window 1 seeks to 0.8 s (last pair), window 2 consumes the rest
+    assert len(calls) == 2
+    assert out["language"] == "en"
+    segs = out["segments"]
+    assert segs[0]["start"] == 0.0 and abs(segs[0]["end"] - 0.48) < 1e-6
+    assert abs(segs[1]["start"] - 0.48) < 1e-6
+    assert abs(segs[1]["end"] - 0.80) < 1e-6
+    # second window starts at 0.8 s
+    assert abs(segs[2]["start"] - 0.80) < 1e-6
+    assert "hello" in out["text"]
+
+
+def test_transcribe_long_end_to_end_random(pipeline):
+    """Real (random-weight) pipeline over 70 s of noise terminates and
+    returns the dict contract."""
+    import numpy as np
+    rs = np.random.RandomState(0)
+    audio = (rs.randn(16000 * 4) * 0.01).astype(np.float32)  # ~3.3 windows
+    out = pipeline.transcribe_long(audio)
+    assert set(out) == {"text", "segments", "language"}
+    assert isinstance(out["text"], str)
