@@ -1,4 +1,4 @@
-"""Fused int8-weight dequant matmul Pallas kernel.
+"""Fused int4-weight dequant matmul Pallas kernel.
 
 TPU-native equivalent of the reference's WeightOnlyQuantMatmul plugin
 (``plugins/weightOnlyQuantMatmulPlugin``, CUTLASS fpA_intB GEMM + custom
@@ -16,13 +16,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _kernel(x_ref, qw_ref, scale_ref, out_ref):
-    x = x_ref[:]                                   # [TM, K] bf16/fp16
-    w = qw_ref[:].astype(x.dtype)                  # [K, TN] int8 -> act dtype
-    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    out_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -89,41 +82,3 @@ def quant_matmul_int4_pallas(x, qweight, scales, block_m: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def quant_matmul_pallas(x, qweight, scales, block_m: int = 256,
-                        block_n: int = 512):
-    """x [..., K] @ qweight [K, N] int8, per-column scales [N] -> [..., N]."""
-    *lead, k = x.shape
-    n = qweight.shape[1]
-    m = 1
-    for s in lead:
-        m *= s
-    x2 = x.reshape(m, k)
-    tm = min(block_m, _round_up(m, 16))
-    tn = min(block_n, n)
-    m_pad = _round_up(m, tm)
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    grid = (m_pad // tm, n // tn)
-    out = pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, k), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n * k,
-            bytes_accessed=m_pad * k * 2 + k * n + m_pad * n * 2,
-            transcendentals=0,
-        ),
-    )(x2, qweight, scales.reshape(1, n))
-    if m_pad != m:
-        out = out[:m]
-    return out.reshape(*lead, n)

@@ -67,25 +67,21 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=0)
 
 
-def weight_only_quant_matmul(x, qweight, scales, bits: int = 8,
-                             use_pallas: bool = False):
+def weight_only_quant_matmul(x, qweight, scales, bits: int = 8):
     """x [..., K] bf16/fp16 @ int-quantised weight [K, N] -> [..., N].
 
-    ``use_pallas`` selects the fused VMEM-dequant kernel on TPU backends
-    (falls back automatically elsewhere).
+    int8: XLA's fused int8->bf16 dequant GEMM — measured FASTER than a
+    hand Pallas dequant-GEMM on v5e (3.10 vs 3.60 ms/tok large-v2 decode;
+    the losing kernel was deleted per that measurement).
+    int4: the Pallas VMEM-unpack kernel is the default on TPU (XLA
+    materialises the unpacked int8 weight per call => ~3x the int4 HBM
+    bytes); EWT_INT4_XLA=1 forces the XLA unpack path for comparison.
     """
     import os
 
     from .._utils import on_tpu
-    if (use_pallas or os.environ.get("EWT_WOQ_PALLAS") == "1") \
-            and on_tpu() and bits == 8:
-        from .pallas_quant_matmul import quant_matmul_pallas
-        return quant_matmul_pallas(x, qweight, scales)
     if bits == 4:
-        if on_tpu():
-            # XLA materialises the unpacked int8 weight per call (write +
-            # re-read = 3x the int4 bytes); the Pallas kernel unpacks
-            # inside VMEM so HBM only ever sees nibbles
+        if on_tpu() and os.environ.get("EWT_INT4_XLA") != "1":
             from .pallas_quant_matmul import quant_matmul_int4_pallas
             return quant_matmul_int4_pallas(x, qweight, scales)
         qweight = unpack_int4(qweight)
