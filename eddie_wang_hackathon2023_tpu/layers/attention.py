@@ -415,13 +415,13 @@ class Attention(Module):
                         q, (kk, vv), sequence_length, scale=self.scale,
                         kv_quant_orig_scale=kv_qo,
                         start_index=attention_start, fresh_kv=(k_st, v_st))
-                elif attention_start is None and _pallas_decode():
+                elif _pallas_decode():
                     from ..ops.pallas_decode_attention import \
                         fused_decode_attention
                     ctx = fused_decode_attention(
                         full_cache, layer_idx, q, sequence_length,
                         self.scale, kv_quant_orig_scale=kv_qo,
-                        fresh_kv=(k_st, v_st))
+                        fresh_kv=(k_st, v_st), start_index=attention_start)
                 else:
                     ctx = cached_decode_attention(
                         q, layer_kv_views(full_cache, layer_idx),

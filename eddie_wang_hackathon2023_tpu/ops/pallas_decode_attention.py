@@ -34,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(layer_ref, seqlen_ref, kscale_ref, q_ref, kv_ref, *rest,
-            scale: float, quant: bool, with_fresh: bool, cdt):
+def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, q_ref, kv_ref,
+            *rest, scale: float, quant: bool, with_fresh: bool, cdt):
     # positional order: scalar-prefetch refs, input refs, output ref
     o_ref = rest[-1]
     fresh = rest[:-1]
@@ -54,7 +54,8 @@ def _kernel(layer_ref, seqlen_ref, kscale_ref, q_ref, kv_ref, *rest,
     pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     seq_len = seqlen_ref[b]
     cache_len = seq_len - 1 if with_fresh else seq_len
-    s = jnp.where(pos < cache_len, s, NEG)
+    valid = jnp.logical_and(pos < cache_len, pos >= start_ref[b])
+    s = jnp.where(valid, s, NEG)
     if with_fresh:
         fk_ref, fv_ref = fresh
         fk = fk_ref[0, :, :, 0].astype(jnp.float32)        # [H, D]
@@ -88,6 +89,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            scale: float,
                            kv_quant_orig_scale=None,
                            fresh_kv: Optional[Tuple] = None,
+                           start_index=None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
 
@@ -95,11 +97,27 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     layer_idx scalar int32; q [B, H, 1, D]; seq_len [B] int32 — total valid
     length INCLUDING the current token.  ``fresh_kv``: (k, v) [B, H, D, 1]
     in cache dtype for the deferred-write mode (current token's K/V not in
-    the cache yet).  Returns ctx [B, H, 1, D] in q.dtype.
+    the cache yet).  ``start_index`` [B] int32 (or scalar) masks keys at
+    positions < start (left-padded ragged prompts, runtime/generation.py).
+    Returns ctx [B, H, 1, D] in q.dtype.
+
+    Note on the cache APPEND: it stays OUTSIDE this kernel (one XLA
+    dynamic-update-slice batches all layers' fresh columns per step, see
+    ops.attention.write_fresh_kv).  An in-kernel append was tried and is
+    not expressible: a one-column scatter into the seq-minor cache slices
+    the 128-lane axis to size 1, which Mosaic rejects for tiled memrefs in
+    every memory space (VMEM block, ANY/HBM async-DMA source and
+    destination alike), and a read-modify-write of the surrounding
+    128-column tile would add ~20 MB/step of traffic for large-v2 —
+    more than the store it replaces.
     """
     L, B, _, H, D, S = full_cache.shape
     quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
     with_fresh = fresh_kv is not None
+    if not interpret:
+        # off-TPU (CPU tests with the knob forced on) run the interpreter
+        from .._utils import runtime_platform
+        interpret = runtime_platform() != "tpu"
 
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)
@@ -110,12 +128,17 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     else:
         kscale_arr = jnp.asarray(kv_quant_orig_scale,
                                  jnp.float32).reshape(-1)[:1]
+    if start_index is None:
+        start_arr = jnp.zeros((B,), jnp.int32)
+    else:
+        start_arr = jnp.broadcast_to(
+            jnp.asarray(start_index, jnp.int32).reshape(-1), (B,))
 
     # index maps receive (grid ids..., scalar-prefetch refs...)
-    def kv_map(b, lref, sref, kref):
+    def kv_map(b, lref, sref, stref, kref):
         return (lref[0], b, 0, 0, 0, 0)
 
-    def q_map(b, lref, sref, kref):
+    def q_map(b, lref, sref, stref, kref):
         return (b, 0, 0, 0)
 
     in_specs = [
@@ -132,11 +155,10 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         args += [fk, fv]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, 1, D), q_map,
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
     )
     cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
     kernel = functools.partial(
@@ -151,5 +173,5 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
             flops=4 * B * H * D * S, bytes_accessed=bytes_cost,
             transcendentals=B * H * S),
         interpret=interpret,
-    )(layer_arr, seqlen_arr, kscale_arr, *args)
+    )(layer_arr, seqlen_arr, start_arr, kscale_arr, *args)
     return out

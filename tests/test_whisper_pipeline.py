@@ -299,3 +299,22 @@ def test_transcribe_long_end_to_end_random(pipeline):
     out = pipeline.transcribe_long(audio)
     assert set(out) == {"text", "segments", "language"}
     assert isinstance(out["text"], str)
+
+
+def test_pallas_decode_path_token_exact(pipeline, features, monkeypatch):
+    """The fused Pallas decode path must produce exactly the same tokens
+    as the XLA path (interpret mode on CPU)."""
+    mel, xa = features
+    cross_kv = pipeline.precompute_cross_kv(xa)
+    ref_tokens, ref_len, ref_lp, _ = pipeline.main_loop(xa, cross_kv)
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    # fresh pipeline => fresh jit caches tracing through the pallas path
+    pipe2 = WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                            pipeline.cross_kv,
+                            DecodingOptions(language="en", sample_len=12))
+    pipe2.bind_params()
+    got_tokens, got_len, got_lp, _ = pipe2.main_loop(xa, cross_kv)
+    np.testing.assert_array_equal(np.asarray(ref_tokens),
+                                  np.asarray(got_tokens))
+    np.testing.assert_allclose(np.asarray(ref_lp), np.asarray(got_lp),
+                               atol=2e-3)
