@@ -37,6 +37,9 @@ def main():
     p.add_argument("--tokens_per_block", type=int, default=32)
     p.add_argument("--top_p", type=float, default=0.0,
                    help=">0: nucleus sampling at temperature 0.8")
+    p.add_argument("--mixed", action="store_true",
+                   help="mixed context+generation tick (admission prefill "
+                        "chunks ride the decode step program)")
     p.add_argument("--matrix", action="store_true",
                    help="sweep (dense|paged) x (greedy|top_p=0.9)")
     args = p.parse_args()
@@ -63,10 +66,10 @@ def main():
     cells = ([(pg, tp) for pg in (False, True) for tp in (0.0, 0.9)]
              if args.matrix else [(args.paged, args.top_p)])
     for paged, top_p in cells:
-        run_cell(args, model, vocab, paged, top_p)
+        run_cell(args, model, vocab, paged, top_p, args.mixed)
 
 
-def run_cell(args, model, vocab, paged, top_p):
+def run_cell(args, model, vocab, paged, top_p, mixed=False):
     import numpy as np
     import time
     from eddie_wang_hackathon2023_tpu.runtime.batch_manager import (
@@ -80,6 +83,22 @@ def run_cell(args, model, vocab, paged, top_p):
                               max_new_tokens=args.max_new_tokens, end_id=-1)
              for i in range(args.requests)]
     done = []
+    admitted_at = {}   # rid -> admission wall time
+    first_tok = {}     # rid -> admission->first-token latency (s)
+
+    def pull(n):
+        out = [queue.pop(0) for _ in range(min(n, len(queue)))]
+        now = time.time()
+        for r in out:
+            admitted_at[r.request_id] = now
+        return out
+
+    def push(r):
+        if r.request_id not in first_tok and r.request_id in admitted_at:
+            first_tok[r.request_id] = time.time() - admitted_at[r.request_id]
+        if r.finished:
+            done.append(r)
+
     sc = (SamplingConfig(end_id=-1, pad_id=0, temperature=0.8, top_p=top_p)
           if top_p > 0 else SamplingConfig(end_id=-1, pad_id=0))
     mgr = ContinuousBatchingManager(
@@ -87,30 +106,35 @@ def run_cell(args, model, vocab, paged, top_p):
         max_batch_size=args.max_batch_size, max_seq_len=args.max_seq_len,
         steps_per_tick=args.steps_per_tick,
         paged=paged, tokens_per_block=args.tokens_per_block,
-        get_inference_requests=lambda n: [queue.pop(0)
-                                          for _ in range(min(n, len(queue)))],
-        send_response=lambda r: done.append(r) if r.finished else None)
+        mixed_admission=mixed,
+        get_inference_requests=pull,
+        send_response=push)
     # warm the two programs (prefill bucket + step) on one request
     warm = [InferenceRequest(10**6, np.zeros((args.prompt_len,), np.int32),
                              max_new_tokens=2, end_id=-1)]
     wdone = []
-    wmgr_get = mgr.get_inference_requests
     mgr.get_inference_requests = lambda n: [warm.pop()] if warm else []
     mgr.send_response = lambda r: wdone.append(r)
     mgr.run()
-    mgr.get_inference_requests = wmgr_get
-    mgr.send_response = lambda r: done.append(r) if r.finished else None
+    mgr.get_inference_requests = pull
+    mgr.send_response = push
 
     t0 = time.time()
     mgr.run()
     dt = time.time() - t0
     toks = sum(len(r.output_ids) for r in done)
+    lat = sorted(first_tok.values())
+    lat_line = (f"first_token_ms_mean {1e3 * sum(lat) / len(lat):.1f} "
+                f"p95 {1e3 * lat[int(0.95 * (len(lat) - 1))]:.1f} "
+                if lat else "")
     print(f"[BENCHMARK] serve model {args.model} slots {args.max_batch_size} "
           f"kv {'paged' if paged else 'dense'} "
           f"sampling {'top_p' + str(top_p) if top_p > 0 else 'greedy'} "
           f"steps_per_tick {args.steps_per_tick} "
+          f"admission {'mixed' if mixed else 'prefill'} "
           f"requests {len(done)} total_new_tokens {toks} wall_s {dt:.2f} "
           f"req_per_s {len(done) / dt:.2f} tokens_per_sec {toks / dt:.2f} "
+          f"{lat_line}"
           f"scheduler {'native' if mgr.sched.__class__.__name__.startswith('Native') else 'python'}")
 
 
