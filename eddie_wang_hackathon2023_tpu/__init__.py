@@ -20,3 +20,5 @@ from .module import Module, ModuleList, stack_params
 from .parameter import Parameter
 from .parallel.mapping import Mapping
 from .quantization import QuantMode
+from .plugin import PluginConfig, get_plugin_config, plugin_config, \
+    set_plugin_config

@@ -53,11 +53,17 @@ def save_whisper_checkpoint(out_dir: str,
                             encoder_state: dict,
                             decoder_state: dict,
                             cross_kv_state: dict,
-                            quant_mode: QuantMode = QuantMode(0)) -> None:
+                            quant_mode: QuantMode = QuantMode(0),
+                            plugin_config=None) -> None:
+    """``plugin_config`` (PluginConfig): kernel recipe recorded with the
+    checkpoint (ref: PluginConfig flags serialized per engine build,
+    E/whisper/build.py:137-150); None records the active one."""
+    from .plugin import get_plugin_config
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     meta = {"model": "whisper", "quant_mode": int(quant_mode),
-            "builder_version": "0.1.0"}
+            "builder_version": "0.1.0",
+            "plugin_config": (plugin_config or get_plugin_config()).to_dict()}
     config.to_json(os.path.join(out_dir, "config.json"))
     with open(os.path.join(out_dir, "build_config.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -78,6 +84,9 @@ def load_whisper_checkpoint(ckpt_dir: str) -> Tuple[
     with open(os.path.join(ckpt_dir, "build_config.json")) as f:
         meta = json.load(f)
     quant_mode = QuantMode(meta.get("quant_mode", 0))
+    if "plugin_config" in meta:
+        from .plugin import PluginConfig, set_plugin_config
+        set_plugin_config(PluginConfig.from_dict(meta["plugin_config"]))
     enc = WhisperEncoder(config, quant_mode)
     dec = WhisperDecoder(config, quant_mode)
     ckv = CrossAttnKV(config)

@@ -45,13 +45,10 @@ from .linear import ColumnLinear, RowLinear
 def _pallas_decode() -> bool:
     """Fused Pallas decode-attention kernel knob: on TPU the hand kernel
     replaces the XLA einsum formulation of the cached decode attention
-    (see ops/pallas_decode_attention.py); EWT_PALLAS_DECODE=0 forces the
-    XLA path."""
-    import os
-    v = os.environ.get("EWT_PALLAS_DECODE")
-    if v is not None:
-        return v not in ("0", "false", "off")
-    return _on_tpu()
+    (see ops/pallas_decode_attention.py).  Resolution: EWT_PALLAS_DECODE
+    env > PluginConfig.pallas_decode > on-TPU auto."""
+    from ..plugin import get_plugin_config
+    return get_plugin_config().use_pallas_decode()
 
 
 class AttentionMaskType(enum.Enum):

@@ -647,7 +647,7 @@ class WhisperPipeline:
                                   if t).strip(),
                     segments=segments, language=language)
 
-    def transcribe(self, mel, seed: int = 0, fused: bool = False,
+    def transcribe(self, mel, seed: int = 0, fused: Optional[bool] = None,
                    keep_audio_features: bool = False) -> List[DecodingResult]:
         """Full pipeline for a batch of 30 s mel windows [B, n_mels, 3000]
         (ref run.py generate():31-63).
@@ -657,8 +657,12 @@ class WhisperPipeline:
         dispatch round trips (~30 ms) are outweighed by XLA choosing worse
         intermediate layouts for the cross-KV inside the single program
         (~+95 ms on large-v2); at a program boundary the cross tensor is
-        materialised in the seq-minor layout the decode loop wants."""
+        materialised in the seq-minor layout the decode loop wants.
+        ``fused=None`` consults PluginConfig.fused_transcribe."""
         self._ensure_params()
+        if fused is None:
+            from ...plugin import get_plugin_config
+            fused = get_plugin_config().use_fused_transcribe()
         if fused and self.options.language is not None \
                 and self.options.task != "lang_id":
             b = mel.shape[0]

@@ -76,9 +76,8 @@ def flash_mha(q, k, v, causal: bool = False, scale: Optional[float] = None,
     else:
         segment_ids = None
     lq_p, lk_p = q_p.shape[2], k_p.shape[2]
-    import os
-    bq, bkm, bk = (int(v) for v in os.environ.get(
-        "EWT_FLASH_BLOCKS", "512,512,512").split(","))
+    from ..plugin import get_plugin_config
+    bq, bkm, bk = get_plugin_config().get_flash_blocks()
     block_sizes = BlockSizes(
         block_q=min(bq, lq_p), block_k_major=min(bkm, lk_p),
         block_k=min(bk, lk_p), block_b=1)

@@ -75,13 +75,12 @@ def weight_only_quant_matmul(x, qweight, scales, bits: int = 8):
     the losing kernel was deleted per that measurement).
     int4: the Pallas VMEM-unpack kernel is the default on TPU (XLA
     materialises the unpacked int8 weight per call => ~3x the int4 HBM
-    bytes); EWT_INT4_XLA=1 forces the XLA unpack path for comparison.
+    bytes); EWT_INT4_XLA=1 / PluginConfig.int4_pallas=False forces the
+    XLA unpack path for comparison.
     """
-    import os
-
-    from .._utils import on_tpu
     if bits == 4:
-        if on_tpu() and os.environ.get("EWT_INT4_XLA") != "1":
+        from ..plugin import get_plugin_config
+        if get_plugin_config().use_int4_pallas():
             from .pallas_quant_matmul import quant_matmul_int4_pallas
             return quant_matmul_int4_pallas(x, qweight, scales)
         qweight = unpack_int4(qweight)
