@@ -39,7 +39,8 @@ def profile_loop():
     if "kv8" in parts:
         qmode = qmode.set_int8_kv_cache()
     enc, dec, ckv = (WhisperEncoder(config, qmode),
-                     WhisperDecoder(config, qmode),
+                     WhisperDecoder(config, qmode,
+                                    quantize_lm_head="lmq8" in parts),
                      CrossAttnKV(config, int8_output="ckv8" in parts))
     if qmode.is_weight_only():
         from eddie_wang_hackathon2023_tpu.quantization.surgery import \
@@ -48,6 +49,9 @@ def profile_loop():
         dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
+    if "lmq8" in parts:
+        dec.lm_head_scale.value = jnp.ones(dec.lm_head_scale.value.shape,
+                                           jnp.float32)
     if qmode.has_int8_kv_cache():
         for name, p in dec.named_parameters():
             if name.endswith("kv_orig_quant_scale") or \
@@ -118,21 +122,36 @@ def main():
     from eddie_wang_hackathon2023_tpu.quantization import QuantMode
     enable_compile_cache()
     quant = os.environ.get("BENCH_QUANT", "")
+    parts = set(p for p in quant.split("+") if p)
     qmode = QuantMode(0)
-    if quant.startswith("woq"):
-        qmode = QuantMode.use_weight_only(use_int4_weights=quant == "woq4")
+    if "woq8" in parts or "woq4" in parts:
+        qmode = QuantMode.use_weight_only(use_int4_weights="woq4" in parts)
+    if "kv8" in parts:
+        qmode = qmode.set_int8_kv_cache()
     config = whisper_config("large-v2", dtype="bfloat16")
-    dec = WhisperDecoder(config, qmode)
+    dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in parts)
     if qmode.is_weight_only():
         from eddie_wang_hackathon2023_tpu.quantization.surgery import \
             weight_only_quantize
         dec = weight_only_quantize(dec, qmode)
     dec.zeros_init()
+    if "lmq8" in parts:
+        dec.lm_head_scale.value = jnp.ones(dec.lm_head_scale.value.shape,
+                                           jnp.float32)
+    if qmode.has_int8_kv_cache():
+        for name, p in dec.named_parameters():
+            if name.endswith("kv_orig_quant_scale") or \
+                    name.endswith("kv_quant_orig_scale"):
+                p.value = jnp.ones(p.value.shape, jnp.float32)
     params = dec.state_dict()
     b = 1
     cache = dec.new_kv_cache(b)
+    # seq-minor cross-KV [L,B,2,H,head_dim,1500], int8 tuple when ckv8
     cross = jnp.zeros((config.n_text_layer, b, 2, config.n_text_head,
-                       config.n_audio_ctx, config.head_dim), jnp.bfloat16)
+                       config.head_dim, config.n_audio_ctx), jnp.bfloat16)
+    if "ckv8" in parts:
+        cross = (cross.astype(jnp.int8),
+                 jnp.ones((config.n_text_layer,), jnp.float32))
     tokens = jnp.zeros((b, 1), jnp.int32)
     widx = jnp.asarray(17, jnp.int32)
     slen = jnp.full((b,), 18, jnp.int32)

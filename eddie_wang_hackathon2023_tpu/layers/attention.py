@@ -383,16 +383,27 @@ class Attention(Module):
             # slice/update/restack copies a scan-over-cache incurs; see
             # ops.attention.append_kv_stacked)
             stacked_cache = isinstance(past_key_value, tuple)
-            if stacked_cache and len(past_key_value) == 3:
+            if stacked_cache and len(past_key_value) in (3, 5):
                 # ---- deferred-write decode (see cached_decode_attention
                 # fresh_kv doc): attention over stale cache + fresh token;
-                # the caller batches all layers' writes into one update
-                from ..ops.attention import cast_kv_for_cache, layer_kv_views
-                full_cache, layer_idx, _ = past_key_value
+                # the caller batches all layers' writes into one update.
+                # 5-tuple form adds the K-step tail (ops.attention
+                # write_tail_kv): (full, layer, "defer", tail, tail_len)
+                from ..ops.attention import (cast_kv_for_cache,
+                                             layer_kv_views,
+                                             layer_tail_views)
+                if len(past_key_value) == 5:
+                    full_cache, layer_idx, _, kv_tail, tail_len = \
+                        past_key_value
+                else:
+                    full_cache, layer_idx, _ = past_key_value
+                    kv_tail = tail_len = None
                 assert q.shape[2] == 1 and attention_mask is None and \
                     self.position_embedding_type != PositionEmbeddingType.alibi
                 k_st, v_st = cast_kv_for_cache(k, v, full_cache.dtype, kv_oq)
                 if beam_indirection is not None:
+                    assert kv_tail is None, \
+                        "K-step tail not supported with beam indirection"
                     # cache_indirection beam mode (ref T/functional.py:2738
                     # cache_indirection plugin arg): the per-(beam,
                     # position) physical-row map rides into the attention
@@ -418,13 +429,18 @@ class Attention(Module):
                     ctx = fused_decode_attention(
                         full_cache, layer_idx, q, sequence_length,
                         self.scale, kv_quant_orig_scale=kv_qo,
-                        fresh_kv=(k_st, v_st), start_index=attention_start)
+                        fresh_kv=(k_st, v_st), start_index=attention_start,
+                        tail_kv=(None if kv_tail is None
+                                 else (kv_tail, tail_len)))
                 else:
                     ctx = cached_decode_attention(
                         q, layer_kv_views(full_cache, layer_idx),
                         sequence_length, scale=self.scale,
                         kv_quant_orig_scale=kv_qo,
-                        start_index=attention_start, fresh_kv=(k_st, v_st))
+                        start_index=attention_start, fresh_kv=(k_st, v_st),
+                        tail_kv=(None if kv_tail is None else
+                                 layer_tail_views(kv_tail, layer_idx)
+                                 + (tail_len,)))
                 out = self.dense(self._merge_heads(ctx))
                 return (out, (k_st, v_st)) if use_cache else out
             if stacked_cache:

@@ -192,10 +192,17 @@ class DecoderLMHead(Module):
 
     def forward(self, tokens, kv_cache, write_index, sequence_length,
                 attention_start=None, context_lengths=None,
-                beam_indirection=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                beam_indirection=None, kv_tail=None,
+                tail_len=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tokens [B, L] int32 (left-padded prompts use attention_start);
         ``context_lengths`` [B]: true prompt lengths (glm_rope only);
-        returns (logits [B, L, V] fp32, new stacked cache)."""
+        returns (logits [B, L, V] fp32, new stacked cache).
+
+        ``kv_tail`` [Kmax,n_layer,B,2,H,hd] + ``tail_len`` (scalar int32,
+        requires scalar write_index and no beam_indirection): K-step
+        deferred-store decode — the cache is NOT written; returns
+        (logits, kv_cache_unchanged, new_tail) and the caller merges once
+        per Kmax steps (ops.attention merge_tail_kv)."""
         c = self.config
         b, l = tokens.shape
         x = self.vocab_embedding(tokens)
@@ -258,10 +265,17 @@ class DecoderLMHead(Module):
                                         (stacked, layer_ids))
             new_kv = PagedCacheState(pool, table)
         elif l == 1 and c.position_embedding != "alibi":
+            tail_mode = kv_tail is not None
+            if tail_mode:
+                assert beam_indirection is None and \
+                    getattr(write_index, "ndim", 0) == 0
+
             def step(h, scanned):
                 layer_params, li = scanned
+                ca = ((kv_cache, li, "defer", kv_tail, tail_len)
+                      if tail_mode else (kv_cache, li, "defer"))
                 h, fresh = block.apply(
-                    dict(layer_params), h, kv_cache=(kv_cache, li, "defer"),
+                    dict(layer_params), h, kv_cache=ca,
                     write_index=write_index,
                     sequence_length=sequence_length,
                     attention_start=attention_start,
@@ -270,6 +284,19 @@ class DecoderLMHead(Module):
                 return h, fresh
 
             x, (k_new, v_new) = jax.lax.scan(step, x, (stacked, layer_ids))
+            if tail_mode:
+                from ..ops.attention import write_tail_kv
+                kv_new = jnp.stack([k_new, v_new], axis=2)[..., 0]
+                new_tail = write_tail_kv(kv_tail, kv_new, tail_len)
+                if c.final_norm:
+                    x = self.ln_f(x)
+                if c.tie_word_embeddings:
+                    logits = jnp.einsum(
+                        "bld,vd->blv", x, self.vocab_embedding.weight.value,
+                        preferred_element_type=jnp.float32)
+                else:
+                    logits = self.lm_head(x).astype(jnp.float32)
+                return logits, kv_cache, new_tail
             from ..ops.attention import write_fresh_kv
             kv_new = jnp.stack([k_new, v_new], axis=2)
             new_kv = write_fresh_kv(kv_cache, kv_new, write_index)

@@ -227,11 +227,19 @@ class WhisperDecoder(Module):
         return jnp.zeros((c.n_text_layer,) + per_layer.shape, per_layer.dtype)
 
     def forward(self, tokens, kv_cache, cross_kv, write_index,
-                sequence_length) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                sequence_length, kv_tail=None,
+                tail_len=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tokens [B, L] int32; kv_cache [n_layer,B,2,H,S,hd] (donated =>
         in-place); cross_kv [n_layer,B,2,H,1500,hd]; write_index scalar
         int32; sequence_length [B] int32 (valid length incl. these tokens).
-        Returns (logits [B, L, n_vocab] float32, updated kv_cache)."""
+        Returns (logits [B, L, n_vocab] float32, updated kv_cache).
+
+        ``kv_tail`` [Kmax,n_layer,B,2,H,hd] + ``tail_len`` (scalar int32)
+        switch single-token decode to K-step deferred-store mode
+        (ops.attention write_tail_kv): the cache is NOT written; instead
+        the step's fresh K/V is appended to the tail and the return value
+        becomes (logits, kv_cache_unchanged, new_tail) — the caller owns
+        the merge cadence (merge_tail_kv once per Kmax steps)."""
         c = self.config
         x = self.token_embedding(tokens)
         pos = jax.lax.dynamic_slice(
@@ -249,16 +257,31 @@ class WhisperDecoder(Module):
         # layer's fresh K/V and ONE update stores them all (a per-layer
         # one-token dynamic-update-slice costs ~1 us launch overhead).
         layer_ids = jnp.arange(c.n_text_layer, dtype=jnp.int32)
+        from ...plugin import get_plugin_config
+        unroll = get_plugin_config().get_scan_unroll()
         if tokens.shape[1] == 1:
+            tail_mode = kv_tail is not None
+            cache_arg = ((kv_cache, None, "defer", kv_tail, tail_len)
+                         if tail_mode else (kv_cache, None, "defer"))
+
             def step(h, scanned):
                 layer_params, l = scanned
+                ca = (cache_arg[:1] + (l,) + cache_arg[2:])
                 h, fresh = block.apply(
-                    dict(layer_params), h, kv_cache=(kv_cache, l, "defer"),
+                    dict(layer_params), h, kv_cache=ca,
                     cross_kv=(cross_kv, l), write_index=write_index,
                     sequence_length=sequence_length, use_cache=True)
                 return h, fresh
 
-            x, (k_new, v_new) = jax.lax.scan(step, x, (stacked, layer_ids))
+            x, (k_new, v_new) = jax.lax.scan(step, x, (stacked, layer_ids),
+                                             unroll=unroll)
+            if tail_mode:
+                from ...ops.attention import write_tail_kv
+                # [L,B,2,H,hd]: drop the L_new=1 seq-minor axis
+                kv_new = jnp.stack([k_new, v_new], axis=2)[..., 0]
+                new_tail = write_tail_kv(kv_tail, kv_new, tail_len)
+                x = self.ln(x)
+                return self._logits(x), kv_cache, new_tail
             from ...ops.attention import write_fresh_kv
             kv_new = jnp.stack([k_new, v_new], axis=2)  # [L,B,2,H,1,hd]
             new_kv = write_fresh_kv(kv_cache, kv_new, write_index)
@@ -275,6 +298,9 @@ class WhisperDecoder(Module):
             (x, new_kv), _ = jax.lax.scan(
                 step, (x, kv_cache), (stacked, layer_ids))
         x = self.ln(x)
+        return self._logits(x), new_kv
+
+    def _logits(self, x):
         if self.quantize_lm_head:
             # int8 -> compute-dtype convert fuses into the GEMM weight read
             # (same measured-faster pattern as the WOQ linears); scales
@@ -282,12 +308,10 @@ class WhisperDecoder(Module):
             qw = self.lm_head_qweight.value.astype(x.dtype)
             logits = jnp.einsum("bld,vd->blv", x, qw,
                                 preferred_element_type=jnp.float32)
-            logits = logits * self.lm_head_scale.value[None, None, :]
-        else:
-            logits = jnp.einsum("bld,vd->blv", x,
-                                self.token_embedding.weight.value,
-                                preferred_element_type=jnp.float32)
-        return logits, new_kv
+            return logits * self.lm_head_scale.value[None, None, :]
+        return jnp.einsum("bld,vd->blv", x,
+                          self.token_embedding.weight.value,
+                          preferred_element_type=jnp.float32)
 
 
 def quantize_lm_head_state(dec_state):

@@ -295,8 +295,17 @@ class WhisperPipeline:
         ts_begin = tok.timestamp_begin
 
         cache = self.decoder.new_kv_cache(b)
+        # K-step deferred KV-store tail (ops.attention write_tail_kv):
+        # greedy/sampling only — the beam path reorders the cache by parent
+        # each step, which would also have to reorder the tail
+        from ...plugin import get_plugin_config
+        kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
 
-        def dec(tokens, cache, widx, seqlen):
+        def dec(tokens, cache, widx, seqlen, tail=None, tail_len=None):
+            if tail is not None:
+                return self.decoder.apply(dec_params, tokens, cache,
+                                          cross_kv, widx, seqlen,
+                                          kv_tail=tail, tail_len=tail_len)
             return self.decoder.apply(dec_params, tokens, cache, cross_kv,
                                       widx, seqlen)
 
@@ -323,6 +332,10 @@ class WhisperPipeline:
             has_ts=jnp.zeros((b,), jnp.bool_),
             rng=rng,
         )
+        if kt:
+            from ...ops.attention import new_tail_kv
+            init_state["tail"] = new_tail_kv(cache, kt)
+            init_state["tail_len"] = jnp.asarray(0, jnp.int32)
         if beam > 1:
             # rows arrive pre-tiled in groups of `beam`; before the first
             # expansion only beam 0 of each group may win (all beams are
@@ -402,6 +415,23 @@ class WhisperPipeline:
             tokens = tokens.at[bidx, cur].set(next_tok)
             # next decode step
             seqlen = jnp.full((b,), cur + 1, jnp.int32)
+            if kt:
+                step_logits, cache, tail = dec(
+                    next_tok[:, None], cache_in, cur, seqlen,
+                    tail=s["tail"], tail_len=s["tail_len"])
+                from ...ops.attention import merge_tail_kv
+                cache, new_tlen = jax.lax.cond(
+                    s["tail_len"] + 1 >= kt,
+                    lambda c, t: (merge_tail_kv(c, t, cur + 1 - kt),
+                                  jnp.asarray(0, jnp.int32)),
+                    lambda c, t: (c, s["tail_len"] + 1),
+                    cache, tail)
+                out = dict(logits=step_logits[:, -1].astype(jnp.float32),
+                           tokens=tokens, cur_len=cur + 1, cache=cache,
+                           sum_logprobs=sum_lp, finished=finished,
+                           last_ts=last_ts, has_ts=has_ts, rng=rng,
+                           tail=tail, tail_len=new_tlen)
+                return out
             step_logits, cache = dec(next_tok[:, None], cache_in, cur, seqlen)
             return dict(logits=step_logits[:, -1].astype(jnp.float32),
                         tokens=tokens, cur_len=cur + 1, cache=cache,

@@ -166,6 +166,51 @@ def write_fresh_kv(full_cache, kv_new, write_index) -> jnp.ndarray:
         full_cache, kv_new, (0, 0, 0, 0, 0, write_index))
 
 
+def new_tail_kv(full_cache, kmax: int) -> jnp.ndarray:
+    """Allocate the K-step deferred tail buffer for a stacked cache
+    [L,B,2,H,D,S]: shape [Kmax, L, B, 2, H, D], TAIL-MAJOR so the per-step
+    append is one contiguous slab write (the seq-minor cache layout would
+    make it a strided one-column store — the exact cost this buffer
+    exists to amortise)."""
+    L, B, two, H, D, _ = full_cache.shape
+    return jnp.zeros((kmax, L, B, two, H, D), full_cache.dtype)
+
+
+def write_tail_kv(tail, kv_new, tail_len) -> jnp.ndarray:
+    """Append this step's all-layer fresh K/V to the tail at column
+    ``tail_len``: kv_new [L,B,2,H,D] (cache dtype), tail [Kmax,L,B,2,H,D].
+    A contiguous [1,L,B,2,H,D] slab write — ~free vs the strided cache
+    store."""
+    return jax.lax.dynamic_update_slice(
+        tail, kv_new[None], (jnp.asarray(tail_len, jnp.int32), 0, 0, 0, 0, 0))
+
+
+def merge_tail_kv(full_cache, tail, cache_len) -> jnp.ndarray:
+    """Flush the FULL tail into the big cache at sequence position
+    ``cache_len`` (strided seq-minor store of Kmax columns — paid once per
+    Kmax steps instead of every step).  tail [Kmax,L,B,2,H,D] -> transposed
+    to the cache's [L,B,2,H,D,Kmax] block."""
+    block = jnp.transpose(tail, (1, 2, 3, 4, 5, 0))
+    return jax.lax.dynamic_update_slice(
+        full_cache, block,
+        (0, 0, 0, 0, 0, jnp.asarray(cache_len, jnp.int32)))
+
+
+def layer_tail_views(tail, layer_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slice one layer's tail K and V [Kmax,B,H,D] out of [Kmax,L,B,2,H,D]
+    (cf. layer_kv_views: two separate slices so each fuses into its
+    einsum)."""
+    l = jnp.asarray(layer_idx, jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    kmax, n_layer, b, _, h, d = tail.shape
+    k = jax.lax.dynamic_slice(tail, (zero, l, zero, zero, zero, zero),
+                              (kmax, 1, b, 1, h, d))[:, 0, :, 0]
+    v = jax.lax.dynamic_slice(
+        tail, (zero, l, zero, jnp.ones((), jnp.int32), zero, zero),
+        (kmax, 1, b, 1, h, d))[:, 0, :, 0]
+    return k, v
+
+
 def layer_kv_views(full_cache, layer_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Slice one layer's K and V [B,H,D,S] (seq-minor) out of the stacked
     cache as two separate dynamic-slices.  Each feeds exactly one einsum,
@@ -186,7 +231,8 @@ def layer_kv_views(full_cache, layer_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
                             kv_quant_orig_scale=None,
                             causal_offset: Optional[jnp.ndarray] = None,
-                            start_index=None, bias=None, fresh_kv=None):
+                            start_index=None, bias=None, fresh_kv=None,
+                            tail_kv=None):
     """Masked attention of q [B,H,Lq,D] against a full-size seq-minor cache
     [B,2,H,D,S_max], attending only to positions < seq_len (+ query offset
     for Lq>1 causal prefill).
@@ -199,6 +245,14 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     only the first seq_len - Lq positions and the fresh tokens contribute
     their own score/value columns.  Requires bias=None (an ALiBi column
     for the fresh position would need per-row bias plumbing).
+
+    ``tail_kv``: optional (k_t, v_t, tail_len) — the K-step deferred tail
+    (see write_tail_kv): k_t/v_t [Kmax, B, H, D] TAIL-MAJOR in cache dtype
+    hold the last ``tail_len`` tokens' K/V, not yet merged into the big
+    cache; ``tail_len`` scalar int32.  Amortises the strided one-column
+    cache store (~0.3 ms/step at ~0% bw on large-v2) over Kmax steps: the
+    per-step store becomes a contiguous slab write into the small tail and
+    the strided merge happens once per Kmax steps.
 
     ``seq_len`` is the total valid length *after* the current tokens were
     appended.  For Lq == 1 (generation step) this reduces to the reference's
@@ -228,6 +282,8 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     cache_len = jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
     if fresh_kv is not None:
         cache_len = cache_len - lq          # current tokens not in cache yet
+    if tail_kv is not None:
+        cache_len = cache_len - tail_kv[2]  # tail tokens not in cache either
     valid = kpos < cache_len
     if start_index is not None:
         # left-padded prompts: positions before start are invalid
@@ -255,11 +311,33 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
             fpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lq), 3)
             s_f = jnp.where(fpos <= qpos, s_f,
                             jnp.asarray(-1e30, s_f.dtype))
-        all_scores = jnp.concatenate([scores, s_f], axis=-1)
+        if tail_kv is None:
+            all_scores = jnp.concatenate([scores, s_f], axis=-1)
+            probs = jax.nn.softmax(all_scores, axis=-1)
+            p_c, p_f = probs[..., :s_max], probs[..., s_max:]
+            ctx = jnp.einsum("bhqs,bhds->bhqd", p_c.astype(v.dtype), v,
+                             preferred_element_type=acc_t) + \
+                jnp.einsum("bhqs,bhds->bhqd", p_f.astype(v_f.dtype), v_f,
+                           preferred_element_type=acc_t)
+            return ctx.astype(q.dtype)
+        k_t, v_t, tail_len = tail_kv        # [Kmax,B,H,D] tail-major
+        kmax = k_t.shape[0]
+        k_t = dequantize_cache_values(k_t, kv_quant_orig_scale, q.dtype)
+        v_t = dequantize_cache_values(v_t, kv_quant_orig_scale, q.dtype)
+        s_t = jnp.einsum("bhqd,kbhd->bhqk", q, k_t,
+                         preferred_element_type=acc_t) * \
+            jnp.asarray(scale, acc_t)
+        tpos = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 3)
+        s_t = jnp.where(tpos < tail_len, s_t, jnp.asarray(-1e30, s_t.dtype))
+        all_scores = jnp.concatenate([scores, s_t, s_f], axis=-1)
         probs = jax.nn.softmax(all_scores, axis=-1)
-        p_c, p_f = probs[..., :s_max], probs[..., s_max:]
+        p_c = probs[..., :s_max]
+        p_t = probs[..., s_max:s_max + kmax]
+        p_f = probs[..., s_max + kmax:]
         ctx = jnp.einsum("bhqs,bhds->bhqd", p_c.astype(v.dtype), v,
                          preferred_element_type=acc_t) + \
+            jnp.einsum("bhqk,kbhd->bhqd", p_t.astype(v_t.dtype), v_t,
+                       preferred_element_type=acc_t) + \
             jnp.einsum("bhqs,bhds->bhqd", p_f.astype(v_f.dtype), v_f,
                        preferred_element_type=acc_t)
         return ctx.astype(q.dtype)

@@ -34,11 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, q_ref, kv_ref,
-            *rest, scale: float, quant: bool, with_fresh: bool, cdt):
+def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
+            q_ref, kv_ref,
+            *rest, scale: float, quant: bool, with_fresh: bool,
+            with_tail: bool, cdt):
     # positional order: scalar-prefetch refs, input refs, output ref
     o_ref = rest[-1]
-    fresh = rest[:-1]
+    extra = rest[:-1]
     b = pl.program_id(0)
     kscale = kscale_ref[0] if quant else 1.0
     q = q_ref[0, :, 0, :].astype(cdt)                      # [H, D]
@@ -54,14 +56,53 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, q_ref, kv_ref,
     pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     seq_len = seqlen_ref[b]
     cache_len = seq_len - 1 if with_fresh else seq_len
+    if with_tail:
+        cache_len = cache_len - tlen_ref[0]
     valid = jnp.logical_and(pos < cache_len, pos >= start_ref[b])
     s = jnp.where(valid, s, NEG)
     if with_fresh:
-        fk_ref, fv_ref = fresh
+        fk_ref, fv_ref = extra[-2], extra[-1]
         fk = fk_ref[0, :, :, 0].astype(jnp.float32)        # [H, D]
         fv = fv_ref[0, :, :, 0].astype(jnp.float32)        # [H, D]
         s_f = jnp.sum(q.astype(jnp.float32) * fk,
                       axis=-1) * (scale * kscale)          # [H]
+        if with_tail:
+            # K-step deferred tail block [Kmax,1,1,2,H,D] tail-major (see
+            # ops.attention write_tail_kv): masked extra score columns
+            t_ref = extra[0]
+            # [K,H,D] -> [H,K,D]: Mosaic's matmul needs lhs/rhs batch dims
+            # in the same position; the K,H leading-axis swap is cheap at
+            # tail size (~20 KB)
+            tk = jnp.transpose(t_ref[:, 0, 0, 0], (1, 0, 2)).astype(cdt)
+            tv = jnp.transpose(t_ref[:, 0, 0, 1], (1, 0, 2)).astype(cdt)
+            # [H,1,D] x [H,K,D] (contract D, batch H) -> [H,1,K]
+            s_t = jax.lax.dot_general(
+                q[:, None, :], tk,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s_t = s_t * (scale * kscale)
+            tpos = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 2)
+            s_t = jnp.where(tpos < tlen_ref[0], s_t, NEG)
+            m = jnp.maximum(jnp.max(s, axis=2),
+                            jnp.max(s_t, axis=2))          # [H, 1]
+            m = jnp.maximum(m, s_f[:, None])
+            p = jnp.exp(s - m[:, :, None])                 # [H, 1, S]
+            p_t = jnp.exp(s_t - m[:, :, None])             # [H, 1, K]
+            p_f = jnp.exp(s_f - m[:, 0])                   # [H]
+            denom = (jnp.sum(p, axis=2) + jnp.sum(p_t, axis=2))[:, 0] + p_f
+            ctx = jax.lax.dot_general(
+                v, p.astype(cdt),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, :, 0]   # [H, D]
+            # [H,1,K] x [H,K,D] (contract K, batch H) -> [H,1,D]
+            ctx_t = jax.lax.dot_general(
+                p_t.astype(cdt), tv,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]   # [H, D]
+            ctx = (ctx + ctx_t) * kscale + fv * (kscale * p_f[:, None])
+            ctx = ctx / denom[:, None]
+            o_ref[0, :, 0, :] = ctx.astype(o_ref.dtype)
+            return
         m = jnp.maximum(jnp.max(s, axis=2), s_f[:, None])  # [H, 1]
         p = jnp.exp(s - m[:, :, None])                     # [H, 1, S]
         p_f = jnp.exp(s_f - m[:, 0])                       # [H]
@@ -90,6 +131,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            kv_quant_orig_scale=None,
                            fresh_kv: Optional[Tuple] = None,
                            start_index=None,
+                           tail_kv: Optional[Tuple] = None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
 
@@ -97,8 +139,13 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     layer_idx scalar int32; q [B, H, 1, D]; seq_len [B] int32 — total valid
     length INCLUDING the current token.  ``fresh_kv``: (k, v) [B, H, D, 1]
     in cache dtype for the deferred-write mode (current token's K/V not in
-    the cache yet).  ``start_index`` [B] int32 (or scalar) masks keys at
-    positions < start (left-padded ragged prompts, runtime/generation.py).
+    the cache yet).  ``tail_kv``: (tail, tail_len) — the K-step deferred
+    tail [Kmax, L, B, 2, H, D] (the FULL stacked tail in tail-major
+    layout; this layer's [Kmax,1,1,2,H,D] block is selected by the
+    BlockSpec index map) holding the last ``tail_len`` (scalar int32)
+    tokens not yet merged into the cache; requires fresh_kv.
+    ``start_index`` [B] int32 (or scalar) masks keys at positions < start
+    (left-padded ragged prompts, runtime/generation.py).
     Returns ctx [B, H, 1, D] in q.dtype.
 
     Note on the cache APPEND: it stays OUTSIDE this kernel (one XLA
@@ -114,6 +161,8 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     L, B, _, H, D, S = full_cache.shape
     quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
     with_fresh = fresh_kv is not None
+    with_tail = tail_kv is not None
+    assert not (with_tail and not with_fresh), "tail mode requires fresh_kv"
     if not interpret:
         # off-TPU (CPU tests with the knob forced on) run the interpreter
         from .._utils import runtime_platform
@@ -133,19 +182,34 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     else:
         start_arr = jnp.broadcast_to(
             jnp.asarray(start_index, jnp.int32).reshape(-1), (B,))
+    if with_tail:
+        tail_arr, tail_len = tail_kv
+        tlen_arr = jnp.reshape(jnp.asarray(tail_len, jnp.int32), (1,))
+        KT = tail_arr.shape[0]
+    else:
+        tlen_arr = jnp.zeros((1,), jnp.int32)
 
     # index maps receive (grid ids..., scalar-prefetch refs...)
-    def kv_map(b, lref, sref, stref, kref):
+    def kv_map(b, lref, sref, stref, kref, tref):
         return (lref[0], b, 0, 0, 0, 0)
 
-    def q_map(b, lref, sref, stref, kref):
+    def q_map(b, lref, sref, stref, kref, tref):
         return (b, 0, 0, 0)
+
+    def tail_map(b, lref, sref, stref, kref, tref):
+        return (0, lref[0], b, 0, 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 2, H, D, S), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [q, full_cache]
+    if with_tail:
+        in_specs += [
+            pl.BlockSpec((KT, 1, 1, 2, H, D), tail_map,
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [tail_arr]
     if with_fresh:
         fk, fv = fresh_kv
         in_specs += [
@@ -155,7 +219,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         args += [fk, fv]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
@@ -163,7 +227,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
     kernel = functools.partial(
         _kernel, scale=float(scale), quant=quant, with_fresh=with_fresh,
-        cdt=cdt)
+        with_tail=with_tail, cdt=cdt)
     bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B
     out = pl.pallas_call(
         kernel,
@@ -173,5 +237,5 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
             flops=4 * B * H * D * S, bytes_accessed=bytes_cost,
             transcendentals=B * H * S),
         interpret=interpret,
-    )(layer_arr, seqlen_arr, start_arr, kscale_arr, *args)
+    )(layer_arr, seqlen_arr, start_arr, kscale_arr, tlen_arr, *args)
     return out

@@ -44,6 +44,13 @@ class PluginConfig:
     # whisper transcribe as ONE jitted mel->tokens program vs the (faster
     # on v5e, see pipeline.transcribe) staged 3-program pipeline
     fused_transcribe: Optional[bool] = None
+    # lax.scan unroll factor for the decoder layer stack (cuts per-iteration
+    # while-loop sync overhead at the cost of code size); None = 1
+    scan_unroll: Optional[int] = None
+    # K-step deferred KV tail (ops.attention write_tail_kv): the strided
+    # one-column cache store is amortised over K decode steps.  None = auto
+    # (8 on TPU, off elsewhere); 0 disables
+    decode_tail: Optional[int] = None
 
     # -- resolution (env > field > auto) ---------------------------------
     def use_pallas_decode(self) -> bool:
@@ -71,6 +78,20 @@ class PluginConfig:
 
     def use_fused_transcribe(self) -> bool:
         return bool(self.fused_transcribe)
+
+    def get_scan_unroll(self) -> int:
+        v = os.environ.get("EWT_SCAN_UNROLL")
+        if v is not None:
+            return int(v)
+        return self.scan_unroll or 1
+
+    def get_decode_tail(self) -> int:
+        v = os.environ.get("EWT_DECODE_TAIL")
+        if v is not None:
+            return int(v)
+        if self.decode_tail is not None:
+            return self.decode_tail
+        return 8 if on_tpu() else 0
 
     # -- (de)serialisation (builder build_config.json) -------------------
     def to_dict(self) -> dict:

@@ -140,6 +140,10 @@ class GenerationSession:
         token_counts = jnp.sum(one_hot * live, axis=1)
 
         use_ind = beam > 1 and self.use_cache_indirection
+        # K-step deferred KV-store tail (ops.attention write_tail_kv);
+        # greedy/sampling only — beams reorder carried state every step
+        from ..plugin import get_plugin_config
+        kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
         init = dict(
             logits=logits,
             tokens=tokens_buf,
@@ -156,6 +160,10 @@ class GenerationSession:
             init["ind"] = jnp.broadcast_to(
                 jnp.arange(beam, dtype=jnp.int32)[None, :, None],
                 (b, beam, total_len))
+        if kt:
+            from ..ops.attention import new_tail_kv
+            init["tail"] = new_tail_kv(cache, kt)
+            init["tail_len"] = jnp.asarray(0, jnp.int32)
         if beam > 1:
             # all but beam 0 start at -inf so the first expansion picks
             # distinct continuations of the single prefill beam
@@ -227,10 +235,26 @@ class GenerationSession:
                 ind = update_indirection(s["ind"], parent, cur)
                 extra_step["beam_indirection"] = ind
                 out_state["ind"] = ind
-            step_logits, cache = model.apply(
-                params, next_tok[:, None], cache, cur,
-                jnp.full((bb,), cur + 1, jnp.int32), attention_start=start,
-                **extra_step)
+            if kt:
+                step_logits, cache, tail = model.apply(
+                    params, next_tok[:, None], cache, cur,
+                    jnp.full((bb,), cur + 1, jnp.int32),
+                    attention_start=start, kv_tail=s["tail"],
+                    tail_len=s["tail_len"], **extra_step)
+                from ..ops.attention import merge_tail_kv
+                cache, new_tlen = jax.lax.cond(
+                    s["tail_len"] + 1 >= kt,
+                    lambda c, t: (merge_tail_kv(c, t, cur + 1 - kt),
+                                  jnp.asarray(0, jnp.int32)),
+                    lambda c, t: (c, s["tail_len"] + 1),
+                    cache, tail)
+                out_state["tail"] = tail
+                out_state["tail_len"] = new_tlen
+            else:
+                step_logits, cache = model.apply(
+                    params, next_tok[:, None], cache, cur,
+                    jnp.full((bb,), cur + 1, jnp.int32),
+                    attention_start=start, **extra_step)
             return dict(logits=step_logits[:, -1].astype(jnp.float32),
                         tokens=tokens, cache=cache, cur=cur + 1,
                         finished=finished, cum_lp=cum_lp, counts=counts,

@@ -211,10 +211,11 @@ def apply_top_k(logits, k, max_k: Optional[int] = None):
     if isinstance(k, int):
         if k <= 0:
             return logits
-        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        kth = jax.lax.top_k(logits, min(k, logits.shape[-1]))[0][..., -1:]
         return jnp.where(logits < kth, NEG_INF, logits)
     k = jnp.asarray(k, jnp.int32)
     assert max_k is not None, "per-row top_k needs static max_k"
+    max_k = min(max_k, logits.shape[-1])   # tiny-vocab models
     vals = jax.lax.top_k(logits, max_k)[0]                # [B, max_k]
     idx = jnp.clip(k, 1, max_k) - 1
     kth = jnp.take_along_axis(vals, idx[:, None], axis=-1)

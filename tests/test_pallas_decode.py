@@ -1,0 +1,131 @@
+"""Fused Pallas decode-attention kernel vs the XLA formulation
+(ops.pallas_decode_attention vs ops.attention.cached_decode_attention) —
+interpret mode on CPU; the TPU bench exercises the compiled kernel.
+
+Covers the reference decoderMaskedMultiheadAttention semantics grid
+(C/tensorrt_llm/kernels/decoderMaskedMultiheadAttention/): cached-only,
+deferred-fresh, K-step tail, int8 KV dequant, left-pad start masking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+from eddie_wang_hackathon2023_tpu.ops.attention import (
+    cached_decode_attention, layer_kv_views, layer_tail_views, merge_tail_kv,
+    new_tail_kv, write_tail_kv)
+from eddie_wang_hackathon2023_tpu.ops.pallas_decode_attention import (
+    fused_decode_attention)
+
+L, B, H, D, S = 3, 2, 4, 8, 32
+
+
+def mk(dtype=jnp.float32, seed=0):
+    rs = np.random.RandomState(seed)
+    cache = rs.randn(L, B, 2, H, D, S).astype(np.float32)
+    q = rs.randn(B, H, 1, D).astype(np.float32)
+    if dtype == jnp.int8:
+        cache = np.clip(np.round(cache * 20), -127, 127).astype(np.int8)
+    return jnp.asarray(cache, dtype), jnp.asarray(q)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+def test_cached_only(dtype):
+    cache, q = mk(dtype)
+    seq = jnp.asarray([7, 12], jnp.int32)
+    scale = 1.0 / D ** 0.5
+    kscale = 0.05 if dtype == jnp.int8 else None
+    for l in range(L):
+        ref = cached_decode_attention(q, layer_kv_views(cache, l), seq,
+                                      scale=scale, kv_quant_orig_scale=kscale)
+        out = fused_decode_attention(cache, l, q, seq, scale,
+                                     kv_quant_orig_scale=kscale,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fresh_and_start_index():
+    cache, q = mk()
+    rs = np.random.RandomState(3)
+    fk = jnp.asarray(rs.randn(B, H, D, 1).astype(np.float32))
+    fv = jnp.asarray(rs.randn(B, H, D, 1).astype(np.float32))
+    seq = jnp.asarray([9, 5], jnp.int32)
+    start = jnp.asarray([2, 0], jnp.int32)
+    scale = 1.0 / D ** 0.5
+    for l in range(L):
+        ref = cached_decode_attention(q, layer_kv_views(cache, l), seq,
+                                      scale=scale, fresh_kv=(fk, fv),
+                                      start_index=start)
+        out = fused_decode_attention(cache, l, q, seq, scale,
+                                     fresh_kv=(fk, fv), start_index=start,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+@pytest.mark.parametrize("tail_len", [0, 2, 3])
+def test_tail_mode(dtype, tail_len):
+    """K-step deferred tail: kernel == XLA op == semantics of a merged
+    cache."""
+    KT = 4
+    cache, q = mk(dtype)
+    rs = np.random.RandomState(7)
+    tail = rs.randn(KT, L, B, 2, H, D).astype(np.float32)
+    fkv = rs.randn(2, B, H, D, 1).astype(np.float32)
+    if dtype == jnp.int8:
+        tail = np.clip(np.round(tail * 20), -127, 127).astype(np.int8)
+        fkv = np.clip(np.round(fkv * 20), -127, 127).astype(np.int8)
+    tail = jnp.asarray(tail, dtype)
+    fk, fv = (jnp.asarray(fkv[0], dtype), jnp.asarray(fkv[1], dtype))
+    cache_lens = np.asarray([6, 11])
+    seq = jnp.asarray(cache_lens + tail_len + 1, jnp.int32)
+    tl = jnp.asarray(tail_len, jnp.int32)
+    scale = 1.0 / D ** 0.5
+    kscale = 0.05 if dtype == jnp.int8 else None
+    for l in range(L):
+        tk, tv = layer_tail_views(tail, l)
+        ref = cached_decode_attention(q, layer_kv_views(cache, l), seq,
+                                      scale=scale, kv_quant_orig_scale=kscale,
+                                      fresh_kv=(fk, fv),
+                                      tail_kv=(tk, tv, tl))
+        out = fused_decode_attention(cache, l, q, seq, scale,
+                                     kv_quant_orig_scale=kscale,
+                                     fresh_kv=(fk, fv), tail_kv=(tail, tl),
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tail_equals_merged_cache():
+    """Attention over (cache, tail, fresh) == attention over the cache
+    after write_tail_kv + merge_tail_kv — the invariant the decode loop
+    relies on."""
+    KT = 4
+    cache, q = mk()
+    rs = np.random.RandomState(11)
+    cache_len = 10
+    seq0 = cache_len
+    tail = new_tail_kv(cache, KT)
+    merged = cache
+    for step in range(KT):
+        kv_new = jnp.asarray(rs.randn(L, B, 2, H, D).astype(np.float32))
+        tail = write_tail_kv(tail, kv_new, step)
+    merged = merge_tail_kv(cache, tail, cache_len)
+    fk = jnp.asarray(rs.randn(B, H, D, 1).astype(np.float32))
+    fv = jnp.asarray(rs.randn(B, H, D, 1).astype(np.float32))
+    seq = jnp.full((B,), seq0 + KT + 1, jnp.int32)
+    scale = 1.0 / D ** 0.5
+    for l in range(L):
+        tk, tv = layer_tail_views(tail, l)
+        via_tail = cached_decode_attention(
+            q, layer_kv_views(cache, l), seq, scale=scale,
+            fresh_kv=(fk, fv), tail_kv=(tk, tv, jnp.asarray(KT, jnp.int32)))
+        via_merge = cached_decode_attention(
+            q, layer_kv_views(merged, l), seq, scale=scale,
+            fresh_kv=(fk, fv))
+        np.testing.assert_allclose(np.asarray(via_tail),
+                                   np.asarray(via_merge),
+                                   rtol=2e-5, atol=2e-5)
