@@ -294,12 +294,14 @@ class WhisperPipeline:
         max_total = prompt_len + max_new
         ts_begin = tok.timestamp_begin
 
-        cache = self.decoder.new_kv_cache(b)
         # K-step deferred KV-store tail (ops.attention write_tail_kv):
         # greedy/sampling only — the beam path reorders the cache by parent
         # each step, which would also have to reorder the tail
         from ...plugin import get_plugin_config
         kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
+        # kt columns of slack so the once-per-K merge never clamps
+        cache = self.decoder.new_kv_cache(
+            b, self.config.n_text_ctx + kt if kt else None)
 
         def dec(tokens, cache, widx, seqlen, tail=None, tail_len=None):
             if tail is not None:
@@ -416,29 +418,45 @@ class WhisperPipeline:
             # next decode step
             seqlen = jnp.full((b,), cur + 1, jnp.int32)
             if kt:
-                step_logits, cache, tail = dec(
+                # tail mode: the big cache rides the carry UNTOUCHED (a
+                # carry pass-through aliases; any in-body cache write
+                # forces XLA to copy the whole buffer every step — both a
+                # one-column dynamic-update-slice and a lax.cond merge
+                # measured ~0.28 ms/step on large-v2).  The merge happens
+                # once per K steps in the OUTER loop below.
+                step_logits, _, tail = dec(
                     next_tok[:, None], cache_in, cur, seqlen,
                     tail=s["tail"], tail_len=s["tail_len"])
-                from ...ops.attention import merge_tail_kv
-                cache, new_tlen = jax.lax.cond(
-                    s["tail_len"] + 1 >= kt,
-                    lambda c, t: (merge_tail_kv(c, t, cur + 1 - kt),
-                                  jnp.asarray(0, jnp.int32)),
-                    lambda c, t: (c, s["tail_len"] + 1),
-                    cache, tail)
-                out = dict(logits=step_logits[:, -1].astype(jnp.float32),
-                           tokens=tokens, cur_len=cur + 1, cache=cache,
-                           sum_logprobs=sum_lp, finished=finished,
-                           last_ts=last_ts, has_ts=has_ts, rng=rng,
-                           tail=tail, tail_len=new_tlen)
-                return out
+                return dict(logits=step_logits[:, -1].astype(jnp.float32),
+                            tokens=tokens, cur_len=cur + 1, cache=cache_in,
+                            sum_logprobs=sum_lp, finished=finished,
+                            last_ts=last_ts, has_ts=has_ts, rng=rng,
+                            tail=tail, tail_len=s["tail_len"] + 1)
             step_logits, cache = dec(next_tok[:, None], cache_in, cur, seqlen)
             return dict(logits=step_logits[:, -1].astype(jnp.float32),
                         tokens=tokens, cur_len=cur + 1, cache=cache,
                         sum_logprobs=sum_lp, finished=finished,
                         last_ts=last_ts, has_ts=has_ts, rng=rng)
 
-        final = jax.lax.while_loop(cond, body, init_state)
+        if kt:
+            from ...ops.attention import merge_tail_kv
+
+            def inner_cond(t):
+                return jnp.logical_and(t["tail_len"] < kt, cond(t))
+
+            def outer_body(s):
+                cur0 = s["cur_len"]
+                t = jax.lax.while_loop(inner_cond, body, s)
+                # unconditional once-per-chunk merge: always the full Kmax
+                # block at cur0 (columns past the valid tail are garbage in
+                # the slack/masked region and get overwritten next chunk)
+                cache = merge_tail_kv(t["cache"], t["tail"], cur0)
+                return {**t, "cache": cache,
+                        "tail_len": jnp.asarray(0, jnp.int32)}
+
+            final = jax.lax.while_loop(cond, outer_body, init_state)
+        else:
+            final = jax.lax.while_loop(cond, body, init_state)
         return (final["tokens"], final["cur_len"], final["sum_logprobs"],
                 no_speech_probs)
 

@@ -101,7 +101,12 @@ class GenerationSession:
 
         start = (prompt_len - input_lengths).astype(jnp.int32)  # left-pad gap
 
-        cache = model.new_kv_cache(b, total_len)
+        # K-step deferred KV-store tail (ops.attention write_tail_kv);
+        # greedy/sampling only — beams reorder carried state every step.
+        # kt columns of slack so the once-per-K merge never clamps
+        from ..plugin import get_plugin_config
+        kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
+        cache = model.new_kv_cache(b, total_len + kt)
         seqlen0 = jnp.full((b,), prompt_len, jnp.int32)
         # GLM-style models need the true prompt length at every step (2D
         # position ids; ref ChatGLM6BHeadModelGenerationSession)
@@ -140,10 +145,6 @@ class GenerationSession:
         token_counts = jnp.sum(one_hot * live, axis=1)
 
         use_ind = beam > 1 and self.use_cache_indirection
-        # K-step deferred KV-store tail (ops.attention write_tail_kv);
-        # greedy/sampling only — beams reorder carried state every step
-        from ..plugin import get_plugin_config
-        kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
         init = dict(
             logits=logits,
             tokens=tokens_buf,
@@ -236,20 +237,17 @@ class GenerationSession:
                 extra_step["beam_indirection"] = ind
                 out_state["ind"] = ind
             if kt:
-                step_logits, cache, tail = model.apply(
+                # tail mode: cache rides the carry UNTOUCHED (any in-body
+                # cache write — one-column DUS or lax.cond merge — makes
+                # XLA copy the whole buffer every step); the merge runs
+                # once per K steps in the outer loop below
+                step_logits, _, tail = model.apply(
                     params, next_tok[:, None], cache, cur,
                     jnp.full((bb,), cur + 1, jnp.int32),
                     attention_start=start, kv_tail=s["tail"],
                     tail_len=s["tail_len"], **extra_step)
-                from ..ops.attention import merge_tail_kv
-                cache, new_tlen = jax.lax.cond(
-                    s["tail_len"] + 1 >= kt,
-                    lambda c, t: (merge_tail_kv(c, t, cur + 1 - kt),
-                                  jnp.asarray(0, jnp.int32)),
-                    lambda c, t: (c, s["tail_len"] + 1),
-                    cache, tail)
                 out_state["tail"] = tail
-                out_state["tail_len"] = new_tlen
+                out_state["tail_len"] = s["tail_len"] + 1
             else:
                 step_logits, cache = model.apply(
                     params, next_tok[:, None], cache, cur,
@@ -260,7 +258,22 @@ class GenerationSession:
                         finished=finished, cum_lp=cum_lp, counts=counts,
                         rng=rng, **out_state)
 
-        final = jax.lax.while_loop(cond, body, init)
+        if kt:
+            from ..ops.attention import merge_tail_kv
+
+            def inner_cond(t):
+                return jnp.logical_and(t["tail_len"] < kt, cond(t))
+
+            def outer_body(s):
+                cur0 = s["cur"]
+                t = jax.lax.while_loop(inner_cond, body, s)
+                cache = merge_tail_kv(t["cache"], t["tail"], cur0)
+                return {**t, "cache": cache,
+                        "tail_len": jnp.asarray(0, jnp.int32)}
+
+            final = jax.lax.while_loop(cond, outer_body, init)
+        else:
+            final = jax.lax.while_loop(cond, body, init)
         tokens = final["tokens"].reshape(b, beam, total_len)
         # per-sequence length: position of first end_id after the prompt
         gen = tokens[:, :, prompt_len:]
