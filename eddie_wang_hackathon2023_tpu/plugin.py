@@ -91,7 +91,11 @@ class PluginConfig:
             return int(v)
         if self.decode_tail is not None:
             return self.decode_tail
-        return 8 if on_tpu() else 0
+        # measured sweep on v5e large-v2 int8 (K=0/8/16/24/32 ->
+        # 3.08/2.91/2.68/2.85/3.64 ms/tok): the once-per-K full-cache
+        # merge amortises up to K=16, past that the per-step tail
+        # attention read + merge slab size win back the loss
+        return 16 if on_tpu() else 0
 
     # -- (de)serialisation (builder build_config.json) -------------------
     def to_dict(self) -> dict:

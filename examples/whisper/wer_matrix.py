@@ -45,8 +45,8 @@ def build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant, kv_scales, opts):
     if "kv8" in quant:
         qmode = qmode.set_int8_kv_cache()
     enc = WhisperEncoder(config, qmode)
-    dec = WhisperDecoder(config, qmode)
-    ckv = CrossAttnKV(config)
+    dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in quant)
+    ckv = CrossAttnKV(config, int8_output="ckv8" in quant)
     enc_sd, dec_sd = dict(enc_sd), dict(dec_sd)
     if "kv8" in quant:
         t = np.asarray(kv_scales, np.float32).reshape(-1, 1)
@@ -55,6 +55,10 @@ def build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant, kv_scales, opts):
     if qmode.is_weight_only():
         enc, enc_sd = weight_only_quantize_state(enc, enc_sd, qmode)
         dec, dec_sd = weight_only_quantize_state(dec, dec_sd, qmode)
+    if "lmq8" in quant:
+        from eddie_wang_hackathon2023_tpu.models.whisper.model import (
+            quantize_lm_head_state)
+        dec_sd.update(quantize_lm_head_state(dec_sd))
     enc.load_state_dict(enc_sd, strict=False)
     dec.load_state_dict(dec_sd, strict=False)
     ckv.load_state_dict(dict(ckv_sd))
@@ -73,7 +77,9 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--sample_len", type=int, default=24)
     p.add_argument("--out", default=None, help="write a markdown table here")
-    p.add_argument("--configs", default="fp,woq8,woq4,kv8,woq8+kv8")
+    p.add_argument("--configs",
+                   default="fp,woq8,woq4,kv8,ckv8,lmq8,woq8+kv8,"
+                           "woq8+ckv8+lmq8")
     args = p.parse_args()
 
     import jax
