@@ -8,13 +8,21 @@ dequantize (int8/fp8) on the fly, compute masked scores, softmax in fp32
 and accumulate V — all in ONE kernel per layer, straight out of the
 STACKED cache.
 
-Shape strategy: ONE grid cell per batch row — all H heads are processed
-as one batched ``dot_general`` pair per cell (H tiny MXU ops inside one
-program beat H separate grid cells by an order of magnitude in launch
-overhead at decode sizes).  Both K and V panels arrive in a single block
-DMA.  Quantized caches are consumed at their storage dtype and the
-per-tensor scale is applied to the (linear) score/context results, so no
-fp32 copy of the cache is ever materialised in VMEM.
+Shape strategy: the grid is ``(B, S/CHUNK)`` — one batch row per major
+cell, the sequence axis split into CHUNK-column panels so Mosaic
+double-buffers the K/V DMA against the previous chunk's compute (a
+single whole-cache block left the DMA exposed: the large-v2 cross
+kernel measured 11 µs/layer against a 4.7 µs HBM floor).  Softmax is
+accumulated ONLINE across chunks (running max / rescaled sum, exactly
+the flash-attention recurrence) in fp32 VMEM scratch.  Chunks entirely
+past the valid length are SKIPPED: the BlockSpec index map clamps their
+block index (same index ⇒ Mosaic elides the DMA) and ``pl.when``
+guards the compute, so a mostly-empty self-attention cache costs reads
+proportional to the actual sequence length, not S_max.  All H heads are
+processed as one batched ``dot_general`` pair per chunk.  Quantized
+caches are consumed at their storage dtype and the per-tensor scale is
+applied to the (linear) score/context results, so no fp32 copy of the
+cache is ever materialised in VMEM.
 
 Layout contract (matches ops.attention): stacked cache
 ``[L, B, 2, H, D, S]`` — SEQ-MINOR; the layer index is a scalar-prefetch
@@ -37,93 +45,122 @@ NEG = -1e30
 def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             q_ref, kv_ref,
             *rest, scale: float, quant: bool, with_fresh: bool,
-            with_tail: bool, cdt):
-    # positional order: scalar-prefetch refs, input refs, output ref
-    o_ref = rest[-1]
-    extra = rest[:-1]
+            with_tail: bool, cdt, cs: int, n_chunks: int, s_max: int):
+    # positional order: scalar-prefetch refs, input refs, output ref,
+    # scratch refs (running max / denom / context accumulator)
+    m_ref, d_ref, acc_ref = rest[-3:]
+    o_ref = rest[-4]
+    extra = rest[:-4]
     b = pl.program_id(0)
+    c = pl.program_id(1)
     kscale = kscale_ref[0] if quant else 1.0
-    q = q_ref[0, :, 0, :].astype(cdt)                      # [H, D]
-    kv = kv_ref[0, 0]                                      # [2, H, D, S]
-    k = kv[0].astype(cdt)                                  # [H, D, S]
-    v = kv[1].astype(cdt)
-    # batched over heads: [H,1,D] x [H,D,S] -> [H,1,S] fp32
-    s = jax.lax.dot_general(
-        q[:, None, :], k,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    s = s * (scale * kscale)
-    pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     seq_len = seqlen_ref[b]
     cache_len = seq_len - 1 if with_fresh else seq_len
     if with_tail:
         cache_len = cache_len - tlen_ref[0]
-    valid = jnp.logical_and(pos < cache_len, pos >= start_ref[b])
-    s = jnp.where(valid, s, NEG)
-    if with_fresh:
-        fk_ref, fv_ref = extra[-2], extra[-1]
-        fk = fk_ref[0, :, :, 0].astype(jnp.float32)        # [H, D]
-        fv = fv_ref[0, :, :, 0].astype(jnp.float32)        # [H, D]
-        s_f = jnp.sum(q.astype(jnp.float32) * fk,
-                      axis=-1) * (scale * kscale)          # [H]
-        if with_tail:
-            # K-step deferred tail block [Kmax,1,1,2,H,D] tail-major (see
-            # ops.attention write_tail_kv): masked extra score columns
-            t_ref = extra[0]
-            # [K,H,D] -> [H,K,D]: Mosaic's matmul needs lhs/rhs batch dims
-            # in the same position; the K,H leading-axis swap is cheap at
-            # tail size (~20 KB)
-            tk = jnp.transpose(t_ref[:, 0, 0, 0], (1, 0, 2)).astype(cdt)
-            tv = jnp.transpose(t_ref[:, 0, 0, 1], (1, 0, 2)).astype(cdt)
-            # [H,1,D] x [H,K,D] (contract D, batch H) -> [H,1,K]
-            s_t = jax.lax.dot_general(
-                q[:, None, :], tk,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            s_t = s_t * (scale * kscale)
-            tpos = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 2)
-            s_t = jnp.where(tpos < tlen_ref[0], s_t, NEG)
-            m = jnp.maximum(jnp.max(s, axis=2),
-                            jnp.max(s_t, axis=2))          # [H, 1]
-            m = jnp.maximum(m, s_f[:, None])
-            p = jnp.exp(s - m[:, :, None])                 # [H, 1, S]
-            p_t = jnp.exp(s_t - m[:, :, None])             # [H, 1, K]
-            p_f = jnp.exp(s_f - m[:, 0])                   # [H]
-            denom = (jnp.sum(p, axis=2) + jnp.sum(p_t, axis=2))[:, 0] + p_f
-            ctx = jax.lax.dot_general(
-                v, p.astype(cdt),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, :, 0]   # [H, D]
-            # [H,1,K] x [H,K,D] (contract K, batch H) -> [H,1,D]
-            ctx_t = jax.lax.dot_general(
-                p_t.astype(cdt), tv,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, 0, :]   # [H, D]
-            ctx = (ctx + ctx_t) * kscale + fv * (kscale * p_f[:, None])
-            ctx = ctx / denom[:, None]
-            o_ref[0, :, 0, :] = ctx.astype(o_ref.dtype)
-            return
-        m = jnp.maximum(jnp.max(s, axis=2), s_f[:, None])  # [H, 1]
-        p = jnp.exp(s - m[:, :, None])                     # [H, 1, S]
-        p_f = jnp.exp(s_f - m[:, 0])                       # [H]
-        denom = jnp.sum(p, axis=2)[:, 0] + p_f             # [H]
-        # [H,D,S] x [H,1,S] -> [H,D,1]
-        ctx = jax.lax.dot_general(
+    n_need = jnp.maximum(jax.lax.div(cache_len + cs - 1, cs), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, NEG, m_ref.dtype)
+        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    @pl.when(c < n_need)
+    def _chunk():
+        q = q_ref[0, :, 0, :].astype(cdt)                  # [H, D]
+        kv = kv_ref[0, 0]                                  # [2, H, D, CS]
+        k = kv[0].astype(cdt)                              # [H, D, CS]
+        v = kv[1].astype(cdt)
+        if s_max % cs:
+            # the final panel reads past S: its padding columns hold
+            # garbage that may be NaN/inf in float caches — the masked
+            # probs are 0 there, but NaN*0 would still poison the PV
+            # contraction, so zero the padded V columns explicitly
+            col = c * cs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
+            v = jnp.where(col < s_max, v, 0)
+        # batched over heads: [H,1,D] x [H,D,CS] -> [H,1,CS] fp32
+        s = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s * (scale * kscale)
+        pos = c * cs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        valid = jnp.logical_and(pos < cache_len, pos >= start_ref[b])
+        s = jnp.where(valid, s, NEG)
+        m_prev = m_ref[:, :]                               # [H, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        # a fully-masked chunk must contribute nothing (exp(NEG-NEG)=1
+        # would poison the denominator), hence the explicit where
+        p = jnp.where(valid, jnp.exp(s - m_new[:, :, None]), 0.0)
+        alpha = jnp.exp(m_prev - m_new)                    # [H, 1]
+        d_ref[:, :] = d_ref[:, :] * alpha + jnp.sum(p, axis=2)
+        # [H,D,CS] x [H,1,CS] -> [H,D,1]
+        pv = jax.lax.dot_general(
             v, p.astype(cdt),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, :, 0]   # [H, D]
-        ctx = (ctx * kscale + fv * (kscale * p_f[:, None]))
-        ctx = ctx / denom[:, None]
-    else:
-        m = jnp.max(s, axis=2)                             # [H, 1]
-        p = jnp.exp(s - m[:, :, None])
-        denom = jnp.sum(p, axis=2)[:, 0]                   # [H]
-        ctx = jax.lax.dot_general(
-            v, p.astype(cdt),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)[:, :, 0]
-        ctx = ctx * (kscale / denom[:, None])
-    o_ref[0, :, 0, :] = ctx.astype(o_ref.dtype)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+        m_ref[:, :] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        m = m_ref[:, :]                                    # [H, 1]
+        d = d_ref[:, :]
+        acc = acc_ref[:, :]                                # [H, D]
+        if with_fresh:
+            q32 = q_ref[0, :, 0, :].astype(jnp.float32)
+            fk_ref, fv_ref = extra[-2], extra[-1]
+            fk = fk_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
+            fv = fv_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
+            s_f = jnp.sum(q32 * fk, axis=-1,
+                          keepdims=True) * (scale * kscale)    # [H, 1]
+            if with_tail:
+                # K-step deferred tail block [Kmax,1,1,2,H,D] tail-major
+                # (see ops.attention write_tail_kv): masked extra columns
+                t_ref = extra[0]
+                q = q_ref[0, :, 0, :].astype(cdt)
+                # [K,H,D] -> [H,K,D]: Mosaic's matmul needs lhs/rhs batch
+                # dims in the same position; the K,H leading-axis swap is
+                # cheap at tail size (~20 KB)
+                tk = jnp.transpose(t_ref[:, 0, 0, 0], (1, 0, 2)).astype(cdt)
+                tv = jnp.transpose(t_ref[:, 0, 0, 1], (1, 0, 2)).astype(cdt)
+                # [H,1,D] x [H,K,D] (contract D, batch H) -> [H,1,K]
+                s_t = jax.lax.dot_general(
+                    q[:, None, :], tk,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                s_t = s_t * (scale * kscale)
+                tpos = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 2)
+                tmask = tpos < tlen_ref[0]
+                s_t = jnp.where(tmask, s_t, NEG)
+                m_fin = jnp.maximum(jnp.maximum(m, jnp.max(s_t, axis=2)),
+                                    s_f)                   # [H, 1]
+                alpha = jnp.exp(m - m_fin)
+                p_t = jnp.where(tmask, jnp.exp(s_t - m_fin[:, :, None]), 0.0)
+                p_f = jnp.exp(s_f - m_fin)                 # [H, 1]
+                denom = d * alpha + jnp.sum(p_t, axis=2) + p_f
+                # [H,1,K] x [H,K,D] (contract K, batch H) -> [H,1,D]
+                ctx_t = jax.lax.dot_general(
+                    p_t.astype(cdt), tv,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0, :]   # [H, D]
+                ctx = (acc * alpha + ctx_t) * kscale + fv * (kscale * p_f)
+                o_ref[0] = (ctx / denom).astype(o_ref.dtype)
+                return
+            m_fin = jnp.maximum(m, s_f)                    # [H, 1]
+            alpha = jnp.exp(m - m_fin)
+            p_f = jnp.exp(s_f - m_fin)                     # [H, 1]
+            denom = d * alpha + p_f
+            ctx = acc * alpha * kscale + fv * (kscale * p_f)
+            o_ref[0] = (ctx / denom).astype(o_ref.dtype)
+        else:
+            o_ref[0] = (acc * (kscale / d)).astype(o_ref.dtype)
+
+
+def _default_chunk(S: int) -> int:
+    from ..plugin import get_plugin_config
+    return get_plugin_config().get_decode_chunk()
 
 
 def fused_decode_attention(full_cache, layer_idx, q, seq_len,
@@ -132,6 +169,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            fresh_kv: Optional[Tuple] = None,
                            start_index=None,
                            tail_kv: Optional[Tuple] = None,
+                           chunk: Optional[int] = None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
 
@@ -146,6 +184,9 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     tokens not yet merged into the cache; requires fresh_kv.
     ``start_index`` [B] int32 (or scalar) masks keys at positions < start
     (left-padded ragged prompts, runtime/generation.py).
+    ``chunk``: sequence-panel width (default 256, env EWT_DECODE_CHUNK);
+    the kernel streams the cache in [2,H,D,chunk] panels with online
+    softmax, skipping panels past the valid length.
     Returns ctx [B, H, 1, D] in q.dtype.
 
     Note on the cache APPEND: it stays OUTSIDE this kernel (one XLA
@@ -167,6 +208,8 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         # off-TPU (CPU tests with the knob forced on) run the interpreter
         from .._utils import runtime_platform
         interpret = runtime_platform() != "tpu"
+    cs = min(chunk or _default_chunk(S), S)
+    n_chunks = -(-S // cs)
 
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)
@@ -189,19 +232,32 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     else:
         tlen_arr = jnp.zeros((1,), jnp.int32)
 
-    # index maps receive (grid ids..., scalar-prefetch refs...)
-    def kv_map(b, lref, sref, stref, kref, tref):
-        return (lref[0], b, 0, 0, 0, 0)
+    # index maps receive (grid ids..., scalar-prefetch refs...).  The kv
+    # map clamps the chunk index to the last chunk that holds valid
+    # columns: clamped iterations repeat the previous block index, which
+    # Mosaic recognises and skips the DMA entirely.
+    def kv_map(b, c, lref, sref, stref, kref, tref):
+        sl = sref[b] - (1 if with_fresh else 0) - \
+            (tref[0] if with_tail else 0)
+        n_need = jnp.maximum(jax.lax.div(sl + cs - 1, cs), 1)
+        return (lref[0], b, 0, 0, 0, jnp.minimum(c, n_need - 1))
 
-    def q_map(b, lref, sref, stref, kref, tref):
+    def q_map(b, c, lref, sref, stref, kref, tref):
         return (b, 0, 0, 0)
 
-    def tail_map(b, lref, sref, stref, kref, tref):
+    def o_map(b, c, lref, sref, stref, kref, tref):
+        # 3-D [B,H,D] output block: storing the scratch-sourced [H,D]
+        # context through a (1,H,1,D) block needs a 2D->4D vector shape
+        # cast Mosaic's layout inference rejects; the query dim is
+        # reattached outside the kernel
+        return (b, 0, 0)
+
+    def tail_map(b, c, lref, sref, stref, kref, tref):
         return (0, lref[0], b, 0, 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 2, H, D, S), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 2, H, D, cs), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [q, full_cache]
     if with_tail:
@@ -220,22 +276,27 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(B,),
+        grid=(B, n_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, H, D), o_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),   # running max
+            pltpu.VMEM((H, 1), jnp.float32),   # running denom
+            pltpu.VMEM((H, D), jnp.float32),   # context accumulator
+        ],
     )
     cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
     kernel = functools.partial(
         _kernel, scale=float(scale), quant=quant, with_fresh=with_fresh,
-        with_tail=with_tail, cdt=cdt)
+        with_tail=with_tail, cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
     bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * D * S, bytes_accessed=bytes_cost,
             transcendentals=B * H * S),
         interpret=interpret,
     )(layer_arr, seqlen_arr, start_arr, kscale_arr, tlen_arr, *args)
-    return out
+    return out[:, :, None, :]

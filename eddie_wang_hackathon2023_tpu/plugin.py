@@ -51,6 +51,10 @@ class PluginConfig:
     # one-column cache store is amortised over K decode steps.  None = auto
     # (8 on TPU, off elsewhere); 0 disables
     decode_tail: Optional[int] = None
+    # sequence-panel width of the fused decode-attention kernel (cache
+    # streamed in [2,H,D,chunk] blocks with online softmax; panels past
+    # the valid length are skipped).  None = 256
+    decode_chunk: Optional[int] = None
 
     # -- resolution (env > field > auto) ---------------------------------
     def use_pallas_decode(self) -> bool:
@@ -96,6 +100,17 @@ class PluginConfig:
         # merge amortises up to K=16, past that the per-step tail
         # attention read + merge slab size win back the loss
         return 16 if on_tpu() else 0
+
+    def get_decode_chunk(self) -> int:
+        v = os.environ.get("EWT_DECODE_CHUNK")
+        if v is not None:
+            return int(v)
+        # measured sweep on v5e large-v2 int8: 256 -> 2.74 ms/tok
+        # (vs 2.81 unchunked); 128/512 within noise of each other.
+        # (A fused fc1+act+fc2 Pallas MLP kernel was also tried here and
+        # measured 3.13-3.29 ms/tok — XLA's two fused dequant-GEMM
+        # dispatches beat the hand kernel, so it was removed.)
+        return self.decode_chunk or 256
 
     # -- (de)serialisation (builder build_config.json) -------------------
     def to_dict(self) -> dict:

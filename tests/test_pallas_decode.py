@@ -31,7 +31,11 @@ def mk(dtype=jnp.float32, seed=0):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
-def test_cached_only(dtype):
+@pytest.mark.parametrize("chunk", [None, 8])
+def test_cached_only(dtype, chunk):
+    """chunk=8 exercises the multi-panel online-softmax path (S=32 -> 4
+    chunks) including the clamp-skip of panels past seq_len (seq 7 needs
+    only panel 0)."""
     cache, q = mk(dtype)
     seq = jnp.asarray([7, 12], jnp.int32)
     scale = 1.0 / D ** 0.5
@@ -41,7 +45,25 @@ def test_cached_only(dtype):
                                       scale=scale, kv_quant_orig_scale=kscale)
         out = fused_decode_attention(cache, l, q, seq, scale,
                                      kv_quant_orig_scale=kscale,
-                                     interpret=True)
+                                     chunk=chunk, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_nondivisible_chunk():
+    """S not a multiple of the chunk width: the padded edge panel must
+    not poison the output (regression: garbage V columns times zero
+    probs gave NaN on the real 1500-column cross cache)."""
+    rs = np.random.RandomState(1)
+    cache = jnp.asarray(rs.randn(L, B, 2, H, D, 20).astype(np.float32))
+    q = jnp.asarray(rs.randn(B, H, 1, D).astype(np.float32))
+    seq = jnp.asarray([20, 13], jnp.int32)
+    scale = 1.0 / D ** 0.5
+    for chunk in (8, 16):
+        ref = cached_decode_attention(q, layer_kv_views(cache, 0), seq,
+                                      scale=scale)
+        out = fused_decode_attention(cache, 0, q, seq, scale,
+                                     chunk=chunk, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
@@ -67,7 +89,8 @@ def test_fresh_and_start_index():
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
 @pytest.mark.parametrize("tail_len", [0, 2, 3])
-def test_tail_mode(dtype, tail_len):
+@pytest.mark.parametrize("chunk", [None, 8])
+def test_tail_mode(dtype, tail_len, chunk):
     """K-step deferred tail: kernel == XLA op == semantics of a merged
     cache."""
     KT = 4
@@ -94,7 +117,7 @@ def test_tail_mode(dtype, tail_len):
         out = fused_decode_attention(cache, l, q, seq, scale,
                                      kv_quant_orig_scale=kscale,
                                      fresh_kv=(fk, fv), tail_kv=(tail, tl),
-                                     interpret=True)
+                                     chunk=chunk, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
