@@ -40,10 +40,15 @@ def main():
 
     config = whisper_config(os.environ.get("BENCH_MODEL", "large-v2"),
                             dtype="bfloat16")
-    # BENCH_QUANT: "+"-joined subset of {woq8, woq4, kv8, ckv8}, e.g.
+    # BENCH_QUANT: "+"-joined subset of {woq8, woq4, kv8, ckv8, lmq8}, e.g.
     # "woq8+kv8+ckv8" = the reference's weight_only+int8_kv_cache combo
-    # plus the beyond-reference int8 cross-KV
-    quant = os.environ.get("BENCH_QUANT", "")
+    # plus the beyond-reference int8 cross-KV.  Default is the framework's
+    # speed-optimal deployment recipe (int8 weights + int8 cross-KV +
+    # int8 lm_head) — the reference's baseline number is likewise its
+    # best plugin+quant configuration.  "bf16"/"none" = unquantized.
+    quant = os.environ.get("BENCH_QUANT", "woq8+ckv8+lmq8")
+    if quant in ("bf16", "none"):
+        quant = ""
     parts = set(p for p in quant.split("+") if p)
     ckv8 = "ckv8" in parts
     from eddie_wang_hackathon2023_tpu.quantization import QuantMode
