@@ -161,24 +161,29 @@ class CrossAttnKV(Module):
         c = self.config
         b, l, _ = xa.shape
         h, hd = c.n_text_head, c.head_dim
-        block = self.blocks
-        stacked = block.state_dict()
-
-        def step(carry, layer_params):
-            k, v = block.apply(dict(layer_params), xa)
-            k = k.reshape(b, l, h, hd).transpose(0, 2, 3, 1)   # [B,H,D,S]
-            v = v.reshape(b, l, h, hd).transpose(0, 2, 3, 1)
-            kv = jnp.stack([k, v], axis=1)
-            if self.int8_output:
-                amax = jnp.max(jnp.abs(kv.astype(jnp.float32)))
-                scale = jnp.maximum(amax, 1e-6) / 127.0
-                q = jnp.clip(
-                    round_half_away(kv.astype(jnp.float32) / scale),
-                    -127, 127).astype(jnp.int8)
-                return carry, (q, scale)
-            return carry, kv
-
-        _, kv = jax.lax.scan(step, 0, stacked)
+        stacked = self.blocks.state_dict()
+        wk = stacked["k_linear.weight"]            # [L, d, d] ([out, in])
+        wv = stacked["v_linear.weight"]
+        bv = stacked["v_linear.bias"]              # [L, d]
+        n_layer = wk.shape[0]
+        # ONE big GEMM per projection instead of a 32-layer scan of small
+        # ones (the scan measured 13 ms vs a ~2 ms GEMM roofline: 64
+        # sequential [1500,1280]x[1280,1280] dispatches plus per-layer
+        # transposes).  The einsum's output puts S minor, emitting the
+        # seq-minor cache layout straight out of the MXU.
+        k = jnp.einsum("bsi,loi->lbos", xa, wk)    # [L, B, d, S]
+        v = jnp.einsum("bsi,loi->lbos", xa, wv)
+        v = v + bv[:, None, :, None].astype(v.dtype)
+        kv = jnp.stack([k, v], axis=2)             # [L, B, 2, d, S]
+        kv = kv.reshape(n_layer, b, 2, h, hd, l)
+        if self.int8_output:
+            kvf = kv.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(kvf), axis=(1, 2, 3, 4, 5))  # per layer
+            scale = jnp.maximum(amax, 1e-6) / 127.0
+            q = jnp.clip(
+                round_half_away(kvf / scale[:, None, None, None, None, None]),
+                -127, 127).astype(jnp.int8)
+            return q, scale
         return kv
 
 
