@@ -79,61 +79,3 @@ def quant_matmul_int4_pallas(x, qweight, scales, block_m: int = 256,
     if m_pad != m:
         out = out[:m]
     return out.reshape(*lead, n)
-
-
-def _kernel_int8(x_ref, qw_ref, scale_ref, out_ref):
-    """qw block [K, TN] int8: convert to the activation dtype in VMEM
-    (half the HBM bytes of bf16 crossed the bus), one MXU dot, scale the
-    fp32 accumulator."""
-    x = x_ref[:]                                   # [TM, K]
-    w = qw_ref[:].astype(x.dtype)                  # [K, TN]
-    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    out_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def quant_matmul_int8_pallas(x, qweight, scales, block_m: int = 256,
-                             block_n: int = 512):
-    """x [..., K] @ int8 weight [K, N] -> [..., N] (per-out-channel scales).
-
-    The decode-step GEMV formulation of the WeightOnlyQuantMatmul plugin:
-    M is tiny (1..16 at decode), so the grid streams [K, TN] weight panels
-    through VMEM (Pallas grid pipelining double-buffers the panel DMA
-    against the dot) while x stays resident.  A/B candidate against XLA's
-    fused dequant-GEMM (ops.quant_matmul.weight_only_quant_matmul) — gate
-    via PluginConfig.woq8_pallas / EWT_WOQ8_PALLAS."""
-    *lead, k = x.shape
-    n = qweight.shape[1]
-    m = 1
-    for s in lead:
-        m *= s
-    x2 = x.reshape(m, k)
-    tm = min(block_m, _round_up(m, 16))
-    tn = min(block_n, n)
-    m_pad = _round_up(m, tm)
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    grid = (m_pad // tm, pl.cdiv(n, tn))  # edge block auto-masked
-    out = pl.pallas_call(
-        _kernel_int8,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, k), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n * k,
-            bytes_accessed=m_pad * k * 2 + k * n + m_pad * n * 2,
-            transcendentals=0,
-        ),
-    )(x2, qweight, scales.reshape(1, n))
-    if m_pad != m:
-        out = out[:m]
-    return out.reshape(*lead, n)

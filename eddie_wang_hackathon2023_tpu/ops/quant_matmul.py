@@ -84,11 +84,11 @@ def weight_only_quant_matmul(x, qweight, scales, bits: int = 8):
             from .pallas_quant_matmul import quant_matmul_int4_pallas
             return quant_matmul_int4_pallas(x, qweight, scales)
         qweight = unpack_int4(qweight)
-    elif qweight.shape[1] % 128 == 0:
-        from ..plugin import get_plugin_config
-        if get_plugin_config().use_woq8_pallas():
-            from .pallas_quant_matmul import quant_matmul_int8_pallas
-            return quant_matmul_int8_pallas(x, qweight, scales)
+    # int8 deliberately has NO hand kernel: two Pallas formulations were
+    # measured against this XLA fused dequant-GEMM on v5e and both lost
+    # (whole-block kernel 3.60 vs 3.10 ms/tok round 1; streaming-panel
+    # GEMV 3.48 vs 3.08 ms/tok round 2) — XLA's convert+matmul fusion is
+    # already at the weight-read bound for these shapes.
     acc = jnp.matmul(x, qweight.astype(x.dtype),
                      preferred_element_type=jnp.float32)
     return (acc * scales.astype(jnp.float32)).astype(x.dtype)

@@ -39,11 +39,6 @@ class PluginConfig:
     # fused Pallas int4 dequant-GEMM (ops/pallas_quant_matmul.py) vs XLA
     # unpack (which materialises the int8 weight per call)
     int4_pallas: Optional[bool] = None
-    # fused Pallas int8 dequant-GEMV (ops/pallas_quant_matmul.py) vs XLA's
-    # fused dequant-GEMM.  Default OFF: XLA measured faster in round 1
-    # (3.10 vs 3.60 ms/tok); this streaming-panel GEMV variant is the
-    # A/B re-candidate
-    woq8_pallas: Optional[bool] = None
     # flash-attention (block_q, block_k_major, block_k); None = 512,512,512
     flash_blocks: Optional[Tuple[int, int, int]] = None
     # whisper transcribe as ONE jitted mel->tokens program vs the (faster
@@ -76,12 +71,6 @@ class PluginConfig:
         if self.int4_pallas is not None:
             return self.int4_pallas
         return on_tpu()
-
-    def use_woq8_pallas(self) -> bool:
-        v = os.environ.get("EWT_WOQ8_PALLAS")
-        if v is not None:
-            return v not in ("0", "false", "off")
-        return bool(self.woq8_pallas)
 
     def get_flash_blocks(self) -> Tuple[int, int, int]:
         v = os.environ.get("EWT_FLASH_BLOCKS")
