@@ -111,11 +111,51 @@ def profile_encoder():
         jax.block_until_ready(xa)
 
 
+def profile_crosskv():
+    """Trace the cross-KV warping engine alone (bench attributes ~12 ms
+    to it vs a ~2 ms GEMM roofline — find where the other 10 ms go)."""
+    import numpy as np
+
+    from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
+    from eddie_wang_hackathon2023_tpu.models.whisper import (CrossAttnKV,
+                                                             whisper_config)
+    enable_compile_cache()
+    config = whisper_config("large-v2", dtype="bfloat16")
+    int8 = os.environ.get("BENCH_QUANT", "ckv8").find("ckv8") >= 0
+    ckv = CrossAttnKV(config, int8_output=int8)
+    ckv.zeros_init()
+    params = ckv.state_dict()
+    xa = jnp.asarray(
+        np.random.RandomState(0).randn(1, config.n_audio_ctx,
+                                       config.n_audio_state) * 0.1,
+        jnp.bfloat16)
+
+    @jax.jit
+    def run(params, xa):
+        return ckv.apply(params, xa)
+
+    out = run(params, xa)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(20):
+        out = run(params, xa)
+    jax.block_until_ready(out)
+    print(f"cross-kv (int8={int8}): {(time.time() - t0) / 20 * 1e3:.2f} ms",
+          file=sys.stderr)
+    log_dir = os.environ.get("TRACE_DIR", "/tmp/ewt_trace")
+    with jax.profiler.trace(log_dir):
+        for _ in range(5):
+            out = run(params, xa)
+        jax.block_until_ready(out)
+
+
 def main():
     if os.environ.get("PROFILE_TARGET") == "loop":
         return profile_loop()
     if os.environ.get("PROFILE_TARGET") == "encoder":
         return profile_encoder()
+    if os.environ.get("PROFILE_TARGET") == "crosskv":
+        return profile_crosskv()
     from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
     from eddie_wang_hackathon2023_tpu.models.whisper import (WhisperDecoder,
                                                              whisper_config)
