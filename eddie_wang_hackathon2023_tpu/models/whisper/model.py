@@ -174,17 +174,26 @@ class CrossAttnKV(Module):
         k = jnp.einsum("bsi,loi->lbos", xa, wk)    # [L, B, d, S]
         v = jnp.einsum("bsi,loi->lbos", xa, wv)
         v = v + bv[:, None, :, None].astype(v.dtype)
-        kv = jnp.stack([k, v], axis=2)             # [L, B, 2, d, S]
-        kv = kv.reshape(n_layer, b, 2, h, hd, l)
         if self.int8_output:
-            kvf = kv.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(kvf), axis=(1, 2, 3, 4, 5))  # per layer
-            scale = jnp.maximum(amax, 1e-6) / 127.0
-            q = jnp.clip(
-                round_half_away(kvf / scale[:, None, None, None, None, None]),
-                -127, 127).astype(jnp.int8)
+            # quantize k and v BEFORE the stack: the fp32 convert/round/
+            # clip chain fuses into one pass per tensor and the big
+            # [L,B,2,d,S] stack copy moves int8 bytes, not bf16 (a stack
+            # of the bf16 pair followed by an fp32 view measured ~4x the
+            # HBM traffic of this ordering)
+            kf = k.astype(jnp.float32)
+            vf = v.astype(jnp.float32)
+            amax = jnp.maximum(jnp.max(jnp.abs(kf), axis=(1, 2, 3)),
+                               jnp.max(jnp.abs(vf), axis=(1, 2, 3)))
+            scale = jnp.maximum(amax, 1e-6) / 127.0   # [L] fp32
+            s4 = scale[:, None, None, None]
+            qk = jnp.clip(round_half_away(kf / s4),
+                          -127, 127).astype(jnp.int8)
+            qv = jnp.clip(round_half_away(vf / s4),
+                          -127, 127).astype(jnp.int8)
+            q = jnp.stack([qk, qv], axis=2).reshape(n_layer, b, 2, h, hd, l)
             return q, scale
-        return kv
+        kv = jnp.stack([k, v], axis=2)             # [L, B, 2, d, S]
+        return kv.reshape(n_layer, b, 2, h, hd, l)
 
 
 class WhisperDecoder(Module):
