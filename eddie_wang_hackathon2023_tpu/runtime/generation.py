@@ -64,7 +64,7 @@ class GenerationSession:
     def __init__(self, model_config: ModelConfig, model,
                  sampling_config: Optional[SamplingConfig] = None,
                  bucket_prompts: bool = True,
-                 use_cache_indirection: bool = False):
+                 use_cache_indirection: bool = True):
         self.model_config = model_config
         self.model = model
         self.sampling_config = sampling_config or SamplingConfig()
@@ -73,7 +73,9 @@ class GenerationSession:
         # [B, beam, S] physical-row map instead (the reference's
         # cache_indirection, T/functional.py:2738) and let the attention
         # read gather through it.  Requires the model to accept
-        # ``beam_indirection`` (DecoderLMHead does)
+        # ``beam_indirection`` (DecoderLMHead does).  Default ON: measured
+        # 2.40 vs 62.74 ms/tok at beam=4/ctx=2048 (benchmarks/beam_bench);
+        # set False only for models without the beam_indirection kwarg
         self.use_cache_indirection = use_cache_indirection
         self._params = None
         self._decode_fn = jax.jit(
