@@ -35,6 +35,10 @@ def main():
     p.add_argument("--prompt_len", type=int, default=None,
                    help="default ctx - 136 (so decode runs near full ctx)")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--modes", default="gather,indirection",
+                   help="comma list; gather at beam>1 with a ~2k cache "
+                        "crashes the axon TPU worker (platform bug), so "
+                        "long-ctx runs should pass --modes indirection")
     args = p.parse_args()
 
     import jax
@@ -64,7 +68,10 @@ def main():
     lengths = np.array([plen])
     sc = SamplingConfig(end_id=-1, pad_id=0, num_beams=args.beam)
 
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     for label, flag in (("gather", False), ("indirection", True)):
+        if label not in modes:
+            continue
         sess = GenerationSession(mc, model, sc, use_cache_indirection=flag)
         # marginal per-token cost from two decode lengths (removes the
         # prefill + dispatch fixed cost)
