@@ -166,33 +166,37 @@ class CrossAttnKV(Module):
         wv = stacked["v_linear.weight"]
         bv = stacked["v_linear.bias"]              # [L, d]
         n_layer = wk.shape[0]
-        # ONE big GEMM per projection instead of a 32-layer scan of small
-        # ones (the scan measured 13 ms vs a ~2 ms GEMM roofline: 64
-        # sequential [1500,1280]x[1280,1280] dispatches plus per-layer
-        # transposes).  The einsum's output puts S minor, emitting the
-        # seq-minor cache layout straight out of the MXU.
-        k = jnp.einsum("bsi,loi->lbos", xa, wk)    # [L, B, d, S]
-        v = jnp.einsum("bsi,loi->lbos", xa, wv)
-        v = v + bv[:, None, :, None].astype(v.dtype)
+        d = wk.shape[1]
+        # ONE stacked GEMM instead of a 32-layer scan of small ones (the
+        # scan measured 13 ms vs a ~2 ms GEMM roofline: 64 sequential
+        # [1500,1280]x[1280,1280] dispatches plus per-layer transposes).
+        # At B=1 the operands are ordered so S is the GEMM's natural
+        # minor output axis — out[L*2*d, S] = W[L*2*d, i] @ xa.T — and
+        # the seq-minor cache layout falls straight out of the MXU with
+        # no transpose (device-profiled: 7.85 vs 9.10 ms for the einsum
+        # formulation, benchmarks/crosskv_variants.py).
+        if b == 1:
+            xt = xa[0].T                           # [i, S]
+            w = jnp.concatenate([wk[:, None], wv[:, None]],
+                                axis=1)            # [L, 2, d(out), d(in)]
+            kv = (w.reshape(n_layer * 2 * d, d) @ xt).reshape(
+                n_layer, 1, 2, d, l)               # [L, B=1, 2, d, S]
+            bias = jnp.pad(bv[:, None, :, None],   # zero bias on the K slot
+                           ((0, 0), (1, 0), (0, 0), (0, 0)))
+            kv = kv + bias[:, None].astype(kv.dtype)
+        else:
+            k = jnp.einsum("bsi,loi->lbos", xa, wk)    # [L, B, d, S]
+            v = jnp.einsum("bsi,loi->lbos", xa, wv)
+            v = v + bv[:, None, :, None].astype(v.dtype)
+            kv = jnp.stack([k, v], axis=2)             # [L, B, 2, d, S]
         if self.int8_output:
-            # quantize k and v BEFORE the stack: the fp32 convert/round/
-            # clip chain fuses into one pass per tensor and the big
-            # [L,B,2,d,S] stack copy moves int8 bytes, not bf16 (a stack
-            # of the bf16 pair followed by an fp32 view measured ~4x the
-            # HBM traffic of this ordering)
-            kf = k.astype(jnp.float32)
-            vf = v.astype(jnp.float32)
-            amax = jnp.maximum(jnp.max(jnp.abs(kf), axis=(1, 2, 3)),
-                               jnp.max(jnp.abs(vf), axis=(1, 2, 3)))
+            kvf = kv.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(kvf), axis=(1, 2, 3, 4))  # per layer
             scale = jnp.maximum(amax, 1e-6) / 127.0   # [L] fp32
-            s4 = scale[:, None, None, None]
-            qk = jnp.clip(round_half_away(kf / s4),
-                          -127, 127).astype(jnp.int8)
-            qv = jnp.clip(round_half_away(vf / s4),
-                          -127, 127).astype(jnp.int8)
-            q = jnp.stack([qk, qv], axis=2).reshape(n_layer, b, 2, h, hd, l)
-            return q, scale
-        kv = jnp.stack([k, v], axis=2)             # [L, B, 2, d, S]
+            q = jnp.clip(
+                round_half_away(kvf / scale[:, None, None, None, None]),
+                -127, 127).astype(jnp.int8)
+            return q.reshape(n_layer, b, 2, h, hd, l), scale
         return kv.reshape(n_layer, b, 2, h, hd, l)
 
 
