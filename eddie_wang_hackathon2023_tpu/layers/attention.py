@@ -267,6 +267,7 @@ class Attention(Module):
                 cache_write_index=None,
                 attention_start=None,
                 beam_indirection=None,
+                valid_len: Optional[int] = None,
                 use_cache: bool = False):
         b, l, _ = hidden_states.shape
 
@@ -511,15 +512,23 @@ class Attention(Module):
         is_causal = self.attention_mask_type == AttentionMaskType.causal
         if (attention_mask is None and past_key_value is None
                 and self.position_embedding_type != PositionEmbeddingType.alibi):
-            # fused context attention (flash on TPU, XLA elsewhere)
-            ctx = multihead_attention(q, k_full, v_full,
-                                      bias=causal_bias(q.shape[2],
-                                                       k_full.shape[2])
-                                      if is_causal else None,
-                                      scale=self.scale) \
-                if q.shape[2] < 128 or not _on_tpu() else \
-                flash_mha(q, k_full, v_full, causal=is_causal,
-                          scale=self.scale)
+            # fused context attention (flash on TPU, XLA elsewhere).
+            # ``valid_len`` = pad-once contract: the caller carries the
+            # sequence pre-padded to the flash block multiple and only the
+            # first N positions are real (flash_mha masks the rest via
+            # segment ids with no further pad copies).
+            if valid_len is not None:
+                ctx = flash_mha(q, k_full, v_full, causal=is_causal,
+                                scale=self.scale, kv_valid_len=valid_len)
+            else:
+                ctx = multihead_attention(q, k_full, v_full,
+                                          bias=causal_bias(q.shape[2],
+                                                           k_full.shape[2])
+                                          if is_causal else None,
+                                          scale=self.scale) \
+                    if q.shape[2] < 128 or not _on_tpu() else \
+                    flash_mha(q, k_full, v_full, causal=is_causal,
+                              scale=self.scale)
         else:
             bias = attention_mask
             if is_causal:

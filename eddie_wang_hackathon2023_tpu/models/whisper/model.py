@@ -63,11 +63,13 @@ class ResidualAttentionBlock(Module):
         self.mlp2 = Linear(4 * n_state, n_state, bias=True, dtype=dtype)
 
     def forward(self, x, kv_cache=None, cross_kv=None, write_index=None,
-                sequence_length=None, use_cache: bool = False):
+                sequence_length=None, valid_len=None,
+                use_cache: bool = False):
         attn_out = self.attn(self.attn_ln(x),
                              past_key_value=kv_cache,
                              sequence_length=sequence_length,
                              cache_write_index=write_index,
+                             valid_len=valid_len,
                              use_cache=use_cache)
         if use_cache:
             attn_out, kv_cache = attn_out
@@ -111,13 +113,28 @@ class WhisperEncoder(Module):
         x = x.transpose(0, 2, 1)  # [B, 1500, d]
         x = x + self.positional_embedding.value.astype(x.dtype)
 
+        # Pad-once: carry the sequence padded to the flash block multiple
+        # (1500 -> 1536) through ALL blocks instead of letting every
+        # flash_mha call pad q/k/v and slice the output (32 layers x 4
+        # full-tensor copies), and so every GEMM sees an aligned M dim.
+        # Padded rows stay finite (LN of a zero row = bias) and are masked
+        # out of attention via valid_len -> segment ids; sliced off after
+        # the scan.
+        valid = x.shape[1]
+        pad = (-valid) % 128 if valid >= 128 else 0
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
         block = self.blocks
         stacked = block.state_dict()
+        vl = valid if pad else None
 
         def step(h, layer_params):
-            return block.apply(dict(layer_params), h), None
+            return block.apply(dict(layer_params), h, valid_len=vl), None
 
         x, _ = jax.lax.scan(step, x, stacked)
+        if pad:
+            x = x[:, :valid]
         return self.ln_post(x)
 
 

@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .attention import multihead_attention
+from .attention import length_mask_bias, multihead_attention
 
 _MIN_FLASH_LEN = 128  # below this the unfused path is faster/simpler
 
@@ -34,24 +34,34 @@ def _pad_to(x, axis: int, mult: int):
 
 
 def flash_mha(q, k, v, causal: bool = False, scale: Optional[float] = None,
-              bias=None, fp32_softmax: bool = True):
+              bias=None, fp32_softmax: bool = True,
+              kv_valid_len: Optional[int] = None):
     """q [B,H,Lq,D], k/v [B,H,Lk,D] -> [B,H,Lq,D].
 
     Dispatches to the Pallas flash kernel on TPU for large Lq; otherwise
     the XLA path.  ``bias`` forces the XLA path (ALiBi etc.).
+
+    ``kv_valid_len`` (static): only the first N key/value positions are
+    real; the rest are caller-provided padding to be masked out.  This is
+    the pad-once contract — a caller that already carries its sequence
+    padded to the kernel's block multiple (e.g. the Whisper encoder at
+    1536) gets the mask via segment ids with zero extra pad copies.
     """
     lq, lk = q.shape[2], k.shape[2]
+    valid = lk if kv_valid_len is None else min(int(kv_valid_len), lk)
     from .._utils import on_tpu
     use_flash = (on_tpu() and bias is None
                  and lq >= _MIN_FLASH_LEN and q.shape[-1] % 64 == 0)
     if not use_flash:
-        cb = None
+        cb = bias
         if causal:
             from ..functional import causal_bias
-            cb = causal_bias(lq, lk, jnp.float32)
-            cb = cb if bias is None else cb + bias
-        else:
-            cb = bias
+            c = causal_bias(lq, lk, jnp.float32)
+            cb = c if cb is None else cb + c
+        if valid < lk:
+            lm = length_mask_bias(
+                jnp.full((q.shape[0],), valid, jnp.int32), lk)
+            cb = lm if cb is None else cb + lm
         return multihead_attention(q, k, v, bias=cb, scale=scale,
                                    fp32_softmax=fp32_softmax)
 
@@ -62,16 +72,15 @@ def flash_mha(q, k, v, causal: bool = False, scale: Optional[float] = None,
     orig_dtype = q.dtype
     # kernel wants both operand seq dims padded to its block multiples
     q_p, pad_q = _pad_to(q, 2, 128)
-    k_p, pad_k = _pad_to(k, 2, 128)
+    k_p, _ = _pad_to(k, 2, 128)
     v_p, _ = _pad_to(v, 2, 128)
-    if pad_k:
+    if valid < k_p.shape[2]:
         # padded keys must not contribute: neutralised via segment ids
         from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
         bq = q_p.shape[0]
         q_seg = jnp.zeros((bq, q_p.shape[2]), jnp.int32)
-        k_seg = jnp.concatenate(
-            [jnp.zeros((bq, lk), jnp.int32),
-             jnp.ones((bq, pad_k), jnp.int32)], axis=1)
+        k_seg = (jax.lax.broadcasted_iota(
+            jnp.int32, (bq, k_p.shape[2]), 1) >= valid).astype(jnp.int32)
         segment_ids = SegmentIds(q=q_seg, kv=k_seg)
     else:
         segment_ids = None

@@ -142,3 +142,40 @@ def test_jitted_decode_step_in_place(hf_model, our_models):
     logits2, cache = step(state, jnp.asarray([[9]]), cache, 1, jnp.array([2]))
     assert logits.shape == (1, 1, TINY.n_vocab)
     assert cache.shape[3:] == (TINY.n_text_head, TINY.head_dim, TINY.n_text_ctx)
+
+
+def test_encoder_pad_once_matches_hf():
+    """Pad-once path: at n_audio_ctx >= 128 and not a multiple of 128 the
+    encoder carries the sequence padded to 256 through every block with the
+    pad masked via valid_len — must be numerically identical to HF's
+    unpadded computation (the mask is exact, pad rows never contribute)."""
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperModel
+    cfg = WhisperConfig(n_mels=8, n_vocab=100, n_audio_ctx=192,
+                        n_audio_state=32, n_audio_head=4, n_audio_layer=2,
+                        n_text_ctx=24, n_text_state=32, n_text_head=4,
+                        n_text_layer=2, dtype="float32")
+    torch.manual_seed(3)
+    hf_cfg = HFConfig(
+        vocab_size=cfg.n_vocab, num_mel_bins=cfg.n_mels,
+        encoder_layers=cfg.n_audio_layer,
+        encoder_attention_heads=cfg.n_audio_head,
+        decoder_layers=cfg.n_text_layer,
+        decoder_attention_heads=cfg.n_text_head,
+        d_model=cfg.n_audio_state, decoder_ffn_dim=4 * cfg.n_text_state,
+        encoder_ffn_dim=4 * cfg.n_audio_state,
+        max_source_positions=cfg.n_audio_ctx,
+        max_target_positions=cfg.n_text_ctx,
+        activation_function="gelu",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1)
+    hf = WhisperModel(hf_cfg).eval()
+    enc, _, _ = load_openai_state_dict(
+        hf_to_openai_state_dict(hf.state_dict()), cfg)
+    rs = np.random.RandomState(7)
+    mel = rs.randn(1, cfg.n_mels, cfg.n_audio_ctx * 2).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    got = np.asarray(enc(jnp.asarray(mel)))
+    assert got.shape == ref.shape  # pad sliced back off
+    np.testing.assert_allclose(got, ref, atol=2e-4)
