@@ -9,6 +9,27 @@ import json
 import sys
 
 
+def device_total_ms(trace_dir: str):
+    """Sum of per-program device time (ms) in a trace, IDLE excluded.
+
+    The only trustworthy timing through the axon tunnel — wall clocks lie
+    even for chained scans.  Returns {program_name: ms} plus '_total'."""
+    xs = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    if not xs:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    from xprof.convert import raw_to_tool_data as rtd
+    data, _ = rtd.xspace_to_tool_data(xs, "op_profile", {})
+    data = json.loads(data)
+    out = {}
+    for prog in data["byProgram"].get("children") or []:
+        name = prog.get("name", "?")
+        t = (prog.get("metrics") or {}).get("rawTime", 0) / 1e9
+        if name != "IDLE" and t:
+            out[name] = out.get(name, 0.0) + t
+    out["_total"] = sum(out.values())
+    return out
+
+
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ewt_trace"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1

@@ -111,7 +111,15 @@ class QKVLinear(Module):
         if self.num_kv_heads == self.num_heads:
             w = self.weight.value.reshape(3 * h * d, hidden)
             qkv = jnp.matmul(x, w.T, preferred_element_type=jnp.float32)
-            qkv = qkv.astype(x.dtype).reshape(b, l, 3, h, d)
+            qkv = qkv.astype(x.dtype)
+            if l > 1:
+                from ..plugin import get_plugin_config
+                if get_plugin_config().use_qkv_flat_barrier():
+                    # keep the GEMM output flat/N-minor; the head split
+                    # below becomes an explicit relayout copy instead of
+                    # a 64-lane-minor GEMM epilogue (see PluginConfig)
+                    qkv = jax.lax.optimization_barrier(qkv)
+            qkv = qkv.reshape(b, l, 3, h, d)
             if self.bias is not None:
                 qkv = qkv + self.bias.value.astype(qkv.dtype)
             return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -231,6 +239,24 @@ class Attention(Module):
             return kv[:, 0], kv[:, 1], scale, False
         return cv[:, 0], cv[:, 1], None, False
 
+    def _decode_proj_operands(self):
+        """Out-projection operands for the fused Pallas decode kernel
+        (ops.pallas_decode_attention proj=): only the int8 WOQ dense
+        qualifies — its qweight is already [K, N] K-major, so the kernel
+        view [H, D, N] is free; bf16 Linear stores [out, in] and would
+        need a per-step transpose.  tp>1 needs the XLA dense's automatic
+        partial-sum reduction.  Returns (w, scale, bias) or None."""
+        from ..plugin import get_plugin_config
+        if not get_plugin_config().use_fuse_decode_proj():
+            return None
+        d = self.dense
+        qw = getattr(d, "qweight", None)
+        if qw is None or getattr(d, "bits", None) != 8 or \
+                getattr(d, "tp_size", 1) != 1:
+            return None
+        return (qw.value, d.per_channel_scale.value,
+                None if d.bias is None else d.bias.value)
+
     def _split_heads(self, x):
         b, l, _ = x.shape
         return x.reshape(b, l, self.num_attention_heads,
@@ -288,13 +314,16 @@ class Attention(Module):
                     full, li = cross_key_value
                     if isinstance(full, tuple):
                         full = full[0]
-                    ctx = fused_decode_attention(
+                    proj = self._decode_proj_operands()
+                    res = fused_decode_attention(
                         full, li, query, s_full, self.scale,
-                        kv_quant_orig_scale=cross_scale)
-                else:
-                    ctx = cached_decode_attention(
-                        query, (key, value), s_full, scale=self.scale,
-                        kv_quant_orig_scale=cross_scale)
+                        kv_quant_orig_scale=cross_scale, proj=proj)
+                    out = (res[:, None, :] if proj is not None
+                           else self.dense(self._merge_heads(res)))
+                    return (out, past_key_value) if use_cache else out
+                ctx = cached_decode_attention(
+                    query, (key, value), s_full, scale=self.scale,
+                    kv_quant_orig_scale=cross_scale)
                 out = self.dense(self._merge_heads(ctx))
                 return (out, past_key_value) if use_cache else out
             if key.dtype == jnp.int8:
@@ -427,12 +456,17 @@ class Attention(Module):
                 elif _pallas_decode():
                     from ..ops.pallas_decode_attention import \
                         fused_decode_attention
-                    ctx = fused_decode_attention(
+                    proj = self._decode_proj_operands()
+                    res = fused_decode_attention(
                         full_cache, layer_idx, q, sequence_length,
                         self.scale, kv_quant_orig_scale=kv_qo,
                         fresh_kv=(k_st, v_st), start_index=attention_start,
                         tail_kv=(None if kv_tail is None
-                                 else (kv_tail, tail_len)))
+                                 else (kv_tail, tail_len)),
+                        proj=proj)
+                    out = (res[:, None, :] if proj is not None
+                           else self.dense(self._merge_heads(res)))
+                    return (out, (k_st, v_st)) if use_cache else out
                 else:
                     ctx = cached_decode_attention(
                         q, layer_kv_views(full_cache, layer_idx),

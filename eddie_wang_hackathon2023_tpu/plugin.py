@@ -55,6 +55,18 @@ class PluginConfig:
     # streamed in [2,H,D,chunk] blocks with online softmax; panels past
     # the valid length are skipped).  None = 256
     decode_chunk: Optional[int] = None
+    # fuse the attention out-projection (int8 weight-only dense) into the
+    # Pallas decode-attention kernel epilogue (weight DMA overlaps the
+    # cache streaming; kills the separate launch-overhead-bound 1.6 MB
+    # GEMV per attention).  Only applies where pallas_decode applies and
+    # the dense layer is int8 WOQ, tp=1.  None = on with pallas_decode
+    fuse_decode_proj: Optional[bool] = None
+    # materialise the fused QKV projection's flat [B,L,3*H*D] result
+    # (optimization_barrier) before the head split in context/prefill
+    # calls, so XLA emits the GEMM in a well-tiled N-minor layout instead
+    # of fusing the [.,3,H,64] head reshape (64-lane minor = half-empty
+    # tiles) into the GEMM epilogue.  None = off
+    qkv_flat_barrier: Optional[bool] = None
 
     # -- resolution (env > field > auto) ---------------------------------
     def use_pallas_decode(self) -> bool:
@@ -78,10 +90,27 @@ class PluginConfig:
             return tuple(int(x) for x in v.split(","))  # type: ignore
         if self.flash_blocks is not None:
             return tuple(self.flash_blocks)  # type: ignore
-        return (512, 512, 512)
+        # device-traced sweep on v5e (benchmarks/flash_sweep.py, encoder
+        # [1,20,1536,64]): 0.189 ms/call vs 0.205 at 512,512,512 — a
+        # whole-cache k_major block drops the revisit overhead
+        return (512, 1536, 512)
 
     def use_fused_transcribe(self) -> bool:
         return bool(self.fused_transcribe)
+
+    def use_fuse_decode_proj(self) -> bool:
+        v = os.environ.get("EWT_FUSE_PROJ")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        if self.fuse_decode_proj is not None:
+            return self.fuse_decode_proj
+        return True
+
+    def use_qkv_flat_barrier(self) -> bool:
+        v = os.environ.get("EWT_QKV_BARRIER")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        return bool(self.qkv_flat_barrier)
 
     def get_scan_unroll(self) -> int:
         v = os.environ.get("EWT_SCAN_UNROLL")
@@ -101,16 +130,22 @@ class PluginConfig:
         # attention read + merge slab size win back the loss
         return 16 if on_tpu() else 0
 
-    def get_decode_chunk(self) -> int:
+    def get_decode_chunk(self, s_max: Optional[int] = None) -> int:
         v = os.environ.get("EWT_DECODE_CHUNK")
         if v is not None:
             return int(v)
-        # measured sweep on v5e large-v2 int8: 256 -> 2.74 ms/tok
-        # (vs 2.81 unchunked); 128/512 within noise of each other.
+        if self.decode_chunk:
+            return self.decode_chunk
+        # device-traced sweep (benchmarks/decode_chunk_sweep.py, v5e):
+        # large caches (cross 1500-col int8) want 512-wide panels
+        # (9.17 vs 9.87 us/layer at 256); short-valid self caches want
+        # 128 (6.03 vs 6.96 us — less speculative DMA past seq_len).
         # (A fused fc1+act+fc2 Pallas MLP kernel was also tried here and
         # measured 3.13-3.29 ms/tok — XLA's two fused dequant-GEMM
         # dispatches beat the hand kernel, so it was removed.)
-        return self.decode_chunk or 256
+        if s_max is not None and s_max >= 1024:
+            return 512
+        return 128
 
     # -- (de)serialisation (builder build_config.json) -------------------
     def to_dict(self) -> dict:

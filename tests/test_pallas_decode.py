@@ -152,3 +152,67 @@ def test_tail_equals_merged_cache():
         np.testing.assert_allclose(np.asarray(via_tail),
                                    np.asarray(via_merge),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("quant_w", [True, False])
+def test_fused_out_projection(quant_w):
+    """proj= epilogue (the fused dense GEMV): kernel output must equal
+    context -> merge-heads -> weight_only_quant_matmul / matmul + bias,
+    for the cross (cached-only, int8 cache) and self (fresh+tail) modes."""
+    from eddie_wang_hackathon2023_tpu.ops.quant_matmul import (
+        quantize_weights_int8, weight_only_quant_matmul)
+    N = H * D
+    rs = np.random.RandomState(5)
+    w = rs.randn(N, N).astype(np.float32) * 0.1
+    bias = rs.randn(N).astype(np.float32) * 0.1
+    if quant_w:
+        qw, sc = quantize_weights_int8(w)
+        proj = (jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(bias))
+
+        def dense(x):
+            out = weight_only_quant_matmul(x, jnp.asarray(qw),
+                                           jnp.asarray(sc))
+            return out + jnp.asarray(bias, out.dtype)
+    else:
+        wj = jnp.asarray(w)
+        proj = (wj.T, None, jnp.asarray(bias))
+
+        def dense(x):
+            return jnp.matmul(
+                x, wj.T,
+                preferred_element_type=jnp.float32).astype(x.dtype) \
+                + jnp.asarray(bias, x.dtype)
+
+    def merge(ctx):
+        return ctx.transpose(0, 2, 1, 3).reshape(B, 1, N)
+
+    # cross: int8 cache, cached-only
+    cache, q = mk(jnp.int8)
+    seq = jnp.asarray([S, S], jnp.int32)
+    scale, kscale = 1.0 / D ** 0.5, 0.05
+    ctx = fused_decode_attention(cache, 1, q, seq, scale,
+                                 kv_quant_orig_scale=kscale, interpret=True)
+    ref = dense(merge(ctx)).reshape(B, N)
+    out = fused_decode_attention(cache, 1, q, seq, scale,
+                                 kv_quant_orig_scale=kscale, proj=proj,
+                                 interpret=True)
+    assert out.shape == (B, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # self: float cache, fresh + tail
+    cache, q = mk(jnp.float32, seed=7)
+    rs2 = np.random.RandomState(8)
+    tail = jnp.asarray(rs2.randn(4, L, B, 2, H, D).astype(np.float32))
+    fk = jnp.asarray(rs2.randn(B, H, D, 1).astype(np.float32))
+    fv = jnp.asarray(rs2.randn(B, H, D, 1).astype(np.float32))
+    seq = jnp.asarray([13, 9], jnp.int32)
+    tlen = jnp.asarray(2, jnp.int32)
+    ctx = fused_decode_attention(cache, 0, q, seq, scale, fresh_kv=(fk, fv),
+                                 tail_kv=(tail, tlen), interpret=True)
+    ref = dense(merge(ctx)).reshape(B, N)
+    out = fused_decode_attention(cache, 0, q, seq, scale, fresh_kv=(fk, fv),
+                                 tail_kv=(tail, tlen), proj=proj,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

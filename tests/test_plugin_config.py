@@ -13,8 +13,9 @@ from eddie_wang_hackathon2023_tpu.plugin import (PluginConfig,
 
 def test_defaults_are_auto():
     cfg = PluginConfig()
-    # CPU test env: hardware auto => no Pallas kernels, default blocks
-    assert cfg.get_flash_blocks() == (512, 512, 512)
+    # CPU test env: hardware auto => no Pallas kernels; default blocks are
+    # the v5e device-traced sweep optimum (benchmarks/flash_sweep.py)
+    assert cfg.get_flash_blocks() == (512, 1536, 512)
     assert cfg.use_fused_transcribe() is False
 
 

@@ -318,3 +318,37 @@ def test_pallas_decode_path_token_exact(pipeline, features, monkeypatch):
                                   np.asarray(got_tokens))
     np.testing.assert_allclose(np.asarray(ref_lp), np.asarray(got_lp),
                                atol=2e-3)
+
+
+def test_pallas_proj_fusion_token_exact(features, monkeypatch):
+    """WOQ int8 pipeline: the fused out-projection epilogue
+    (EWT_FUSE_PROJ, ops.pallas_decode_attention proj=) must reproduce the
+    un-fused Pallas path token for token (interpret mode on CPU)."""
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import \
+        weight_only_quantize_state
+    mel, _ = features
+    qmode = QuantMode.use_weight_only()
+    enc = WhisperEncoder(CFG)
+    dec = WhisperDecoder(CFG, qmode)
+    ckv = CrossAttnKV(CFG)
+    enc.random_init(jax.random.PRNGKey(0), scale=0.05)
+    ckv.random_init(jax.random.PRNGKey(2), scale=0.05)
+    dec_f = WhisperDecoder(CFG)
+    dec_f.random_init(jax.random.PRNGKey(1), scale=0.05)
+    dec, dec_sd = weight_only_quantize_state(dec, dec_f.state_dict(), qmode)
+    dec.load_state_dict(dec_sd, strict=False)
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    outs = {}
+    for fuse in ("0", "1"):
+        monkeypatch.setenv("EWT_FUSE_PROJ", fuse)
+        pipe = WhisperPipeline(CFG, enc, dec, ckv,
+                               DecodingOptions(language="en", sample_len=10))
+        pipe.bind_params()
+        xa = pipe.get_audio_features(mel)
+        cross_kv = pipe.precompute_cross_kv(xa)
+        outs[fuse] = pipe.main_loop(xa, cross_kv)
+    np.testing.assert_array_equal(np.asarray(outs["0"][0]),
+                                  np.asarray(outs["1"][0]))
+    np.testing.assert_allclose(np.asarray(outs["0"][2]),
+                               np.asarray(outs["1"][2]), atol=2e-3)
