@@ -41,22 +41,30 @@ def main():
     data = json.loads(data)
     prog = data["byProgram"]
 
+    # tree: byProgram -> program (depth 1) -> category (2) -> op group (3)
+    # -> individual duplicates (4).  Record ONLY depth-3 op groups (a
+    # group subsumes its duplicates); total from depth-1 programs so
+    # category/op double counting is impossible.
     rows = []
+    total = 0
 
     def walk(node, depth):
+        nonlocal total
         m = node.get("metrics") or {}
         t = m.get("rawTime", 0)
-        if depth >= 2 and t:
+        if depth == 1 and t and node.get("name") != "IDLE":
+            total += t
+        if depth == 3 and t:
             bw = (m.get("bandwidthUtils") or [0])[0]
             rows.append((t, node.get("name", "?"),
                          m.get("occurrences", 0),
                          sum(m.get("rawBytesAccessedArray", [0])), bw))
-        for c in node.get("children") or []:
-            walk(c, depth + 1)
+        if depth < 3:
+            for c in node.get("children") or []:
+                walk(c, depth + 1)
 
     walk(prog, 0)
     rows.sort(reverse=True)
-    total = sum(r[0] for r in rows)
     print(f"{'ms/step':>8} {'%':>5} {'occ':>6} {'MB/occ':>8} {'bw%':>5}  op")
     for t, name, occ, b, bw in rows[:25]:
         ms = t / 1e9 / n_steps

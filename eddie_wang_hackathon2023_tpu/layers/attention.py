@@ -51,6 +51,20 @@ def _pallas_decode() -> bool:
     return get_plugin_config().use_pallas_decode()
 
 
+def proj_fusion_hoistable(attn) -> bool:
+    """True when ``attn``'s out-projection qualifies for the fused Pallas
+    decode epilogue (int8 WOQ dense, tp=1 — see
+    Attention._decode_proj_operands).  Scanned decoders use this to hoist
+    the stacked dense qweight out of the scan xs (models/whisper/model.py):
+    bound whole, the kernel DMAs the layer panel straight from the stacked
+    array instead of XLA materialising a per-layer HBM slice copy each
+    step."""
+    d = getattr(attn, "dense", None)
+    return (d is not None and getattr(d, "qweight", None) is not None
+            and getattr(d, "bits", None) == 8
+            and getattr(d, "tp_size", 1) == 1)
+
+
 class AttentionMaskType(enum.Enum):
     padding = 0
     causal = 1
@@ -245,16 +259,18 @@ class Attention(Module):
         qualifies — its qweight is already [K, N] K-major, so the kernel
         view [H, D, N] is free; bf16 Linear stores [out, in] and would
         need a per-step transpose.  tp>1 needs the XLA dense's automatic
-        partial-sum reduction.  Returns (w, scale, bias) or None."""
+        partial-sum reduction.  Returns (w, scale, bias) or None.
+
+        Inside a scanned decoder the bound qweight may be the FULL
+        stacked [L, K, N] array (see ``proj_fusion_hoistable``) — passed
+        through as-is; the kernel's index_map picks the layer panel."""
         from ..plugin import get_plugin_config
         if not get_plugin_config().use_fuse_decode_proj():
             return None
-        d = self.dense
-        qw = getattr(d, "qweight", None)
-        if qw is None or getattr(d, "bits", None) != 8 or \
-                getattr(d, "tp_size", 1) != 1:
+        if not proj_fusion_hoistable(self):
             return None
-        return (qw.value, d.per_channel_scale.value,
+        d = self.dense
+        return (d.qweight.value, d.per_channel_scale.value,
                 None if d.bias is None else d.bias.value)
 
     def _split_heads(self, x):

@@ -54,7 +54,7 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
     extra = rest[:-4]
     if with_proj:
         # out-projection operands ride at the tail of the inputs:
-        # weight [H, D, N] (+ scale [1, N]) (+ bias [1, N])
+        # weight block [1, H, D, N] (+ scale [1, N]) (+ bias [1, N])
         n_proj = 1 + (1 if proj_quant else 0) + (1 if proj_bias else 0)
         proj_refs = extra[-n_proj:]
         extra = extra[:-n_proj]
@@ -76,7 +76,7 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         out = None
         for h in range(ctx_a.shape[0]):
             part = jax.lax.dot(
-                ctx_a[h:h + 1, :], pw[h].astype(cdt),
+                ctx_a[h:h + 1, :], pw[0, h].astype(cdt),
                 preferred_element_type=jnp.float32)        # [1, N]
             out = part if out is None else out + part
         i = 1
@@ -221,9 +221,12 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     ``start_index`` [B] int32 (or scalar) masks keys at positions < start
     (left-padded ragged prompts, runtime/generation.py).
     ``proj``: (weight, scale, bias) — fuse the attention OUT-PROJECTION
-    into the kernel epilogue: weight [H*D, N] (int8 weight-only-quantised
-    with per-out-channel ``scale`` [N] fp32, or bf16/f32 with scale None),
-    bias [N] or None.  The weight is DMA'd once per grid row and its read
+    into the kernel epilogue: weight [H*D, N] per-layer, or the FULL
+    stacked [L, H*D, N] (layer picked by ``layer_idx`` in the index_map —
+    preferred inside a layer scan: the panel is DMA'd straight from the
+    stacked array with no per-layer HBM slice copy); int8
+    weight-only-quantised with per-out-channel ``scale`` [N] fp32, or
+    bf16/f32 with scale None; bias [N] or None.  The weight is DMA'd once per grid row and its read
     overlaps the cache streaming; the final context never round-trips to
     HBM.  Removes the separate dense GEMV launch per layer (the three
     1.6 MB GEMVs measured at 53% HBM bw vs 77-90% for the larger ones —
@@ -327,18 +330,25 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     if with_proj:
         pw, pscale, pbias = proj
         N = pw.shape[-1]
-        assert pw.shape[0] == H * D, f"proj weight [{H*D}, N], got {pw.shape}"
-        pw = pw.reshape(H, D, N)                 # free view: H*D contiguous
+        assert pw.shape[-2] == H * D, \
+            f"proj weight [..., {H*D}, N], got {pw.shape}"
+        # [K, N] per-layer slice, or the FULL stacked [L, K, N] weight: a
+        # stacked operand + layer index_map makes the layer panel a
+        # direct HBM->VMEM DMA — passing the slice instead costs a
+        # materialised per-layer HBM copy every step (profiled 0.24
+        # ms/step as constant_dynamic-slice fusions on large-v2)
+        pw = pw.reshape(-1, H, D, N)             # free view: K contiguous
+        stacked_w = pw.shape[0] > 1
         proj_quant = pscale is not None
         proj_bias = pbias is not None
 
         def w_map(b, c, lref, sref, stref, kref, tref):
-            return (0, 0, 0)
+            return (lref[0] if stacked_w else 0, 0, 0, 0)
 
         def s_map(b, c, lref, sref, stref, kref, tref):
             return (0, 0)
 
-        in_specs += [pl.BlockSpec((H, D, N), w_map,
+        in_specs += [pl.BlockSpec((1, H, D, N), w_map,
                                   memory_space=pltpu.VMEM)]
         args += [pw]
         if proj_quant:

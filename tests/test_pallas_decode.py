@@ -200,6 +200,18 @@ def test_fused_out_projection(quant_w):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
+    # STACKED weight [L, K, N] (scan-hoisted form): the index_map must
+    # pick layer_idx's panel — fill other layers with garbage to prove it
+    wstack = jnp.stack([jnp.full_like(proj[0], 99 if quant_w else 99.0),
+                        proj[0],
+                        jnp.full_like(proj[0], -5 if quant_w else -5.0)])
+    out_st = fused_decode_attention(cache, 1, q, seq, scale,
+                                    kv_quant_orig_scale=kscale,
+                                    proj=(wstack,) + proj[1:],
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out_st), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
     # self: float cache, fresh + tail
     cache, q = mk(jnp.float32, seed=7)
     rs2 = np.random.RandomState(8)
