@@ -270,12 +270,31 @@ class DecoderLMHead(Module):
                 assert beam_indirection is None and \
                     getattr(write_index, "ndim", 0) == 0
 
+            # hoist the out-proj qweight out of the scan xs for the fused
+            # Pallas decode epilogue (stacked [L,K,N] bound whole; the
+            # kernel index_map DMAs the layer panel — a scan-xs slice
+            # costs a materialised per-layer HBM copy each step; see
+            # models/whisper/model.py).  Beam indirection takes the XLA
+            # gather path where self.dense needs the per-layer slice.
+            hoisted = {}
+            if beam_indirection is None:
+                from ..plugin import get_plugin_config
+                cfg = get_plugin_config()
+                if cfg.use_pallas_decode() and cfg.use_fuse_decode_proj():
+                    from ..layers.attention import proj_fusion_hoistable
+                    key = "attention.dense.qweight"
+                    if proj_fusion_hoistable(block.attention) and \
+                            key in stacked:
+                        hoisted[key] = stacked.pop(key)
+
             def step(h, scanned):
                 layer_params, li = scanned
+                params = dict(layer_params)
+                params.update(hoisted)
                 ca = ((kv_cache, li, "defer", kv_tail, tail_len)
                       if tail_mode else (kv_cache, li, "defer"))
                 h, fresh = block.apply(
-                    dict(layer_params), h, kv_cache=ca,
+                    params, h, kv_cache=ca,
                     write_index=write_index,
                     sequence_length=sequence_length,
                     attention_start=attention_start,
