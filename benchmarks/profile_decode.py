@@ -93,21 +93,30 @@ def profile_encoder():
     mel = jnp.asarray(np.random.RandomState(0).randn(1, 80, 3000) * 0.1,
                       enc.conv1.weight.value.dtype)
 
-    @jax.jit
-    def run(params, mel):
-        return enc.apply(params, mel)
+    n = int(os.environ.get("ENC_ITERS", "8"))
 
-    xa = run(params, mel)
+    # chain data-DEPENDENT calls in one jit: repeated same-arg dispatches
+    # through the axon tunnel get elided/misreported (wall said 0.1 ms
+    # for 10 encoder calls), and XLA would CSE identical calls — the
+    # tiny input perturbation defeats both without changing the numbers
+    @jax.jit
+    def chain(params, mel):
+        xa = None
+        for _ in range(n):
+            xa = enc.apply(params, mel)
+            mel = mel + xa[0, 0, 0].astype(mel.dtype) * 1e-12
+        return xa
+
+    xa = chain(params, mel)
     jax.block_until_ready(xa)
     t0 = time.time()
-    for _ in range(10):
-        xa = run(params, mel)
+    xa = chain(params, mel)
     jax.block_until_ready(xa)
-    print(f"encoder: {(time.time() - t0) / 10 * 1e3:.1f} ms", file=sys.stderr)
+    print(f"encoder: {(time.time() - t0) / n * 1e3:.1f} ms/call "
+          f"(chained x{n})", file=sys.stderr)
     log_dir = os.environ.get("TRACE_DIR", "/tmp/ewt_trace")
     with jax.profiler.trace(log_dir):
-        for _ in range(5):
-            xa = run(params, mel)
+        xa = chain(params, mel)
         jax.block_until_ready(xa)
 
 

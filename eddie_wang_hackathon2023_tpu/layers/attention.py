@@ -60,9 +60,21 @@ def proj_fusion_hoistable(attn) -> bool:
     array instead of XLA materialising a per-layer HBM slice copy each
     step."""
     d = getattr(attn, "dense", None)
-    return (d is not None and getattr(d, "qweight", None) is not None
-            and getattr(d, "bits", None) == 8
-            and getattr(d, "tp_size", 1) == 1)
+    return _woq8_unsharded(d)
+
+
+def q_fusion_hoistable(attn) -> bool:
+    """Same, for the cross-attention q_linear and the fused q-projection
+    prologue (Attention._decode_q_operands / kernel ``xq=``)."""
+    return (getattr(attn, "cross_attention", False)
+            and _woq8_unsharded(getattr(attn, "q_linear", None)))
+
+
+def _woq8_unsharded(linear) -> bool:
+    return (linear is not None
+            and getattr(linear, "qweight", None) is not None
+            and getattr(linear, "bits", None) == 8
+            and getattr(linear, "tp_size", 1) == 1)
 
 
 class AttentionMaskType(enum.Enum):
@@ -273,6 +285,22 @@ class Attention(Module):
         return (d.qweight.value, d.per_channel_scale.value,
                 None if d.bias is None else d.bias.value)
 
+    def _decode_q_operands(self):
+        """q-projection operands for the fused Pallas decode kernel
+        prologue (ops.pallas_decode_attention xq=): int8 WOQ q_linear,
+        tp=1 (same qualification as the out-projection; see
+        ``q_fusion_hoistable``).  The bound qweight may be the FULL
+        stacked [L, dm, H*D] array (scan hoisting).  Returns
+        (w, scale, bias) or None."""
+        from ..plugin import get_plugin_config
+        if not get_plugin_config().use_fuse_decode_q():
+            return None
+        if not q_fusion_hoistable(self):
+            return None
+        ql = self.q_linear
+        return (ql.qweight.value, ql.per_channel_scale.value,
+                None if ql.bias is None else ql.bias.value)
+
     def _split_heads(self, x):
         b, l, _ = x.shape
         return x.reshape(b, l, self.num_attention_heads,
@@ -314,29 +342,41 @@ class Attention(Module):
         b, l, _ = hidden_states.shape
 
         if self.cross_attention:
-            query = self._split_heads(self.q_linear(hidden_states))
             assert cross_key_value is not None, \
                 "cross attention consumes precomputed cross K/V (ref attention.py:308-323)"
             key, value, cross_scale, seq_minor = \
                 self._unpack_cross_kv(cross_key_value)
+            if seq_minor and l == 1 and _pallas_decode():
+                # stacked seq-minor decode: fused kernel, q-projection
+                # fused into its prologue when the WOQ operands qualify
+                assert attention_mask is None
+                from ..ops.pallas_decode_attention import \
+                    fused_decode_attention
+                full, li = cross_key_value
+                if isinstance(full, tuple):
+                    full = full[0]
+                s_full = jnp.full((b,), key.shape[3], jnp.int32)
+                proj = self._decode_proj_operands()
+                xq_ops = self._decode_q_operands()
+                if xq_ops is not None:
+                    res = fused_decode_attention(
+                        full, li, None, s_full, self.scale,
+                        kv_quant_orig_scale=cross_scale, proj=proj,
+                        xq=(hidden_states,) + xq_ops)
+                else:
+                    query = self._split_heads(self.q_linear(hidden_states))
+                    res = fused_decode_attention(
+                        full, li, query, s_full, self.scale,
+                        kv_quant_orig_scale=cross_scale, proj=proj)
+                out = (res[:, None, :] if proj is not None
+                       else self.dense(self._merge_heads(res)))
+                return (out, past_key_value) if use_cache else out
+            query = self._split_heads(self.q_linear(hidden_states))
             if seq_minor:
                 # stacked [.,.,D,S] views: unmasked attention via the
                 # seq-minor einsums (int8 dequant handled inside)
                 assert attention_mask is None
                 s_full = jnp.full((query.shape[0],), key.shape[3], jnp.int32)
-                if query.shape[2] == 1 and _pallas_decode():
-                    from ..ops.pallas_decode_attention import \
-                        fused_decode_attention
-                    full, li = cross_key_value
-                    if isinstance(full, tuple):
-                        full = full[0]
-                    proj = self._decode_proj_operands()
-                    res = fused_decode_attention(
-                        full, li, query, s_full, self.scale,
-                        kv_quant_orig_scale=cross_scale, proj=proj)
-                    out = (res[:, None, :] if proj is not None
-                           else self.dense(self._merge_heads(res)))
-                    return (out, past_key_value) if use_cache else out
                 ctx = cached_decode_attention(
                     query, (key, value), s_full, scale=self.scale,
                     kv_quant_orig_scale=cross_scale)

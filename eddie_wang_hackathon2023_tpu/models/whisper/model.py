@@ -306,12 +306,19 @@ class WhisperDecoder(Module):
             # call every step (profiled 0.24 ms/step on large-v2 int8)
             hoisted = {}
             cfg = get_plugin_config()
-            if cfg.use_pallas_decode() and cfg.use_fuse_decode_proj():
-                from ...layers.attention import proj_fusion_hoistable
-                for mod, key in ((block.attn, "attn.dense.qweight"),
-                                 (block.cross_attn,
-                                  "cross_attn.dense.qweight")):
-                    if proj_fusion_hoistable(mod) and key in stacked:
+            if cfg.use_pallas_decode():
+                from ...layers.attention import (proj_fusion_hoistable,
+                                                 q_fusion_hoistable)
+                if cfg.use_fuse_decode_proj():
+                    for mod, key in ((block.attn, "attn.dense.qweight"),
+                                     (block.cross_attn,
+                                      "cross_attn.dense.qweight")):
+                        if proj_fusion_hoistable(mod) and key in stacked:
+                            hoisted[key] = stacked.pop(key)
+                if cfg.use_fuse_decode_q() and \
+                        q_fusion_hoistable(block.cross_attn):
+                    key = "cross_attn.q_linear.qweight"
+                    if key in stacked:
                         hoisted[key] = stacked.pop(key)
 
             def step(h, scanned):

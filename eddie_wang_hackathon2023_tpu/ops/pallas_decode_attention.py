@@ -46,12 +46,23 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             q_ref, kv_ref,
             *rest, scale: float, quant: bool, with_fresh: bool,
             with_tail: bool, with_proj: bool, proj_quant: bool,
-            proj_bias: bool, cdt, cs: int, n_chunks: int, s_max: int):
+            proj_bias: bool, with_xq: bool, xq_quant: bool, xq_bias: bool,
+            cdt, cs: int, n_chunks: int, s_max: int):
     # positional order: scalar-prefetch refs, input refs, output ref,
-    # scratch refs (running max / denom / context accumulator)
+    # scratch refs (running max / denom / context accumulator,
+    # + the computed-q buffer in xq mode)
     m_ref, d_ref, acc_ref = rest[-3:]
-    o_ref = rest[-4]
-    extra = rest[:-4]
+    n_scr = 4 if with_xq else 3
+    qs_ref = rest[-4] if with_xq else None
+    o_ref = rest[-(n_scr + 1)]
+    extra = rest[:-(n_scr + 1)]
+    if with_xq:
+        # q-projection operands ride last: weight block [1, dm, H, D]
+        # (+ scale [1, H, D]) (+ bias [1, H, D]); q_ref is the raw
+        # hidden state x [1, 1, dm] instead of the projected query
+        n_xq = 1 + (1 if xq_quant else 0) + (1 if xq_bias else 0)
+        xq_refs = extra[-n_xq:]
+        extra = extra[:-n_xq]
     if with_proj:
         # out-projection operands ride at the tail of the inputs:
         # weight block [1, H, D, N] (+ scale [1, N]) (+ bias [1, N])
@@ -100,10 +111,38 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         m_ref[...] = jnp.full(m_ref.shape, NEG, m_ref.dtype)
         d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        if with_xq:
+            # fused q-projection: q = (x @ Wq) * scale + bias, computed
+            # once per batch row into scratch; per-head 2D dots (see emit
+            # for the Mosaic rationale), same numeric chain as
+            # weight_only_quant_matmul (fp32 accum, per-channel scale)
+            xw = xq_refs[0]
+            i = 1
+            xsc = None
+            if xq_quant:
+                xsc = xq_refs[i][0].astype(jnp.float32)    # [H, D]
+                i += 1
+            xb = xq_refs[i][0].astype(cdt) if xq_bias else None
+            xa = q_ref[0].astype(cdt)                      # [1, dm]
+            for h in range(qs_ref.shape[0]):
+                qh = jax.lax.dot(
+                    xa, xw[0, :, h, :].astype(cdt),
+                    preferred_element_type=jnp.float32)    # [1, D]
+                if xsc is not None:
+                    qh = qh * xsc[h:h + 1, :]
+                qh = qh.astype(cdt)
+                if xb is not None:
+                    qh = qh + xb[h:h + 1, :]
+                qs_ref[h:h + 1, :] = qh.astype(qs_ref.dtype)
+
+    def read_q():
+        if with_xq:
+            return qs_ref[...].astype(cdt)                 # [H, D]
+        return q_ref[0, :, 0, :].astype(cdt)
 
     @pl.when(c < n_need)
     def _chunk():
-        q = q_ref[0, :, 0, :].astype(cdt)                  # [H, D]
+        q = read_q()                                       # [H, D]
         kv = kv_ref[0, 0]                                  # [2, H, D, CS]
         k = kv[0].astype(cdt)                              # [H, D, CS]
         v = kv[1].astype(cdt)
@@ -205,6 +244,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            start_index=None,
                            tail_kv: Optional[Tuple] = None,
                            proj: Optional[Tuple] = None,
+                           xq: Optional[Tuple] = None,
                            chunk: Optional[int] = None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
@@ -232,6 +272,15 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     1.6 MB GEMVs measured at 53% HBM bw vs 77-90% for the larger ones —
     launch-overhead-bound).  Returns [B, N] (dense output, bias applied)
     instead of the [B, H, 1, D] context.
+    ``xq``: (x, weight, scale, bias) — fuse the Q-PROJECTION into the
+    kernel prologue (cached-only mode, i.e. cross-attention decode): pass
+    the raw hidden state ``x`` [B, 1, d_model] as ``q`` and the q_linear
+    operands (weight [d_model, H*D] per-layer or stacked
+    [L, d_model, H*D]; int8 WOQ scale [H*D] fp32 or None; bias [H*D] or
+    None).  q is computed once per batch row into VMEM scratch with the
+    weight_only_quant_matmul numeric chain — the 1.6 MB GEMV and its
+    launch leave the XLA dispatch stream and ride the kernel's DMA
+    pipeline.  Incompatible with fresh_kv/tail_kv.
     ``chunk``: sequence-panel width (default 256, env EWT_DECODE_CHUNK);
     the kernel streams the cache in [2,H,D,chunk] panels with online
     softmax, skipping panels past the valid length.
@@ -251,7 +300,12 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
     with_fresh = fresh_kv is not None
     with_tail = tail_kv is not None
+    with_xq = xq is not None
     assert not (with_tail and not with_fresh), "tail mode requires fresh_kv"
+    assert not (with_xq and with_fresh), \
+        "fused q-projection is cached-only (cross-attention decode)"
+    if with_xq:
+        q = xq[0]                                # [B, 1, d_model]
     if not interpret:
         # off-TPU (CPU tests with the knob forced on) run the interpreter
         from .._utils import runtime_platform
@@ -293,6 +347,9 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     def q_map(b, c, lref, sref, stref, kref, tref):
         return (b, 0, 0, 0)
 
+    def x_map(b, c, lref, sref, stref, kref, tref):
+        return (b, 0, 0)
+
     def o_map(b, c, lref, sref, stref, kref, tref):
         # 3-D [B,H,D] output block: storing the scratch-sourced [H,D]
         # context through a (1,H,1,D) block needs a 2D->4D vector shape
@@ -307,7 +364,9 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         return (0, lref[0], b, 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, 1, q.shape[-1]), x_map, memory_space=pltpu.VMEM)
+         if with_xq else
+         pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM)),
         pl.BlockSpec((1, 1, 2, H, D, cs), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [q, full_cache]
@@ -365,22 +424,55 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         out_spec = pl.BlockSpec((1, H, D), o_map, memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((B, H, D), q.dtype)
 
+    cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
+    xq_quant = xq_bias = False
+    if with_xq:
+        _, xw, xsc, xb = xq
+        dm = q.shape[-1]
+        assert xw.shape[-2] == dm and xw.shape[-1] == H * D, \
+            f"q weight [..., {dm}, {H*D}], got {xw.shape}"
+        # [dm, H, D] so the per-head panel is a static middle-index slice
+        # (a lane slice of [dm, H*D] at h*D would hit Mosaic relayouts)
+        xw = xw.reshape(-1, dm, H, D)
+        xq_stacked = xw.shape[0] > 1
+        xq_quant = xsc is not None
+        xq_bias = xb is not None
+
+        def xw_map(b, c, lref, sref, stref, kref, tref):
+            return (lref[0] if xq_stacked else 0, 0, 0, 0)
+
+        def xs_map(b, c, lref, sref, stref, kref, tref):
+            return (0, 0, 0)
+
+        in_specs += [pl.BlockSpec((1, dm, H, D), xw_map,
+                                  memory_space=pltpu.VMEM)]
+        args += [xw]
+        if xq_quant:
+            in_specs += [pl.BlockSpec((1, H, D), xs_map,
+                                      memory_space=pltpu.VMEM)]
+            args += [jnp.asarray(xsc, jnp.float32).reshape(1, H, D)]
+        if xq_bias:
+            in_specs += [pl.BlockSpec((1, H, D), xs_map,
+                                      memory_space=pltpu.VMEM)]
+            args += [jnp.asarray(xb).reshape(1, H, D)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B, n_chunks),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[
+        scratch_shapes=(
+            [pltpu.VMEM((H, D), cdt)] if with_xq else []) + [  # computed q
             pltpu.VMEM((H, 1), jnp.float32),   # running max
             pltpu.VMEM((H, 1), jnp.float32),   # running denom
             pltpu.VMEM((H, D), jnp.float32),   # context accumulator
         ],
     )
-    cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
     kernel = functools.partial(
         _kernel, scale=float(scale), quant=quant, with_fresh=with_fresh,
         with_tail=with_tail, with_proj=with_proj, proj_quant=proj_quant,
-        proj_bias=proj_bias, cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
+        proj_bias=proj_bias, with_xq=with_xq, xq_quant=xq_quant,
+        xq_bias=xq_bias, cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
     bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B
     out = pl.pallas_call(
         kernel,

@@ -61,6 +61,13 @@ class PluginConfig:
     # GEMV per attention).  Only applies where pallas_decode applies and
     # the dense layer is int8 WOQ, tp=1.  None = on with pallas_decode
     fuse_decode_proj: Optional[bool] = None
+    # fuse the cross-attention q-projection (int8 WOQ q_linear) into the
+    # Pallas decode kernel prologue: q computed once per step in VMEM
+    # scratch, the 1.6 MB weight read rides the kernel's DMA pipeline
+    # instead of a separate launch-overhead-bound GEMV dispatch.  Only
+    # applies where pallas_decode applies, cached-only (cross) mode,
+    # WOQ8 q_linear, tp=1.  None = on with pallas_decode
+    fuse_decode_q: Optional[bool] = None
     # materialise the fused QKV projection's flat [B,L,3*H*D] result
     # (optimization_barrier) before the head split in context/prefill
     # calls, so XLA emits the GEMM in a well-tiled N-minor layout instead
@@ -104,6 +111,14 @@ class PluginConfig:
             return v not in ("0", "false", "off")
         if self.fuse_decode_proj is not None:
             return self.fuse_decode_proj
+        return True
+
+    def use_fuse_decode_q(self) -> bool:
+        v = os.environ.get("EWT_FUSE_Q")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        if self.fuse_decode_q is not None:
+            return self.fuse_decode_q
         return True
 
     def use_qkv_flat_barrier(self) -> bool:

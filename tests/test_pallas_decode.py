@@ -228,3 +228,44 @@ def test_fused_out_projection(quant_w):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("quant_w", [True, False])
+@pytest.mark.parametrize("stacked", [False, True])
+def test_fused_q_projection(quant_w, stacked):
+    """xq= prologue (fused q_linear): kernel output with the raw hidden
+    state + q weights must equal projecting q outside then calling the
+    kernel; stacked [L, dm, H*D] weights must pick layer_idx's panel."""
+    from eddie_wang_hackathon2023_tpu.ops.quant_matmul import (
+        quantize_weights_int8, weight_only_quant_matmul)
+    DM = 16
+    HD = H * D
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(B, 1, DM).astype(np.float32))
+    w = rs.randn(DM, HD).astype(np.float32) * 0.2
+    bias = rs.randn(HD).astype(np.float32) * 0.1
+    if quant_w:
+        qw, sc = quantize_weights_int8(w)
+        wq, scale = jnp.asarray(qw), jnp.asarray(sc)
+        q_flat = weight_only_quant_matmul(x, wq, scale) \
+            + jnp.asarray(bias, x.dtype)
+    else:
+        wq, scale = jnp.asarray(w), None
+        q_flat = (jnp.matmul(x, jnp.asarray(w),
+                             preferred_element_type=jnp.float32)
+                  .astype(x.dtype) + jnp.asarray(bias, x.dtype))
+    q = q_flat.reshape(B, 1, H, D).transpose(0, 2, 1, 3)   # [B, H, 1, D]
+
+    cache, _ = mk(jnp.int8, seed=3)
+    seq = jnp.asarray([S, S], jnp.int32)
+    scale_a, kscale = 1.0 / D ** 0.5, 0.04
+    ref = fused_decode_attention(cache, 1, q, seq, scale_a,
+                                 kv_quant_orig_scale=kscale, interpret=True)
+    if stacked:
+        wq = jnp.stack([jnp.zeros_like(wq), wq, jnp.ones_like(wq)])
+    out = fused_decode_attention(cache, 1, None, seq, scale_a,
+                                 kv_quant_orig_scale=kscale,
+                                 xq=(x, wq, scale, jnp.asarray(bias)),
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
