@@ -59,7 +59,10 @@ def main():
         qmode = qmode.set_int8_kv_cache()
     enc = WhisperEncoder(config, qmode)
     dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in parts)
-    ckv = CrossAttnKV(config, int8_output=ckv8)
+    # static calibrated cross-KV scales = the deployment recipe (matches
+    # the reference's static int8-KV calibration model); the dynamic
+    # amax path costs two full-tensor reduction passes per utterance
+    ckv = CrossAttnKV(config, int8_output=ckv8, static_scale=True)
     if qmode.is_weight_only():
         from eddie_wang_hackathon2023_tpu.quantization.surgery import \
             weight_only_quantize
@@ -67,6 +70,8 @@ def main():
         dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
+    if ckv8:
+        ckv.kv_scale.value = jnp.ones(ckv.kv_scale.value.shape, jnp.float32)
     if "lmq8" in parts:
         import jax.numpy as jnp
         dec.lm_head_scale.value = jnp.ones(dec.lm_head_scale.value.shape,

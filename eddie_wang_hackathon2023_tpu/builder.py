@@ -63,6 +63,9 @@ def save_whisper_checkpoint(out_dir: str,
     t0 = time.time()
     meta = {"model": "whisper", "quant_mode": int(quant_mode),
             "builder_version": "0.1.0",
+            # calibrated static-scale int8 cross-KV: marked by the
+            # presence of the kv_scale row in cross_kv.npz
+            "int8_cross_kv": "kv_scale" in cross_kv_state,
             "plugin_config": (plugin_config or get_plugin_config()).to_dict()}
     config.to_json(os.path.join(out_dir, "config.json"))
     with open(os.path.join(out_dir, "build_config.json"), "w") as f:
@@ -89,7 +92,8 @@ def load_whisper_checkpoint(ckpt_dir: str) -> Tuple[
         set_plugin_config(PluginConfig.from_dict(meta["plugin_config"]))
     enc = WhisperEncoder(config, quant_mode)
     dec = WhisperDecoder(config, quant_mode)
-    ckv = CrossAttnKV(config)
+    int8_ckv = bool(meta.get("int8_cross_kv", False))
+    ckv = CrossAttnKV(config, int8_output=int8_ckv, static_scale=int8_ckv)
     if quant_mode.is_weight_only():
         enc = weight_only_quantize(enc, quant_mode)
         dec = weight_only_quantize(dec, quant_mode)
@@ -103,9 +107,15 @@ def load_whisper_checkpoint(ckpt_dir: str) -> Tuple[
 
 def build_from_openai_pt(pt_path: str, out_dir: str, dtype: str = "bfloat16",
                          quant_mode: QuantMode = QuantMode(0),
-                         int8_kv_scales=None) -> None:
+                         int8_kv_scales=None,
+                         cross_kv_scales=None) -> None:
     """OpenAI .pt -> deployable checkpoint dir (ref E/whisper/build.py
-    run_build:389, which reads dims + state_dict from the .pt)."""
+    run_build:389, which reads dims + state_dict from the .pt).
+
+    ``cross_kv_scales`` [n_text_layer] fp32 (from
+    ``calibration.calibrate_cross_kv_scales``) enables the static-scale
+    int8 cross-KV deployment recipe: stored as ``kv_scale`` in
+    cross_kv.npz and auto-restored by ``load_whisper_checkpoint``."""
     import torch
     ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
     dims = ckpt["dims"]
@@ -123,6 +133,9 @@ def build_from_openai_pt(pt_path: str, out_dir: str, dtype: str = "bfloat16",
     enc_sd = encoder_state_dict(sd, config)
     dec_sd = decoder_state_dict(sd, config, int8_kv_scales=int8_kv_scales)
     ckv_sd = cross_kv_state_dict(sd, config)
+    if cross_kv_scales is not None:
+        ckv_sd = dict(ckv_sd)
+        ckv_sd["kv_scale"] = np.asarray(cross_kv_scales, np.float32)
     if quant_mode.is_weight_only():
         from .models.whisper.model import WhisperDecoder, WhisperEncoder
         from .quantization.surgery import (quantize_state_dict,

@@ -160,13 +160,29 @@ class CrossAttnKV(Module):
     dynamically-computed scales (amax/127 of the actual values — exact,
     no calibration needed since the tensor is produced whole).  This is a
     beyond-reference optimisation: cross-KV is ~0.5 GB/step of decode HBM
-    traffic for large-v2, and the reference keeps it fp16."""
+    traffic for large-v2, and the reference keeps it fp16.
 
-    def __init__(self, config: WhisperConfig, int8_output: bool = False):
+    ``static_scale=True`` takes the per-layer scales from the
+    ``kv_scale`` parameter instead (calibrated offline, exactly the
+    reference's int8-KV-cache scale model — TRT-LLM's KV scales are
+    static calibration products, never computed at runtime).  This is
+    the deployment recipe: the dynamic path's two full-tensor amax
+    reduction passes and the materialised bf16 intermediate (~3-4 ms of
+    the warping engine on large-v2) disappear — XLA fuses
+    divide/round/clip/convert into the GEMM epilogue and the engine
+    writes int8 straight out of the MXU.  Calibrate with
+    ``quantization.calibration.calibrate_cross_kv_scales``."""
+
+    def __init__(self, config: WhisperConfig, int8_output: bool = False,
+                 static_scale: bool = False):
         super().__init__()
         c = config
         self.config = c
         self.int8_output = int8_output
+        self.static_scale = static_scale and int8_output
+        if self.static_scale:
+            self.kv_scale = Parameter(shape=(c.n_text_layer,),
+                                      dtype="float32")
         self.blocks = stack_parameter_shapes(
             _KVLinearBlock(c.n_text_state, c.dtype), c.n_text_layer)
 
@@ -208,8 +224,13 @@ class CrossAttnKV(Module):
             kv = jnp.stack([k, v], axis=2)             # [L, B, 2, d, S]
         if self.int8_output:
             kvf = kv.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(kvf), axis=(1, 2, 3, 4))  # per layer
-            scale = jnp.maximum(amax, 1e-6) / 127.0   # [L] fp32
+            if self.static_scale:
+                # calibrated scales: pure elementwise epilogue, fuses
+                # into the GEMM — no amax passes, no bf16 materialisation
+                scale = self.kv_scale.value.astype(jnp.float32)
+            else:
+                amax = jnp.max(jnp.abs(kvf), axis=(1, 2, 3, 4))  # per layer
+                scale = jnp.maximum(amax, 1e-6) / 127.0   # [L] fp32
             q = jnp.clip(
                 round_half_away(kvf / scale[:, None, None, None, None]),
                 -127, 127).astype(jnp.int8)

@@ -61,3 +61,29 @@ def calibrate_int8_kv(pipeline, mels: List[np.ndarray],
     # reference stores amax/127 as the dequant step t (scale_y_quant_orig);
     # convert.decoder_state_dict expects the step directly
     return amax / 127.0
+
+
+def calibrate_cross_kv_scales(cross_attn_kv, ckv_params,
+                              xas: List[np.ndarray]) -> np.ndarray:
+    """Per-layer cross-KV quant scales [n_text_layer] fp32 for
+    ``CrossAttnKV(static_scale=True)``: max of the dynamic per-layer
+    amax/127 over the calibration utterances' encoder outputs ``xas``
+    ([B, 1500, d] each).  Same scale model as the reference's static
+    int8-KV calibration (``E/whisper/torch_whisper_convert.py:122-167``);
+    the dynamic-scale path computes the identical quantity at runtime."""
+    wk = ckv_params["blocks.k_linear.weight"]
+    wv = ckv_params["blocks.v_linear.weight"]
+    bv = ckv_params["blocks.v_linear.bias"]
+
+    @jax.jit
+    def amax_of(xa):
+        k = jnp.einsum("bsi,loi->lbos", xa, wk)
+        v = jnp.einsum("bsi,loi->lbos", xa, wv) \
+            + bv[:, None, :, None].astype(wv.dtype)
+        kv = jnp.stack([k, v], axis=2).astype(jnp.float32)
+        return jnp.max(jnp.abs(kv), axis=(1, 2, 3, 4))
+
+    amax = np.zeros((wk.shape[0],), np.float32)
+    for xa in xas:
+        amax = np.maximum(amax, np.asarray(amax_of(jnp.asarray(xa))))
+    return np.maximum(amax, 1e-6) / 127.0

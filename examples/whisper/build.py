@@ -28,6 +28,10 @@ def parse_arguments():
                    help="weight-only-quantised linears (ref --use_weight_only)")
     p.add_argument("--int8_kv_cache", action="store_true",
                    help="calibrated int8 decoder KV cache (ref --int8_kv_cache)")
+    p.add_argument("--int8_cross_kv", action="store_true",
+                   help="calibrated static-scale int8 cross-KV (beyond-ref; "
+                        "same scale model as the reference's int8-KV "
+                        "calibration, needs --calib_dataset)")
     p.add_argument("--calib_dataset", type=str, default=None,
                    help="dir of .flac clips for int8-KV calibration "
                         "(ref torch_whisper_convert over valid-clean)")
@@ -51,9 +55,11 @@ def main():
         quant_mode = quant_mode | QuantMode.INT8_KV_CACHE
 
     int8_kv_scales = None
-    if args.int8_kv_cache:
+    cross_kv_scales = None
+    if args.int8_kv_cache or args.int8_cross_kv:
         if not args.calib_dataset:
-            sys.exit("--int8_kv_cache needs --calib_dataset (flac dir)")
+            sys.exit("--int8_kv_cache/--int8_cross_kv need "
+                     "--calib_dataset (flac dir)")
         import glob
         import os
 
@@ -91,12 +97,25 @@ def main():
             sys.exit(f"no .flac under {args.calib_dataset}")
         mels = [log_mel_spectrogram(pad_or_trim(read_flac(c)))
                 for c in clips]
-        logger.info(f"calibrating int8 KV on {len(mels)} clips")
-        int8_kv_scales = calibrate_int8_kv(pipe, mels)
+        if args.int8_kv_cache:
+            logger.info(f"calibrating int8 KV on {len(mels)} clips")
+            int8_kv_scales = calibrate_int8_kv(pipe, mels)
+        if args.int8_cross_kv:
+            import numpy as np
+
+            from eddie_wang_hackathon2023_tpu.quantization.calibration import (
+                calibrate_cross_kv_scales)
+            logger.info(f"calibrating cross-KV scales on {len(mels)} clips")
+            pipe._ensure_params()
+            xas = [np.asarray(pipe.get_audio_features(np.stack([m])))
+                   for m in mels]
+            cross_kv_scales = calibrate_cross_kv_scales(
+                pipe.cross_kv, pipe._params_ckv, xas)
 
     build_from_openai_pt(args.model_path, args.output_dir, dtype=args.dtype,
                          quant_mode=quant_mode,
-                         int8_kv_scales=int8_kv_scales)
+                         int8_kv_scales=int8_kv_scales,
+                         cross_kv_scales=cross_kv_scales)
     logger.info(f"checkpoint written to {args.output_dir}")
 
 

@@ -120,3 +120,27 @@ def test_build_cli(pt_path, tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(out, "config.json"))
+
+
+def test_build_static_cross_kv_roundtrip(pt_path, tmp_path):
+    """cross_kv_scales= persists as kv_scale in cross_kv.npz, the meta
+    flag restores CrossAttnKV(int8_output, static_scale) on load, and the
+    loaded pipeline transcribes."""
+    import json
+
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    out = os.path.join(tmp_path, "out_ckv8")
+    import torch
+    n_layer = torch.load(pt_path, map_location="cpu",
+                         weights_only=False)["dims"]["n_text_layer"]
+    scales = np.full((n_layer,), 0.02, np.float32)
+    build_from_openai_pt(pt_path, out, dtype="float32",
+                         quant_mode=QuantMode.use_weight_only(),
+                         cross_kv_scales=scales)
+    with open(os.path.join(out, "build_config.json")) as f:
+        assert json.load(f)["int8_cross_kv"] is True
+    config, enc, dec, ckv, qmode = load_whisper_checkpoint(out)
+    assert ckv.int8_output and ckv.static_scale
+    np.testing.assert_allclose(np.asarray(ckv.kv_scale.value), scales)
+    res = _transcribe(out)
+    assert isinstance(res.text, str)

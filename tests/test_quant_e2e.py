@@ -165,3 +165,42 @@ def test_int8_lm_head_e2e(fp_pipe, fp_result):
     rel = (np.abs(np.asarray(lq) - np.asarray(lf)).max()
            / (np.abs(np.asarray(lf)).max() + 1e-9))
     assert rel < 0.02, rel
+
+
+def test_static_cross_kv_scales_bit_equal():
+    """CrossAttnKV(static_scale=True) with kv_scale set to the dynamic
+    path's own scales must produce a BIT-IDENTICAL int8 tensor (the
+    deployment recipe only moves WHERE the scale comes from — calibration
+    instead of a runtime amax pass); calibrate_cross_kv_scales on the
+    same xa must reproduce those scales exactly."""
+    import jax.numpy as jnp
+
+    from eddie_wang_hackathon2023_tpu.models.whisper import CrossAttnKV
+    from eddie_wang_hackathon2023_tpu.quantization.calibration import \
+        calibrate_cross_kv_scales
+    rs = np.random.RandomState(3)
+    xa = (rs.randn(1, 32, CFG.n_audio_state) * 0.3).astype(np.float32)
+
+    dyn = CrossAttnKV(CFG, int8_output=True)
+    dyn.random_init(jax.random.PRNGKey(7), scale=0.1)
+    params = dyn.state_dict()
+    q_dyn, s_dyn = jax.jit(dyn.apply)(params, jnp.asarray(xa))
+
+    cal = calibrate_cross_kv_scales(dyn, params, [xa])
+    np.testing.assert_allclose(np.asarray(s_dyn), cal, rtol=1e-6)
+
+    st = CrossAttnKV(CFG, int8_output=True, static_scale=True)
+    st.load_state_dict({**params, "kv_scale": cal})
+    q_st, s_st = jax.jit(st.apply)(st.state_dict(), jnp.asarray(xa))
+    np.testing.assert_array_equal(np.asarray(q_dyn), np.asarray(q_st))
+    np.testing.assert_allclose(np.asarray(s_dyn), np.asarray(s_st),
+                               rtol=1e-6)
+
+    # batch>1 einsum path
+    xab = (rs.randn(2, 32, CFG.n_audio_state) * 0.3).astype(np.float32)
+    qd, sd = jax.jit(dyn.apply)(params, jnp.asarray(xab))
+    calb = calibrate_cross_kv_scales(dyn, params, [xab])
+    st2 = CrossAttnKV(CFG, int8_output=True, static_scale=True)
+    st2.load_state_dict({**params, "kv_scale": calb})
+    qs, _ = jax.jit(st2.apply)(st2.state_dict(), jnp.asarray(xab))
+    np.testing.assert_array_equal(np.asarray(qd), np.asarray(qs))
