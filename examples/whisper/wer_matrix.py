@@ -27,7 +27,8 @@ sys.path.insert(0, __file__.rsplit("/examples/", 1)[0])
 from summarize import DEFAULT_DATASET, load_dataset  # noqa: E402
 
 
-def build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant, kv_scales, opts):
+def build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant, kv_scales, opts,
+                   ckv_scales=None):
     import numpy as np
     from eddie_wang_hackathon2023_tpu.models.whisper import (
         CrossAttnKV, WhisperDecoder, WhisperEncoder)
@@ -46,7 +47,15 @@ def build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant, kv_scales, opts):
         qmode = qmode.set_int8_kv_cache()
     enc = WhisperEncoder(config, qmode)
     dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in quant)
-    ckv = CrossAttnKV(config, int8_output="ckv8" in quant)
+    # "ckv8s" = static calibrated scales (the deployment recipe);
+    # "ckv8" = dynamic per-utterance amax
+    static_ckv = "ckv8s" in quant
+    ckv = CrossAttnKV(config,
+                      int8_output=static_ckv or "ckv8" in quant,
+                      static_scale=static_ckv)
+    ckv_sd = dict(ckv_sd)
+    if static_ckv:
+        ckv_sd["kv_scale"] = np.asarray(ckv_scales, np.float32)
     enc_sd, dec_sd = dict(enc_sd), dict(dec_sd)
     if "kv8" in quant:
         t = np.asarray(kv_scales, np.float32).reshape(-1, 1)
@@ -78,8 +87,8 @@ def main():
     p.add_argument("--sample_len", type=int, default=24)
     p.add_argument("--out", default=None, help="write a markdown table here")
     p.add_argument("--configs",
-                   default="fp,woq8,woq4,kv8,ckv8,lmq8,woq8+kv8,"
-                           "woq8+ckv8+lmq8")
+                   default="fp,woq8,woq4,kv8,ckv8,ckv8s,lmq8,woq8+kv8,"
+                           "woq8+ckv8+lmq8,woq8+ckv8s+lmq8")
     args = p.parse_args()
 
     import jax
@@ -152,13 +161,21 @@ def main():
                              opts)
     kv_scales = calibrate_int8_kv(fp_pipe, mels[:8], batch_size=args.batch)
     print(f"int8-KV calibration amax/layer: {np.round(kv_scales, 4)}")
+    from eddie_wang_hackathon2023_tpu.quantization.calibration import (
+        calibrate_cross_kv_scales)
+    fp_pipe._ensure_params()
+    xas = [np.asarray(fp_pipe.get_audio_features(np.stack(mels[i:i + 1])))
+           for i in range(min(8, len(mels)))]
+    ckv_scales = calibrate_cross_kv_scales(fp_pipe.cross_kv,
+                                           fp_pipe._params_ckv, xas)
+    print(f"cross-KV calibration scale/layer: {np.round(ckv_scales, 5)}")
 
     rows = []
     fp_hyps = None
     for quant in args.configs.split(","):
         pipe = (fp_pipe if quant == "fp" else
                 build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant,
-                               kv_scales, opts))
+                               kv_scales, opts, ckv_scales=ckv_scales))
         hyps = []
         t0 = time.time()
         for i in range(0, len(mels), args.batch):
