@@ -35,6 +35,10 @@ class WeightOnlyQuantLinear(Module):
         self.out_features = out_features
         self.bits = bits
         self.dtype = dtype
+        # consulted by the fused-decode-kernel eligibility checks
+        # (layers/attention.py proj/q_fusion_hoistable): tp>1 needs the
+        # XLA dense path's automatic partial-sum/gather handling
+        self.tp_size = tp_size
         k = in_features if bits == 8 else in_features // 2
         w_pspec = P(None, TP_AXIS) if tp_dim == 0 else P(TP_AXIS, None)
         self.qweight = Parameter(shape=(k, out_features), dtype="int8",

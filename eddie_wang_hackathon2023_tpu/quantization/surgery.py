@@ -79,13 +79,17 @@ def weight_only_quantize(model: Module,
             replaced = _relayer(
                 WeightOnlyQuantRowLinear(child.in_features, child.out_features,
                                          bias=child.bias is not None,
-                                         dtype=child.dtype, bits=bits), lead)
+                                         dtype=child.dtype, bits=bits,
+                                         tp_size=getattr(child, "tp_size", 1)),
+                lead)
         elif isinstance(child, Linear):
             lead = tuple(child.weight._shape[:-2])
             replaced = _relayer(
                 WeightOnlyQuantLinear(child.in_features, child.out_features,
                                       bias=child.bias is not None,
-                                      dtype=child.dtype, bits=bits), lead)
+                                      dtype=child.dtype, bits=bits,
+                                      tp_size=getattr(child, "tp_size", 1)),
+                lead)
         if replaced is not None:
             setattr(model, name, replaced)
         else:
