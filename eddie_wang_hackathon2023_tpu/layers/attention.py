@@ -265,7 +265,7 @@ class Attention(Module):
             return kv[:, 0], kv[:, 1], scale, False
         return cv[:, 0], cv[:, 1], None, False
 
-    def _decode_proj_operands(self):
+    def _decode_proj_operands(self, batch: int = 1):
         """Out-projection operands for the fused Pallas decode kernel
         (ops.pallas_decode_attention proj=): only the int8 WOQ dense
         qualifies — its qweight is already [K, N] K-major, so the kernel
@@ -275,8 +275,15 @@ class Attention(Module):
 
         Inside a scanned decoder the bound qweight may be the FULL
         stacked [L, K, N] array (see ``proj_fusion_hoistable``) — passed
-        through as-is; the kernel's index_map picks the layer panel."""
+        through as-is; the kernel's index_map picks the layer panel.
+
+        ``batch``: the fused epilogue runs its per-head dots once per
+        grid row, SEQUENTIALLY in b — at batch>1 XLA's batched GEMV
+        amortises the weight read across rows instead, so fusion is
+        batch-1 only."""
         from ..plugin import get_plugin_config
+        if batch != 1:
+            return None
         if not get_plugin_config().use_fuse_decode_proj():
             return None
         if not proj_fusion_hoistable(self):
@@ -285,14 +292,16 @@ class Attention(Module):
         return (d.qweight.value, d.per_channel_scale.value,
                 None if d.bias is None else d.bias.value)
 
-    def _decode_q_operands(self):
+    def _decode_q_operands(self, batch: int = 1):
         """q-projection operands for the fused Pallas decode kernel
         prologue (ops.pallas_decode_attention xq=): int8 WOQ q_linear,
         tp=1 (same qualification as the out-projection; see
-        ``q_fusion_hoistable``).  The bound qweight may be the FULL
-        stacked [L, dm, H*D] array (scan hoisting).  Returns
-        (w, scale, bias) or None."""
+        ``q_fusion_hoistable``), batch 1 (see _decode_proj_operands).
+        The bound qweight may be the FULL stacked [L, dm, H*D] array
+        (scan hoisting).  Returns (w, scale, bias) or None."""
         from ..plugin import get_plugin_config
+        if batch != 1:
+            return None
         if not get_plugin_config().use_fuse_decode_q():
             return None
         if not q_fusion_hoistable(self):
@@ -356,8 +365,8 @@ class Attention(Module):
                 if isinstance(full, tuple):
                     full = full[0]
                 s_full = jnp.full((b,), key.shape[3], jnp.int32)
-                proj = self._decode_proj_operands()
-                xq_ops = self._decode_q_operands()
+                proj = self._decode_proj_operands(batch=b)
+                xq_ops = self._decode_q_operands(batch=b)
                 if xq_ops is not None:
                     res = fused_decode_attention(
                         full, li, None, s_full, self.scale,
@@ -512,7 +521,7 @@ class Attention(Module):
                 elif _pallas_decode():
                     from ..ops.pallas_decode_attention import \
                         fused_decode_attention
-                    proj = self._decode_proj_operands()
+                    proj = self._decode_proj_operands(batch=b)
                     res = fused_decode_attention(
                         full_cache, layer_idx, q, sequence_length,
                         self.scale, kv_quant_orig_scale=kv_qo,

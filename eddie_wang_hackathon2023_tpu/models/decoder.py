@@ -277,7 +277,8 @@ class DecoderLMHead(Module):
             # models/whisper/model.py).  Beam indirection takes the XLA
             # gather path where self.dense needs the per-layer slice.
             hoisted = {}
-            if beam_indirection is None:
+            if beam_indirection is None and tokens.shape[0] == 1:
+                # batch-1 only: see Attention._decode_proj_operands
                 from ..plugin import get_plugin_config
                 cfg = get_plugin_config()
                 if cfg.use_pallas_decode() and cfg.use_fuse_decode_proj():

@@ -327,7 +327,10 @@ class WhisperDecoder(Module):
             # call every step (profiled 0.24 ms/step on large-v2 int8)
             hoisted = {}
             cfg = get_plugin_config()
-            if cfg.use_pallas_decode():
+            # batch-1 only, matching _decode_proj_operands/_decode_q_operands
+            # (at batch>1 the fusions decline and dense/q_linear run as
+            # XLA GEMVs, which need the per-layer sliced weight)
+            if tokens.shape[0] == 1 and cfg.use_pallas_decode():
                 from ...layers.attention import (proj_fusion_hoistable,
                                                  q_fusion_hoistable)
                 if cfg.use_fuse_decode_proj():

@@ -44,11 +44,17 @@ def test_gpt_woq_proj_fusion_token_exact(monkeypatch, tail):
     model, sd = weight_only_quantize_state(model, fmodel.state_dict(), qmode)
     model.load_state_dict(sd, strict=False)
 
+    from eddie_wang_hackathon2023_tpu.layers.attention import \
+        proj_fusion_hoistable
+    assert proj_fusion_hoistable(model.blocks.attention)  # fusion engages
+
     mc = ModelConfig(vocab_size=128, num_layers=3, num_heads=4,
                      hidden_size=64)
     rs = np.random.RandomState(0)
-    ids = rs.randint(0, 128, (2, 11)).astype(np.int32)
-    lens = np.asarray([11, 7], np.int32)   # ragged: left-pad + start mask
+    # batch 1 — the fused epilogues are batch-1-only (left-padded prompt
+    # still exercises the start-index mask)
+    ids = rs.randint(0, 128, (1, 11)).astype(np.int32)
+    lens = np.asarray([7], np.int32)
     monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
     monkeypatch.setenv("EWT_DECODE_TAIL", str(tail))
     outs = {}
