@@ -354,3 +354,25 @@ def test_pallas_proj_fusion_token_exact(features, monkeypatch):
                                   np.asarray(outs["1"][0]))
     np.testing.assert_allclose(np.asarray(outs["0"][2]),
                                np.asarray(outs["1"][2]), atol=2e-3)
+
+
+def test_pallas_decode_batch2_token_exact(pipeline, monkeypatch):
+    """batch>1 under the Pallas decode knob: the fused epilogues decline
+    (batch-1 gate) and the un-fused kernel path must still match the XLA
+    path token for token."""
+    rs = np.random.RandomState(9)
+    mel = (rs.randn(2, CFG.n_mels, CFG.n_audio_ctx * 2) * 0.1
+           ).astype(np.float32)
+    xa = pipeline.get_audio_features(mel)
+    cross_kv = pipeline.precompute_cross_kv(xa)
+    ref_tokens, _, ref_lp, _ = pipeline.main_loop(xa, cross_kv)
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    pipe2 = WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                            pipeline.cross_kv,
+                            DecodingOptions(language="en", sample_len=12))
+    pipe2.bind_params()
+    got_tokens, _, got_lp, _ = pipe2.main_loop(xa, cross_kv)
+    np.testing.assert_array_equal(np.asarray(ref_tokens),
+                                  np.asarray(got_tokens))
+    np.testing.assert_allclose(np.asarray(ref_lp), np.asarray(got_lp),
+                               atol=2e-3)
