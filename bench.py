@@ -61,8 +61,10 @@ def main():
     dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in parts)
     # static calibrated cross-KV scales = the deployment recipe (matches
     # the reference's static int8-KV calibration model); the dynamic
-    # amax path costs two full-tensor reduction passes per utterance
-    ckv = CrossAttnKV(config, int8_output=ckv8, static_scale=True)
+    # amax path costs two full-tensor reduction passes per utterance.
+    # BENCH_CKV_DYNAMIC=1 benches the dynamic fallback for the ablation
+    ckv = CrossAttnKV(config, int8_output=ckv8,
+                      static_scale=os.environ.get("BENCH_CKV_DYNAMIC") != "1")
     if qmode.is_weight_only():
         from eddie_wang_hackathon2023_tpu.quantization.surgery import \
             weight_only_quantize
@@ -70,7 +72,7 @@ def main():
         dec = weight_only_quantize(dec, qmode)
     for m in (enc, dec, ckv):
         m.zeros_init()
-    if ckv8:
+    if ckv8 and ckv.static_scale:
         ckv.kv_scale.value = jnp.ones(ckv.kv_scale.value.shape, jnp.float32)
     if "lmq8" in parts:
         import jax.numpy as jnp

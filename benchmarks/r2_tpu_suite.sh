@@ -8,6 +8,11 @@ OUT=/tmp/r2suite
 mkdir -p $OUT
 cd /root/repo
 
+if ! ss -tln 2>/dev/null | grep -q ":8103 "; then
+    echo "axon relay (127.0.0.1:8103) is DOWN — TPU unreachable, aborting"
+    exit 1
+fi
+
 run() {  # run <name> <timeout_s> <cmd...>
     local name=$1 to=$2; shift 2
     echo "=== $name ($(date +%H:%M:%S)) ==="
@@ -19,6 +24,8 @@ run() {  # run <name> <timeout_s> <cmd...>
 run bench_fused 1400 python bench.py
 # 2. ablation: fusions off (isolate the epilogue/prologue win)
 EWT_FUSE_PROJ=0 EWT_FUSE_Q=0 run bench_nofuse 1400 python bench.py
+# 2b. ablation: dynamic cross-KV scales (isolate the static-scale win)
+BENCH_CKV_DYNAMIC=1 run bench_ckvdyn 1400 python bench.py
 # 3. bf16 row
 BENCH_QUANT=bf16 run bench_bf16 1400 python bench.py
 # 4. batch-8 throughput row
