@@ -35,6 +35,8 @@ BENCH_QUANT="woq8+ckv8+lmq8" PROFILE_TARGET=loop LOOP_STEPS=32 \
     run prof_loop 1400 python benchmarks/profile_decode.py
 # 6. encoder trace (chained, data-dependent)
 PROFILE_TARGET=encoder run prof_enc 1200 python benchmarks/profile_decode.py
+# 6b. per-layer fusion-variant grid (decides proj/xq defaults)
+run fusion_sweep 1400 python benchmarks/fusion_sweep.py
 # 7. GPT-350M quant grid: bf16 / woq8 / SmoothQuant (VERDICT #9)
 run gpt_bf16 1200 python benchmarks/benchmark.py --quant none --batch_size 1,8
 run gpt_woq8 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1,8
