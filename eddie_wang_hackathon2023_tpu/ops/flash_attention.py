@@ -22,6 +22,24 @@ from .attention import length_mask_bias, multihead_attention
 
 _MIN_FLASH_LEN = 128  # below this the unfused path is faster/simpler
 
+# -- custom-kernel registry (the openai_triton-plugin analogue) ----------
+# The reference lets users wrap their own attention kernel as a TRT
+# plugin (E/openai_triton/: Triton kernel -> AoT -> plugin -> engine).
+# Here the same extension point is one function: register a Pallas (or
+# any jax) implementation and every context-attention call routes
+# through it.  See examples/custom_kernel/ for a from-scratch Pallas
+# flash kernel plugged in this way.
+_custom_mha = None
+
+
+def set_custom_mha(fn) -> None:
+    """Install ``fn(q, k, v, *, causal, scale, kv_valid_len) -> ctx`` as
+    the context-attention kernel (None restores the built-in dispatch).
+    Called before tracing; jitted programs keep whatever was active when
+    they were traced."""
+    global _custom_mha
+    _custom_mha = fn
+
 
 def _pad_to(x, axis: int, mult: int):
     size = x.shape[axis]
@@ -49,6 +67,9 @@ def flash_mha(q, k, v, causal: bool = False, scale: Optional[float] = None,
     """
     lq, lk = q.shape[2], k.shape[2]
     valid = lk if kv_valid_len is None else min(int(kv_valid_len), lk)
+    if _custom_mha is not None and bias is None:
+        return _custom_mha(q, k, v, causal=causal, scale=scale,
+                           kv_valid_len=kv_valid_len)
     from .._utils import on_tpu
     use_flash = (on_tpu() and bias is None
                  and lq >= _MIN_FLASH_LEN and q.shape[-1] % 64 == 0)
