@@ -70,6 +70,21 @@ def q_fusion_hoistable(attn) -> bool:
             and _woq8_unsharded(getattr(attn, "q_linear", None)))
 
 
+def qkv_fusion_hoistable(attn) -> bool:
+    """Same, for the SELF-attention fused-QKV prologue (kernel
+    ``xqkv=``): int8 WOQ fused QKV, no MQA, no positional transform on
+    q/k (rope/alibi/glm run between projection and attention and are not
+    expressible in the prologue)."""
+    qkv = getattr(attn, "qkv", None)
+    return (not getattr(attn, "cross_attention", False)
+            and attn.position_embedding_type
+            == PositionEmbeddingType.learned_absolute
+            and getattr(qkv, "qweight", None) is not None
+            and getattr(qkv, "bits", None) == 8
+            and getattr(qkv, "num_kv_heads", -1)
+            == getattr(qkv, "num_heads", -2))
+
+
 def _woq8_unsharded(linear) -> bool:
     return (linear is not None
             and getattr(linear, "qweight", None) is not None
@@ -310,6 +325,53 @@ class Attention(Module):
         return (ql.qweight.value, ql.per_channel_scale.value,
                 None if ql.bias is None else ql.bias.value)
 
+    def _try_fused_qkv_decode(self, hidden_states, past_key_value,
+                              cache_write_index, sequence_length,
+                              attention_start, beam_indirection,
+                              attention_mask, use_cache):
+        """Fully-fused self-attention decode step (kernel ``xqkv=``):
+        QKV projection + cached attention + fresh-KV cache cast (+ the
+        out-projection epilogue) in ONE Pallas launch.  Returns the
+        forward result, or None when ineligible (see
+        ``qkv_fusion_hoistable`` + PluginConfig.fuse_decode_qkv; the
+        caller falls through to the standard path)."""
+        b, l, _ = hidden_states.shape
+        if (l != 1 or b != 1 or attention_mask is not None
+                or beam_indirection is not None
+                or not isinstance(past_key_value, tuple)
+                or len(past_key_value) < 3
+                or past_key_value[2] != "defer"
+                or self.use_int8_kv_cache or self.use_fp8_kv_cache):
+            return None
+        from ..plugin import get_plugin_config
+        cfg = get_plugin_config()
+        if not (cfg.use_pallas_decode() and cfg.use_fuse_decode_qkv()
+                and _pallas_decode() and qkv_fusion_hoistable(self)):
+            return None
+        if len(past_key_value) == 5:
+            full_cache, layer_idx, _, kv_tail, tail_len = past_key_value
+        else:
+            full_cache, layer_idx, _ = past_key_value
+            kv_tail = tail_len = None
+        if full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn):
+            return None
+        from ..ops.pallas_decode_attention import fused_decode_attention
+        qkv = self.qkv
+        proj = self._decode_proj_operands(batch=b)
+        res, k_st, v_st = fused_decode_attention(
+            full_cache, layer_idx, None, sequence_length, self.scale,
+            start_index=attention_start,
+            tail_kv=(None if kv_tail is None else (kv_tail, tail_len)),
+            xqkv=(hidden_states, qkv.qweight.value,
+                  qkv.per_channel_scale.value,
+                  None if qkv.bias is None
+                  else qkv.bias.value.reshape(-1)),
+            proj=proj)
+        out = (res[:, None, :] if proj is not None
+               else self.dense(self._merge_heads(res)))
+        k_st, v_st = k_st[..., None], v_st[..., None]   # [B,H,D,1]
+        return (out, (k_st, v_st)) if use_cache else out
+
     def _split_heads(self, x):
         b, l, _ = x.shape
         return x.reshape(b, l, self.num_attention_heads,
@@ -401,6 +463,13 @@ class Attention(Module):
                             bias=attention_mask)
             out = self.dense(self._merge_heads(ctx))
             return (out, past_key_value) if use_cache else out
+
+        fused_qkv = self._try_fused_qkv_decode(
+            hidden_states, past_key_value, cache_write_index,
+            sequence_length, attention_start, beam_indirection,
+            attention_mask, use_cache)
+        if fused_qkv is not None:
+            return fused_qkv
 
         q, k, v = self.qkv(hidden_states)          # [B,L,H,D]
         if self.position_embedding_type == PositionEmbeddingType.rope:

@@ -344,6 +344,14 @@ class WhisperDecoder(Module):
                     key = "cross_attn.q_linear.qweight"
                     if key in stacked:
                         hoisted[key] = stacked.pop(key)
+                from ...layers.attention import qkv_fusion_hoistable
+                if cfg.use_fuse_decode_qkv() and \
+                        qkv_fusion_hoistable(block.attn) and \
+                        not (block.attn.use_int8_kv_cache
+                             or block.attn.use_fp8_kv_cache):
+                    key = "attn.qkv.qweight"
+                    if key in stacked:
+                        hoisted[key] = stacked.pop(key)
 
             def step(h, scanned):
                 layer_params, l = scanned

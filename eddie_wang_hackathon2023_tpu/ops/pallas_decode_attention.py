@@ -47,18 +47,25 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             *rest, scale: float, quant: bool, with_fresh: bool,
             with_tail: bool, with_proj: bool, proj_quant: bool,
             proj_bias: bool, with_xq: bool, xq_quant: bool, xq_bias: bool,
+            with_xqkv: bool, cache_dt,
             cdt, cs: int, n_chunks: int, s_max: int):
-    # positional order: scalar-prefetch refs, input refs, output ref,
-    # scratch refs (running max / denom / context accumulator,
-    # + the computed-q buffer in xq mode)
+    # positional order: scalar-prefetch refs, input refs, output ref(s),
+    # scratch refs (running max / denom / context accumulator, + the
+    # computed q (and k/v in xqkv mode) buffers)
     m_ref, d_ref, acc_ref = rest[-3:]
-    n_scr = 4 if with_xq else 3
-    qs_ref = rest[-4] if with_xq else None
-    o_ref = rest[-(n_scr + 1)]
-    extra = rest[:-(n_scr + 1)]
-    if with_xq:
-        # q-projection operands ride last: weight block [1, dm, H, D]
-        # (+ scale [1, H, D]) (+ bias [1, H, D]); q_ref is the raw
+    n_scr = 3 + (1 if (with_xq or with_xqkv) else 0) + (2 if with_xqkv else 0)
+    qs_ref = rest[-4] if (with_xq or with_xqkv) else None
+    ks_ref = rest[-6] if with_xqkv else None
+    vs_ref = rest[-5] if with_xqkv else None
+    n_out = 3 if with_xqkv else 1
+    o_ref = rest[-(n_scr + n_out)]
+    if with_xqkv:
+        ok_ref, ov_ref = rest[-(n_scr + 2)], rest[-(n_scr + 1)]
+    extra = rest[:-(n_scr + n_out)]
+    if with_xq or with_xqkv:
+        # q(kv)-projection operands ride last: weight block
+        # [1, dm, H, D] (xq) / [1, dm, 3H, D] (xqkv)
+        # (+ scale, same trailing shape) (+ bias); q_ref is the raw
         # hidden state x [1, 1, dm] instead of the projected query
         n_xq = 1 + (1 if xq_quant else 0) + (1 if xq_bias else 0)
         xq_refs = extra[-n_xq:]
@@ -101,7 +108,7 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
     c = pl.program_id(1)
     kscale = kscale_ref[0] if quant else 1.0
     seq_len = seqlen_ref[b]
-    cache_len = seq_len - 1 if with_fresh else seq_len
+    cache_len = seq_len - 1 if (with_fresh or with_xqkv) else seq_len
     if with_tail:
         cache_len = cache_len - tlen_ref[0]
     n_need = jnp.maximum(jax.lax.div(cache_len + cs - 1, cs), 1)
@@ -111,32 +118,49 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         m_ref[...] = jnp.full(m_ref.shape, NEG, m_ref.dtype)
         d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-        if with_xq:
-            # fused q-projection: q = (x @ Wq) * scale + bias, computed
+        if with_xq or with_xqkv:
+            # fused q(kv)-projection: (x @ W) * scale + bias, computed
             # once per batch row into scratch; per-head 2D dots (see emit
             # for the Mosaic rationale), same numeric chain as
-            # weight_only_quant_matmul (fp32 accum, per-channel scale)
+            # weight_only_quant_matmul (fp32 accum, per-channel scale).
+            # xqkv additionally computes K and V (weight rows H..2H-1 and
+            # 2H..3H-1), casts them to the cache dtype exactly like
+            # cast_kv_for_cache, stores them for the fresh-token math and
+            # emits them through the extra outputs for the deferred write
             xw = xq_refs[0]
             i = 1
             xsc = None
             if xq_quant:
-                xsc = xq_refs[i][0].astype(jnp.float32)    # [H, D]
+                xsc = xq_refs[i][0].astype(jnp.float32)    # [(3)H, D]
                 i += 1
             xb = xq_refs[i][0].astype(cdt) if xq_bias else None
             xa = q_ref[0].astype(cdt)                      # [1, dm]
-            for h in range(qs_ref.shape[0]):
-                qh = jax.lax.dot(
-                    xa, xw[0, :, h, :].astype(cdt),
+            H = qs_ref.shape[0]
+
+            def proj_row(r):
+                ph = jax.lax.dot(
+                    xa, xw[0, :, r, :].astype(cdt),
                     preferred_element_type=jnp.float32)    # [1, D]
                 if xsc is not None:
-                    qh = qh * xsc[h:h + 1, :]
-                qh = qh.astype(cdt)
+                    ph = ph * xsc[r:r + 1, :]
+                ph = ph.astype(cdt)
                 if xb is not None:
-                    qh = qh + xb[h:h + 1, :]
-                qs_ref[h:h + 1, :] = qh.astype(qs_ref.dtype)
+                    ph = ph + xb[r:r + 1, :]
+                return ph
+
+            for h in range(H):
+                qs_ref[h:h + 1, :] = proj_row(h).astype(qs_ref.dtype)
+            if with_xqkv:
+                for h in range(H):
+                    kh = proj_row(H + h).astype(cache_dt)
+                    vh = proj_row(2 * H + h).astype(cache_dt)
+                    ks_ref[h:h + 1, :] = kh
+                    vs_ref[h:h + 1, :] = vh
+                ok_ref[0] = ks_ref[...]
+                ov_ref[0] = vs_ref[...]
 
     def read_q():
-        if with_xq:
+        if with_xq or with_xqkv:
             return qs_ref[...].astype(cdt)                 # [H, D]
         return q_ref[0, :, 0, :].astype(cdt)
 
@@ -182,18 +206,23 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         m = m_ref[:, :]                                    # [H, 1]
         d = d_ref[:, :]
         acc = acc_ref[:, :]                                # [H, D]
-        if with_fresh:
-            q32 = q_ref[0, :, 0, :].astype(jnp.float32)
-            fk_ref, fv_ref = extra[-2], extra[-1]
-            fk = fk_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
-            fv = fv_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
+        if with_fresh or with_xqkv:
+            if with_xqkv:
+                q32 = qs_ref[...].astype(jnp.float32)
+                fk = ks_ref[...].astype(jnp.float32)       # [H, D]
+                fv = vs_ref[...].astype(jnp.float32)
+            else:
+                q32 = q_ref[0, :, 0, :].astype(jnp.float32)
+                fk_ref, fv_ref = extra[-2], extra[-1]
+                fk = fk_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
+                fv = fv_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
             s_f = jnp.sum(q32 * fk, axis=-1,
                           keepdims=True) * (scale * kscale)    # [H, 1]
             if with_tail:
                 # K-step deferred tail block [Kmax,1,1,2,H,D] tail-major
                 # (see ops.attention write_tail_kv): masked extra columns
                 t_ref = extra[0]
-                q = q_ref[0, :, 0, :].astype(cdt)
+                q = read_q()
                 # [K,H,D] -> [H,K,D]: Mosaic's matmul needs lhs/rhs batch
                 # dims in the same position; the K,H leading-axis swap is
                 # cheap at tail size (~20 KB)
@@ -245,6 +274,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            tail_kv: Optional[Tuple] = None,
                            proj: Optional[Tuple] = None,
                            xq: Optional[Tuple] = None,
+                           xqkv: Optional[Tuple] = None,
                            chunk: Optional[int] = None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
@@ -281,6 +311,15 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     weight_only_quant_matmul numeric chain — the 1.6 MB GEMV and its
     launch leave the XLA dispatch stream and ride the kernel's DMA
     pipeline.  Incompatible with fresh_kv/tail_kv.
+    ``xqkv``: (x, weight, scale, bias) — SELF-attention decode analogue
+    of ``xq``: the fused QKV projection runs in the prologue (weight
+    [d_model, 3*H*D] per-layer or stacked [L, ...]; rows 0..H-1 = Q,
+    H..2H-1 = K, 2H..3H-1 = V), the fresh K/V are cast to the cache
+    dtype in-kernel (cast_kv_for_cache chain, float caches only) and
+    returned as extra outputs for the deferred write.  Replaces
+    ``fresh_kv`` (mutually exclusive); composes with ``tail_kv`` and
+    ``proj``.  Return value becomes (attn_out, k_fresh [B,H,D],
+    v_fresh [B,H,D]).
     ``chunk``: sequence-panel width (default 256, env EWT_DECODE_CHUNK);
     the kernel streams the cache in [2,H,D,chunk] panels with online
     softmax, skipping panels past the valid length.
@@ -301,11 +340,19 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     with_fresh = fresh_kv is not None
     with_tail = tail_kv is not None
     with_xq = xq is not None
-    assert not (with_tail and not with_fresh), "tail mode requires fresh_kv"
+    with_xqkv = xqkv is not None
+    assert not (with_tail and not (with_fresh or with_xqkv)), \
+        "tail mode requires fresh K/V (operand or fused-QKV)"
     assert not (with_xq and with_fresh), \
         "fused q-projection is cached-only (cross-attention decode)"
+    assert not (with_xqkv and (with_fresh or with_xq)), \
+        "fused QKV replaces fresh_kv/xq"
+    assert not (with_xqkv and quant), \
+        "fused QKV supports float caches only (in-kernel cast)"
     if with_xq:
         q = xq[0]                                # [B, 1, d_model]
+    if with_xqkv:
+        q = xqkv[0]                              # [B, 1, d_model]
     if not interpret:
         # off-TPU (CPU tests with the knob forced on) run the interpreter
         from .._utils import runtime_platform
@@ -365,7 +412,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
 
     in_specs = [
         (pl.BlockSpec((1, 1, q.shape[-1]), x_map, memory_space=pltpu.VMEM)
-         if with_xq else
+         if (with_xq or with_xqkv) else
          pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM)),
         pl.BlockSpec((1, 1, 2, H, D, cs), kv_map, memory_space=pltpu.VMEM),
     ]
@@ -426,14 +473,16 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
 
     cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
     xq_quant = xq_bias = False
-    if with_xq:
-        _, xw, xsc, xb = xq
+    if with_xq or with_xqkv:
+        _, xw, xsc, xb = xq if with_xq else xqkv
         dm = q.shape[-1]
-        assert xw.shape[-2] == dm and xw.shape[-1] == H * D, \
-            f"q weight [..., {dm}, {H*D}], got {xw.shape}"
-        # [dm, H, D] so the per-head panel is a static middle-index slice
-        # (a lane slice of [dm, H*D] at h*D would hit Mosaic relayouts)
-        xw = xw.reshape(-1, dm, H, D)
+        n_rows = H if with_xq else 3 * H
+        assert xw.shape[-2] == dm and xw.shape[-1] == n_rows * D, \
+            f"q(kv) weight [..., {dm}, {n_rows * D}], got {xw.shape}"
+        # [dm, (3)H, D] so the per-head panel is a static middle-index
+        # slice (a lane slice of [dm, H*D] at h*D would hit Mosaic
+        # relayouts)
+        xw = xw.reshape(-1, dm, n_rows, D)
         xq_stacked = xw.shape[0] > 1
         xq_quant = xsc is not None
         xq_bias = xb is not None
@@ -444,17 +493,25 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         def xs_map(b, c, lref, sref, stref, kref, tref):
             return (0, 0, 0)
 
-        in_specs += [pl.BlockSpec((1, dm, H, D), xw_map,
+        in_specs += [pl.BlockSpec((1, dm, n_rows, D), xw_map,
                                   memory_space=pltpu.VMEM)]
         args += [xw]
         if xq_quant:
-            in_specs += [pl.BlockSpec((1, H, D), xs_map,
+            in_specs += [pl.BlockSpec((1, n_rows, D), xs_map,
                                       memory_space=pltpu.VMEM)]
-            args += [jnp.asarray(xsc, jnp.float32).reshape(1, H, D)]
+            args += [jnp.asarray(xsc, jnp.float32).reshape(1, n_rows, D)]
         if xq_bias:
-            in_specs += [pl.BlockSpec((1, H, D), xs_map,
+            in_specs += [pl.BlockSpec((1, n_rows, D), xs_map,
                                       memory_space=pltpu.VMEM)]
-            args += [jnp.asarray(xb).reshape(1, H, D)]
+            args += [jnp.asarray(xb).reshape(1, n_rows, D)]
+
+    if with_xqkv:
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, H, D), o_map, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, H, D), o_map, memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, H, D), full_cache.dtype),
+                     jax.ShapeDtypeStruct((B, H, D), full_cache.dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -462,7 +519,11 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=(
-            [pltpu.VMEM((H, D), cdt)] if with_xq else []) + [  # computed q
+            [pltpu.VMEM((H, D), full_cache.dtype),   # computed fresh K
+             pltpu.VMEM((H, D), full_cache.dtype)]   # computed fresh V
+            if with_xqkv else []) + (
+            [pltpu.VMEM((H, D), cdt)]                # computed q
+            if (with_xq or with_xqkv) else []) + [
             pltpu.VMEM((H, 1), jnp.float32),   # running max
             pltpu.VMEM((H, 1), jnp.float32),   # running denom
             pltpu.VMEM((H, D), jnp.float32),   # context accumulator
@@ -472,7 +533,8 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         _kernel, scale=float(scale), quant=quant, with_fresh=with_fresh,
         with_tail=with_tail, with_proj=with_proj, proj_quant=proj_quant,
         proj_bias=proj_bias, with_xq=with_xq, xq_quant=xq_quant,
-        xq_bias=xq_bias, cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
+        xq_bias=xq_bias, with_xqkv=with_xqkv, cache_dt=full_cache.dtype,
+        cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
     bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B
     out = pl.pallas_call(
         kernel,
@@ -483,6 +545,11 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
             transcendentals=B * H * S),
         interpret=interpret,
     )(layer_arr, seqlen_arr, start_arr, kscale_arr, tlen_arr, *args)
+    if with_xqkv:
+        attn, fk_out, fv_out = out
+        if not with_proj:
+            attn = attn[:, :, None, :]
+        return attn, fk_out, fv_out
     if with_proj:
         return out                               # [B, N]
     return out[:, :, None, :]

@@ -61,6 +61,13 @@ class PluginConfig:
     # GEMV per attention).  Only applies where pallas_decode applies and
     # the dense layer is int8 WOQ, tp=1.  None = on with pallas_decode
     fuse_decode_proj: Optional[bool] = None
+    # fuse the SELF-attention QKV projection into the Pallas decode
+    # kernel prologue (fresh K/V computed, cache-cast and emitted
+    # in-kernel).  WOQ8 qkv, float KV cache, no rope/alibi, batch 1.
+    # Default OFF pending a device A/B (benchmarks/fusion_sweep.py): the
+    # prologue runs 3H sequential per-head GEMV dots whose MXU cost is
+    # uncertain vs the XLA dispatch it replaces.  None = off
+    fuse_decode_qkv: Optional[bool] = None
     # fuse the cross-attention q-projection (int8 WOQ q_linear) into the
     # Pallas decode kernel prologue: q computed once per step in VMEM
     # scratch, the 1.6 MB weight read rides the kernel's DMA pipeline
@@ -112,6 +119,12 @@ class PluginConfig:
         if self.fuse_decode_proj is not None:
             return self.fuse_decode_proj
         return True
+
+    def use_fuse_decode_qkv(self) -> bool:
+        v = os.environ.get("EWT_FUSE_QKV")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        return bool(self.fuse_decode_qkv)
 
     def use_fuse_decode_q(self) -> bool:
         v = os.environ.get("EWT_FUSE_Q")

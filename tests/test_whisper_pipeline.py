@@ -344,6 +344,7 @@ def test_pallas_proj_fusion_token_exact(features, monkeypatch):
     for fuse in ("0", "1"):
         monkeypatch.setenv("EWT_FUSE_PROJ", fuse)
         monkeypatch.setenv("EWT_FUSE_Q", fuse)
+        monkeypatch.setenv("EWT_FUSE_QKV", fuse)
         pipe = WhisperPipeline(CFG, enc, dec, ckv,
                                DecodingOptions(language="en", sample_len=10))
         pipe.bind_params()
