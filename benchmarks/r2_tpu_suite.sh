@@ -26,6 +26,8 @@ run bench_fused 1400 python bench.py
 EWT_FUSE_PROJ=0 EWT_FUSE_Q=0 run bench_nofuse 1400 python bench.py
 # 2b. ablation: dynamic cross-KV scales (isolate the static-scale win)
 BENCH_CKV_DYNAMIC=1 run bench_ckvdyn 1400 python bench.py
+# 2c. candidate: fully-fused self-attention step (default-off knob)
+EWT_FUSE_QKV=1 run bench_fuseqkv 1400 python bench.py
 # 3. bf16 row
 BENCH_QUANT=bf16 run bench_bf16 1400 python bench.py
 # 4. batch-8 throughput row
