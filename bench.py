@@ -24,6 +24,19 @@ BASELINE_UTT_PER_S = 2620.0 / 1333.0  # reference TRT-LLM+plugins on A10
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS") == "axon":
+        # fail fast when the remote-TPU relay is dead: backend discovery
+        # would otherwise hang forever (see tests/conftest.py), and CPU
+        # numbers would be meaningless for this bench
+        import socket
+        s = socket.socket()
+        s.settimeout(0.5)
+        try:
+            if s.connect_ex(("127.0.0.1", 8103)) != 0:
+                sys.exit("[bench] axon relay (127.0.0.1:8103) is down — "
+                         "TPU unreachable; not benchmarking on CPU")
+        finally:
+            s.close()
     import jax
     import jax.numpy as jnp
     import numpy as np
