@@ -587,7 +587,12 @@ class Attention(Module):
                         q, (kk, vv), sequence_length, scale=self.scale,
                         kv_quant_orig_scale=kv_qo,
                         start_index=attention_start, fresh_kv=(k_st, v_st))
-                elif _pallas_decode():
+                elif _pallas_decode() and \
+                        self.num_attention_kv_heads == \
+                        self.num_attention_heads:
+                    # (MQA/GQA caches have fewer KV heads than the query —
+                    # the kernel's batched-over-heads dots assume equal H;
+                    # the XLA path below broadcasts instead)
                     from ..ops.pallas_decode_attention import \
                         fused_decode_attention
                     proj = self._decode_proj_operands(batch=b)

@@ -398,8 +398,73 @@ def from_hf_chatglm6b(hf_sd, config: DecoderConfig) -> Dict[str, np.ndarray]:
     return state
 
 
+# -- SantaCoder / StarCoder (gpt_bigcode) ------------------------------------
+
+def santacoder_config(hf_cfg, dtype: str = "bfloat16", **kw) -> DecoderConfig:
+    """GPT-2 + multi-query attention (ref E/gpt/README.md "GPT Variant -
+    SantaCoder": --model santacoder conversion path; HF architecture
+    gpt_bigcode covers SantaCoder and StarCoder)."""
+    return DecoderConfig(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.n_embd,
+        num_layers=hf_cfg.n_layer, num_heads=hf_cfg.n_head,
+        num_kv_heads=1 if getattr(hf_cfg, "multi_query", True) else None,
+        max_position_embeddings=hf_cfg.n_positions,
+        position_embedding="learned", hidden_act="gelu",
+        norm_eps=hf_cfg.layer_norm_epsilon, dtype=dtype, **kw)
+
+
+def from_hf_santacoder(hf_sd, config: DecoderConfig) -> Dict[str, np.ndarray]:
+    """HF GPTBigCode: plain nn.Linear ([out, in] — no GPT-2 Conv1D
+    transpose); c_attn rows = [H*D query | D key | D value] (MQA)."""
+    g = lambda k: _np(hf_sd[k if k in hf_sd else "transformer." + k])
+    h, hd = config.num_heads, config.head_dim
+    mqa = config.num_kv_heads == 1
+    per_layer = []
+    for i in range(config.num_layers):
+        p = f"h.{i}." if f"h.{i}.ln_1.weight" in hf_sd else f"transformer.h.{i}."
+        gg = lambda k: _np(hf_sd[p + k])
+        w = gg("attn.c_attn.weight")
+        bb = gg("attn.c_attn.bias")
+        d = {
+            "input_layernorm.weight": gg("ln_1.weight"),
+            "input_layernorm.bias": gg("ln_1.bias"),
+            "attention.dense.weight": gg("attn.c_proj.weight"),
+            "attention.dense.bias": gg("attn.c_proj.bias"),
+            "post_layernorm.weight": gg("ln_2.weight"),
+            "post_layernorm.bias": gg("ln_2.bias"),
+            "mlp.fc.weight": gg("mlp.c_fc.weight"),
+            "mlp.fc.bias": gg("mlp.c_fc.bias"),
+            "mlp.proj.weight": gg("mlp.c_proj.weight"),
+            "mlp.proj.bias": gg("mlp.c_proj.bias"),
+        }
+        if mqa:
+            # QKVLinear MQA layout: q [H, hd, dm] + kv [2, 1, hd, dm]
+            d["attention.qkv.weight"] = w[:h * hd].reshape(h, hd, -1)
+            d["attention.qkv.kv_weight"] = \
+                w[h * hd:].reshape(2, 1, hd, -1)
+            d["attention.qkv.bias"] = bb[:h * hd].reshape(h, hd)
+            d["attention.qkv.kv_bias"] = bb[h * hd:].reshape(2, 1, hd)
+        else:
+            wq, wk, wv = np.split(w, [h * hd, 2 * h * hd], axis=0)
+            bq, bk, bv = np.split(bb, [h * hd, 2 * h * hd], axis=0)
+            d["attention.qkv.weight"] = _fuse_qkv_headmajor(wq, wk, wv, h)
+            d["attention.qkv.bias"] = _fuse_qkv_bias(bq, bk, bv, h)
+        per_layer.append(d)
+    state = {
+        "vocab_embedding.weight": g("wte.weight"),
+        "position_embedding.weight": g("wpe.weight"),
+        "ln_f.weight": g("ln_f.weight"),
+        "ln_f.bias": g("ln_f.bias"),
+    }
+    state.update(_stack(per_layer))
+    return state
+
+
 FAMILIES = {
     "gpt2": (gpt2_config, from_hf_gpt2),
+    "santacoder": (santacoder_config, from_hf_santacoder),
+    "gpt_bigcode": (santacoder_config, from_hf_santacoder),
+    "starcoder": (santacoder_config, from_hf_santacoder),
     "llama": (llama_config, from_hf_llama),
     "opt": (opt_config, from_hf_opt),
     "bloom": (bloom_config, from_hf_bloom),

@@ -18,7 +18,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--family", default="gpt2",
                    choices=["gpt2", "llama", "opt", "bloom", "gptj", "gptneox",
-                            "chatglm6b"])
+                            "chatglm6b", "santacoder"])
     p.add_argument("--hf_model", default=None,
                    help="local transformers checkpoint dir (optional)")
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
@@ -112,6 +112,10 @@ def main():
                 vocab_size=1000, hidden_size=256, intermediate_size=1024,
                 num_hidden_layers=4, num_attention_heads=8,
                 max_position_embeddings=256)),
+            # GPT-2 + multi-query attention (ref SantaCoder variant)
+            "santacoder": lambda: T.GPTBigCodeForCausalLM(T.GPTBigCodeConfig(
+                vocab_size=1000, n_positions=256, n_embd=256, n_layer=4,
+                n_head=8, multi_query=True)),
         }[args.family]
         hf = mk().eval()
 

@@ -45,11 +45,17 @@ def _hf(family):
                               num_attention_heads=HEADS,
                               max_position_embeddings=64, rotary_pct=0.25)
         return T.GPTNeoXForCausalLM(cfg).eval()
+    if family == "santacoder":
+        # GPT-2 + multi-query attention (ref E/gpt/README.md SantaCoder
+        # variant; HF gpt_bigcode covers SantaCoder/StarCoder)
+        cfg = T.GPTBigCodeConfig(vocab_size=97, n_positions=64, n_embd=H,
+                                 n_layer=L, n_head=HEADS, multi_query=True)
+        return T.GPTBigCodeForCausalLM(cfg).eval()
     raise ValueError(family)
 
 
 @pytest.mark.parametrize("family", ["gpt2", "llama", "opt", "bloom", "gptj",
-                                    "gptneox"])
+                                    "gptneox", "santacoder"])
 def test_family_matches_hf_prefill(family):
     hf = _hf(family)
     model, config = build_from_hf(family, hf, dtype="float32")
@@ -65,7 +71,7 @@ def test_family_matches_hf_prefill(family):
                                err_msg=f"{family} prefill mismatch")
 
 
-@pytest.mark.parametrize("family", ["gpt2", "llama", "gptj"])
+@pytest.mark.parametrize("family", ["gpt2", "llama", "gptj", "santacoder"])
 def test_family_incremental_matches_prefill(family):
     hf = _hf(family)
     model, config = build_from_hf(family, hf, dtype="float32")
