@@ -43,6 +43,8 @@ run fusion_sweep 1400 python benchmarks/fusion_sweep.py
 run gpt_bf16 1200 python benchmarks/benchmark.py --quant none --batch_size 1,8
 run gpt_woq8 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1,8
 run gpt_sq   1200 python benchmarks/benchmark.py --quant sq   --batch_size 1,8
+# 7b. BERT forward grid (ref bert_benchmark parity)
+run bert_base 1200 python benchmarks/bert_bench.py -m bert_base --batch_size 1,8 --input_len 128,512
 # 8. serving grid: (dense|paged) x (greedy|top-p)
 run serve_matrix 1400 python benchmarks/serve_bench.py --matrix
 echo "=== suite done ($(date +%H:%M:%S)) ==="
