@@ -67,3 +67,30 @@ def test_gpt_woq_proj_fusion_token_exact(monkeypatch, tail):
         outs[fuse] = (toks.tolist(), slens.tolist())
         del sess
     assert outs["0"] == outs["1"]
+
+
+def test_mqa_family_pallas_env_token_exact(monkeypatch):
+    """SantaCoder (MQA): with EWT_PALLAS_DECODE=1 the kernel must decline
+    (unequal query/KV heads) and generation stays token-exact vs the
+    default path."""
+    import torch
+    import transformers as T
+
+    from eddie_wang_hackathon2023_tpu.models.families import build_from_hf
+    torch.manual_seed(0)
+    hf = T.GPTBigCodeForCausalLM(T.GPTBigCodeConfig(
+        vocab_size=97, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        multi_query=True)).eval()
+    model, config = build_from_hf("santacoder", hf, dtype="float32")
+    mc = ModelConfig(vocab_size=97, num_layers=2, num_heads=4,
+                     hidden_size=32)
+    ids = np.array([[3, 11, 25, 40, 7]], np.int32)
+    lens = np.asarray([5], np.int32)
+    outs = {}
+    for pallas in ("0", "1"):
+        monkeypatch.setenv("EWT_PALLAS_DECODE", pallas)
+        sess = GenerationSession(mc, model,
+                                 SamplingConfig(end_id=-1, pad_id=0))
+        toks, slens, _ = sess.decode(ids, lens, max_new_tokens=8)
+        outs[pallas] = toks.tolist()
+    assert outs["0"] == outs["1"]
