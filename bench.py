@@ -24,20 +24,21 @@ BASELINE_UTT_PER_S = 2620.0 / 1333.0  # reference TRT-LLM+plugins on A10
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS") == "axon":
-        # fail fast when the remote-TPU relay is dead: backend discovery
-        # would otherwise hang forever (see tests/conftest.py), and CPU
-        # numbers would be meaningless for this bench
-        import socket
-        s = socket.socket()
-        s.settimeout(0.5)
-        try:
-            if s.connect_ex(("127.0.0.1", 8103)) != 0:
-                sys.exit("[bench] axon relay (127.0.0.1:8103) is down — "
-                         "TPU unreachable; not benchmarking on CPU")
-        finally:
-            s.close()
     import jax
+    if os.environ.get("BENCH_DEVICE") == "cpu":
+        # smoke-test mode: pin the platform list BEFORE the first device
+        # touch (the jax.config update is the only reliable guard — the
+        # JAX_PLATFORMS env var alone does not stop a wedged axon plugin
+        # from hanging backend discovery)
+        jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS") == "axon":
+        # fail fast when the remote TPU is unreachable: backend discovery
+        # would otherwise hang forever (see axon_health.py), and CPU
+        # numbers would be meaningless for this bench
+        from eddie_wang_hackathon2023_tpu.axon_health import tpu_reachable
+        if not tpu_reachable():
+            sys.exit("[bench] axon TPU unreachable (relay dead or wedged) "
+                     "— not benchmarking on CPU")
     import jax.numpy as jnp
     import numpy as np
 

@@ -8,8 +8,8 @@ OUT=/tmp/r2suite
 mkdir -p $OUT
 cd /root/repo
 
-if ! ss -tln 2>/dev/null | grep -q ":8103 "; then
-    echo "axon relay (127.0.0.1:8103) is DOWN — TPU unreachable, aborting"
+if ! python -m eddie_wang_hackathon2023_tpu.axon_health; then
+    echo "axon TPU unreachable (relay dead or wedged) — aborting"
     exit 1
 fi
 

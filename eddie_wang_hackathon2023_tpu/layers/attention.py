@@ -514,6 +514,7 @@ class Attention(Module):
             from ..ops.paged_attention import PagedKV
             if isinstance(past_key_value, PagedKV):
                 from ..ops.paged_attention import (paged_append_kv,
+                                                   paged_append_window,
                                                    paged_decode_attention,
                                                    paged_prefill)
                 pk = past_key_value
@@ -528,6 +529,23 @@ class Attention(Module):
                     ctx = paged_decode_attention(
                         q, pool_l, pk.block_table, sequence_length,
                         scale=self.scale, kv_quant_orig_scale=kv_qo)
+                elif getattr(cache_write_index, "ndim", 0) >= 1:
+                    # mixed context+generation window (ref ibGptAttention
+                    # mixed enqueue): W tokens per row at per-row start
+                    # offsets, chunk boundaries NOT block-aligned — the
+                    # window scatters through the tables, then attends the
+                    # paged history causally from its own offset
+                    assert self.attention_mask_type == AttentionMaskType.causal
+                    wp = jnp.asarray(cache_write_index, jnp.int32)
+                    pool = paged_append_window(
+                        pk.pool, k, v, pk.block_table, wp,
+                        kv_orig_quant_scale=kv_oq, layer_idx=pk.layer_idx)
+                    pool_l = jax.lax.dynamic_index_in_dim(
+                        pool, pk.layer_idx, 0, keepdims=False)
+                    ctx = paged_decode_attention(
+                        q, pool_l, pk.block_table, sequence_length,
+                        scale=self.scale, kv_quant_orig_scale=kv_qo,
+                        causal_offset=wp)
                 else:
                     # context phase (admission prefill from position 0):
                     # paged store + attention over the contiguous fresh KV

@@ -94,14 +94,23 @@ def paged_append_kv(pool, k_new, v_new, block_table, write_pos,
 
 def paged_decode_attention(q, pool, block_table, seq_len,
                            scale: Optional[float] = None,
-                           kv_quant_orig_scale=None) -> jnp.ndarray:
-    """q [B, H, 1, D] against block-paged KV; returns [B, H, 1, D].
+                           kv_quant_orig_scale=None,
+                           causal_offset=None) -> jnp.ndarray:
+    """q [B, H, Lq, D] against block-paged KV; returns [B, H, Lq, D].
+
+    Lq == 1 is the generation phase.  Lq > 1 with ``causal_offset`` [B]
+    is the mixed context+generation window (ref ibGptAttention mixed
+    enqueue): query row i of sequence b attends keys at positions
+    <= causal_offset[b] + i (the window's K/V must already be in the
+    pool — the caller appends before the read, matching the in-place
+    gpt_attention plugin semantics).
 
     Numerics match ops.attention.cached_decode_attention (fp32 scores +
     softmax) — the equivalence test drives both against the same tokens.
     """
     b, h, lq, d = q.shape
-    assert lq == 1, "paged path is the generation phase (Lq == 1)"
+    assert lq == 1 or causal_offset is not None, \
+        "multi-token paged queries need per-row causal offsets"
     n, _, hk, t, _ = pool.shape
     max_blocks = block_table.shape[1]
     if scale is None:
@@ -123,11 +132,55 @@ def paged_decode_attention(q, pool, block_table, seq_len,
                         preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_blocks * t), 3)
     valid = kpos < jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
+    if lq > 1:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2)
+        offset = jnp.reshape(causal_offset, (-1, 1, 1, 1)).astype(jnp.int32)
+        valid = jnp.logical_and(valid, kpos <= qpos + offset)
     scores = jnp.where(valid, scores, jnp.asarray(-1e30, scores.dtype))
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=acc_t)
     return ctx.astype(q.dtype)
+
+
+def paged_append_window(pool, k_new, v_new, block_table, write_pos,
+                        kv_orig_quant_scale=None, layer_idx=None):
+    """Scatter a W-token window's K/V per sequence into the pool at
+    per-row start offsets (mixed context+generation admission: prompt
+    chunks land at write_pos..write_pos+W-1, block-alignment NOT assumed).
+
+    pool        [N, 2, H, T, D] (or [L, N, 2, H, T, D] with ``layer_idx``)
+    k_new/v_new [B, H, W, D]
+    block_table [B, max_blocks] int32 (-1 padded)
+    write_pos   [B] int32 — the window's first token position per row.
+
+    Lanes mapping past a row's allocation (unallocated -1 table slots —
+    e.g. pad lanes beyond the chunk's ``valid`` length) go out of range
+    and are dropped by the scatter; pad lanes that DO land in allocated
+    blocks write dead KV beyond sequence_length that later real tokens
+    overwrite before it is ever attended (same contract as the dense
+    mixed path, runtime/batch_manager._mixed_step_impl).
+    """
+    b, h, w, d = k_new.shape
+    n, _, hk, t, _ = pool.shape[-5:]
+    kv = jnp.stack([k_new, v_new], axis=1)  # [B,2,H,W,D]
+    if pool.dtype == jnp.int8:
+        assert kv_orig_quant_scale is not None
+        scaled = kv.astype(jnp.float32) * kv_orig_quant_scale
+        kv = jnp.clip(round_half_away(scaled), -128, 127).astype(jnp.int8)
+    else:
+        kv = kv.astype(pool.dtype)
+    pos = write_pos.astype(jnp.int32)[:, None] + \
+        jnp.arange(w, dtype=jnp.int32)[None, :]            # [B, W]
+    block_idx = jnp.take_along_axis(block_table, pos // t, axis=1)
+    block_idx = jnp.where(block_idx >= 0, block_idx, n)
+    offset = pos % t
+    bidx = block_idx.reshape(-1)                           # [B*W]
+    oidx = offset.reshape(-1)
+    upd = kv.transpose(0, 3, 1, 2, 4).reshape(b * w, 2, h, d)
+    if layer_idx is not None:
+        return pool.at[layer_idx, bidx, :, :, oidx].set(upd, mode="drop")
+    return pool.at[bidx, :, :, oidx].set(upd, mode="drop")
 
 
 def paged_prefill(pool, k, v, block_table, kv_orig_quant_scale=None,

@@ -31,6 +31,7 @@ SendResponseCallback, ref callbacks.h).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -166,11 +167,28 @@ class ContinuousBatchingManager:
                  max_bad_words: int = 4,
                  max_bad_word_len: int = 4,
                  mixed_admission: bool = False,
-                 chunk_width: int = 16):
+                 chunk_width: int = 16,
+                 max_beam_width: int = 1):
         self.model = model
         self.sc = sampling_config
         self.B = max_batch_size
         self.S = max_seq_len
+        # per-request beam search in serving (ref GptManager.h:48 takes a
+        # full per-entry SamplingConfig incl. beamWidth): the slot cache
+        # holds max_beam_width physical rows per slot; each request uses
+        # its own width <= max (greedy/sampled requests = width 1).  Beam
+        # reordering rides the cache_indirection row map — the cache never
+        # physically reorders (same trick as the offline GenerationSession)
+        self.W = max(1, max_beam_width)
+        if self.W > 1:
+            if paged:
+                raise NotImplementedError(
+                    "beam serving currently requires the dense slot cache "
+                    "(per-beam block-table sharing is not implemented)")
+            if mixed_admission:
+                raise NotImplementedError(
+                    "beam serving with mixed admission is not implemented "
+                    "(admission prefill runs as a separate dispatch)")
         # tokens generated per scheduler tick: >1 amortises the host round
         # trip (dominant on remote/tunnelled devices) at the cost of up to
         # steps_per_tick-1 wasted steps after a slot hits EOT and the same
@@ -196,7 +214,7 @@ class ContinuousBatchingManager:
             self._seq_counter = 0
             self.cache = None
         else:
-            self.cache = model.new_kv_cache(self.B, self.S)
+            self.cache = model.new_kv_cache(self.B * self.W, self.S)
         self.sched = make_scheduler(self.B, self.S, _scalar(self.sc.end_id),
                                     native_scheduler)
         self._requests: Dict[int, InferenceRequest] = {}   # queued, by id
@@ -227,11 +245,26 @@ class ContinuousBatchingManager:
         self._stop_words: Dict[int, List[List[int]]] = {}
         self._tail_len = max(self.MW - 1, 1)
         # device-resident penalty counts + ban-window tail, carried through
-        # the jitted programs (never round-tripped to host)
-        self._counts = jnp.zeros((self.B, v), jnp.int32)
-        self._tail = jnp.full((self.B, self._tail_len), -1, jnp.int32)
+        # the jitted programs (never round-tripped to host).  One row per
+        # physical cache row (slots x beams)
+        rows = self.B * self.W
+        self._counts = jnp.zeros((rows, v), jnp.int32)
+        self._tail = jnp.full((rows, self._tail_len), -1, jnp.int32)
         self._base_key = jax.random.PRNGKey(_scalar(sc.random_seed))
         self._tick = 0
+        if self.W > 1:
+            # beam state: device-resident indirection; host mirrors of the
+            # small per-(slot, beam) arrays (the tick fetches tokens anyway)
+            self._ind = jnp.zeros((self.B, self.W, self.S), jnp.int32)
+            self._pending = np.zeros((self.B, self.W), np.int32)
+            self._cum = np.full((self.B, self.W), -1e9, np.float32)
+            self._fins = np.ones((self.B, self.W), bool)
+            self._beam_w = np.ones((self.B,), np.int32)
+            self._is_sampled = np.ones((self.B,), bool)
+            self._beam_hist: Dict[int, List[List[int]]] = {}
+            self._beam_prefill_fns: Dict[tuple, Callable] = {}
+            self._beam_step_fn = jax.jit(self._beam_step_impl,
+                                         donate_argnums=(1, 2, 3, 4))
 
         # -- mixed context+generation step (true in-flight batching, ref
         # ibGptAttentionPlugin / T/functional.py:2985-3137): admission
@@ -243,11 +276,6 @@ class ContinuousBatchingManager:
         if mixed_admission:
             assert not getattr(model.config, "bidirectional_context", False), \
                 "mixed admission needs causal prompt attention"
-            if paged:
-                raise NotImplementedError(
-                    "mixed_admission currently requires the dense slot "
-                    "cache (paged window-append at chunk offsets is not "
-                    "implemented)")
         self._prefill_prompt: Dict[int, np.ndarray] = {}
         self._prefill_progress: Dict[int, int] = {}
         self._mixed_fn = jax.jit(self._mixed_step_impl,
@@ -284,6 +312,194 @@ class ContinuousBatchingManager:
             bad_words=jnp.asarray(self._bad_words[slot:slot + 1]),
             bad_word_lens=jnp.asarray(self._bad_lens[slot:slot + 1]),
             max_top_k=self.max_top_k, greedy=False)
+
+    # -- beam serving (ref GptManager per-request beamWidth) ----------------
+
+    def _decode_params_rows(self) -> DecodeParams:
+        """DecodeParams with one row per physical cache row (B*W): slot
+        values repeated across the slot's beam rows."""
+        r = lambda a: jnp.asarray(np.repeat(a, self.W, axis=0))
+        return DecodeParams(
+            temperature=r(self._temp), top_k=r(self._topk),
+            top_p=r(self._topp), repetition_penalty=r(self._rep),
+            presence_penalty=r(self._pres), min_length=r(self._minlen),
+            end_id=r(self._end_ids), bad_words=r(self._bad_words),
+            bad_word_lens=r(self._bad_lens), max_top_k=self.max_top_k,
+            greedy=False)
+
+    def _filter_rows(self, lg, dp, counts, glens, tail):
+        """The filter half of dynamic_decode (penalties, min-length,
+        bad-words over the carried ban tail) — the beam path selects
+        tokens itself via beam_search_step."""
+        from .sampling import (apply_min_length, apply_presence_penalty,
+                               apply_repetition_penalty, ban_bad_words)
+        lg = apply_repetition_penalty(lg, counts, dp.repetition_penalty)
+        lg = apply_presence_penalty(lg, counts, dp.presence_penalty)
+        lg = apply_min_length(lg, glens, dp.min_length, dp.end_id)
+        if dp.bad_words is not None:
+            lg = ban_bad_words(lg, tail, self._tail_len, dp.bad_words,
+                               dp.bad_word_lens)
+        return lg
+
+    def _beam_prefill_impl(self, params, cache, counts, tail, ind, tokens,
+                           slot, length, dp_row, rng, live_row,
+                           is_beam: bool):
+        """Admission into a beam manager: prefill the prompt KV into the
+        slot's physical row 0 only; the indirection maps every beam's
+        prompt positions to row 0 (no KV tiling — the offline session
+        repeats the cache instead, generation.py:125).  Beam requests
+        expand the top-W first continuations; sampled/greedy requests
+        (width 1) sample on beam row 0.  Returns (pending [W], cum [W],
+        fin [W], cache, counts, tail, ind)."""
+        from .sampling import beam_search_step
+        v = self._vocab
+        W = self.W
+        row0 = slot * W
+        extra = (dict(context_lengths=length[None])
+                 if self._needs_ctx else {})
+        row_cache = jax.lax.dynamic_slice_in_dim(cache, row0, 1, axis=1)
+        logits, row_cache = self.model.apply(
+            params, tokens, row_cache, 0, length[None],
+            attention_start=None, **extra)
+        cache = jax.lax.dynamic_update_slice_in_dim(cache, row_cache, row0,
+                                                    axis=1)
+        p = tokens.shape[1]
+        oh = jax.nn.one_hot(tokens[0], v, dtype=jnp.int32)
+        valid = (jnp.arange(p) < length)[:, None]
+        prompt_counts = jnp.sum(oh * valid, axis=0)             # [V]
+        tl = self._tail_len
+        pos = length - tl + jnp.arange(tl)
+        tail_prompt = jnp.where(pos >= 0,
+                                tokens[0, jnp.clip(pos, 0, p - 1)], -1)
+        last = logits[0, length - 1].astype(jnp.float32)[None]  # [1, V]
+        pad_id = _scalar(self.sc.pad_id)
+        if is_beam:
+            lg_f = self._filter_rows(last, dp_row, prompt_counts[None],
+                                     jnp.zeros((1,), jnp.int32),
+                                     tail_prompt[None])
+            # expand the single prefill beam: all but beam 0 start at -inf
+            # so the first expansion picks distinct continuations
+            # (generation.py:170-173)
+            lp_t = jnp.broadcast_to(jax.nn.log_softmax(lg_f[0]),
+                                    (1, W, v))
+            cum0 = jnp.full((1, W), -1e9, jnp.float32).at[0, 0].set(0.0)
+            _, tok, cum, fin = beam_search_step(
+                lp_t, cum0, jnp.zeros((1, W), bool), W, dp_row.end_id)
+            pending = tok[0]
+            cum_row, fin_row = cum[0], fin[0]
+        else:
+            nt, _ = dynamic_decode(last, rng, dp_row,
+                                   token_counts=prompt_counts[None],
+                                   cur_lengths=jnp.zeros((1,), jnp.int32),
+                                   tokens=tail_prompt[None], cur=tl)
+            pending = jnp.full((W,), pad_id, jnp.int32).at[0].set(nt[0])
+            cum_row = jnp.full((W,), -1e9, jnp.float32).at[0].set(0.0)
+            fin_row = jnp.ones((W,), bool).at[0].set(
+                nt[0] == dp_row.end_id[0])
+        cum_row = jnp.where(live_row, cum_row, -1e9)
+        fin_row = jnp.where(live_row, fin_row, True)
+        # every live beam's counts = prompt counts + its own first token
+        rows_counts = prompt_counts[None] + \
+            jax.nn.one_hot(pending, v, dtype=jnp.int32) * live_row[:, None]
+        counts = jax.lax.dynamic_update_slice(counts, rows_counts, (row0, 0))
+        rows_tail = jnp.concatenate(
+            [jnp.broadcast_to(tail_prompt[1:], (W, tl - 1))
+             if tl > 1 else jnp.zeros((W, 0), jnp.int32),
+             pending[:, None]], axis=1)
+        tail = jax.lax.dynamic_update_slice(tail, rows_tail, (row0, 0))
+        # indirection: prompt positions -> physical row 0; position
+        # ``length`` (where the pending tokens land next tick) -> own row
+        spos = jnp.arange(self.S, dtype=jnp.int32)[None, :]
+        ind_slot = jnp.where(spos == length,
+                             jnp.arange(W, dtype=jnp.int32)[:, None], 0)
+        ind = jax.lax.dynamic_update_slice(ind, ind_slot[None], (slot, 0, 0))
+        return pending, cum_row, fin_row, cache, counts, tail, ind
+
+    def _beam_step_impl(self, params, cache, counts, tail, ind, pending,
+                        cum, fins, live, is_sampled, lengths, gen_lens,
+                        active, dp_rows, end_slot, rng, ctx_lens=None):
+        """steps_per_tick beam/sampling steps for all slots in ONE program.
+
+        pending [B, W] this tick's not-yet-written tokens; lengths [B]
+        include the pending token (its KV is written at lengths-1);
+        cum/fins [B, W]; live [B, W] = beam j < the request's width;
+        is_sampled [B] selects dynamic_decode (width-1 sampled/greedy
+        requests) over beam expansion.  The KV cache never reorders —
+        ``ind`` [B, W, S] carries beam ancestry into the attention read
+        (cache_indirection).  Returns stacked per-step (parents, tokens,
+        fins, cums) [steps, B, W] + carried state."""
+        from .sampling import beam_search_step, update_indirection
+        B, W = pending.shape
+        rows = B * W
+        v = self._vocab
+        pad_id = _scalar(self.sc.pad_id)
+        extra = (dict(context_lengths=jnp.repeat(ctx_lens, W))
+                 if self._needs_ctx else {})
+        eye = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None], (B, W))
+
+        def one(carry, k):
+            cache, counts, tail, ind, pending, cum, fins, lens, glens = carry
+            lens_r = jnp.repeat(lens, W)
+            logits, cache = self.model.apply(
+                params, pending.reshape(rows)[:, None], cache, lens_r - 1,
+                lens_r, beam_indirection=ind, **extra)
+            lg = logits[:, -1].astype(jnp.float32)          # [rows, V]
+            glens_r = jnp.repeat(glens, W)
+            # -- beam expansion over filtered log-probs --
+            lg_f = self._filter_rows(lg, dp_rows, counts, glens_r, tail)
+            logprobs = jax.nn.log_softmax(lg_f, axis=-1).reshape(B, W, v)
+            parent_b, tok_b, cum_b, fin_b = beam_search_step(
+                logprobs, cum, fins, W, end_slot)
+            # -- width-1 sampled/greedy rows: dynamic_decode on beam row 0
+            nt_s, _ = dynamic_decode(
+                lg, jax.random.fold_in(rng, k), dp_rows,
+                token_counts=counts, cur_lengths=glens_r, tokens=tail,
+                cur=self._tail_len)
+            nt_s = nt_s.reshape(B, W)
+            sam = is_sampled[:, None]
+            parent = jnp.where(sam, eye, parent_b)
+            tok = jnp.where(sam, nt_s, tok_b)
+            fin = jnp.where(sam,
+                            jnp.logical_or(fins, tok == end_slot[:, None]),
+                            fin_b)
+            new_cum = jnp.where(sam, cum, cum_b)
+            # dead beams stay dead (width < W); finished sampled rows
+            # keep emitting end_id like the offline loop
+            new_cum = jnp.where(live, new_cum, -1e9)
+            fin = jnp.where(live, fin, True)
+            tok = jnp.where(jnp.logical_and(sam, fins),
+                            end_slot[:, None], tok)
+            keep = jnp.logical_not(active)[:, None]
+            parent = jnp.where(keep, eye, parent)
+            tok = jnp.where(keep, pending, tok).astype(jnp.int32)
+            new_cum = jnp.where(keep, cum, new_cum)
+            fin = jnp.where(keep, fins, fin)
+            # reorder carried per-row state to follow surviving beams
+            parent_rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * W
+                           + parent).reshape(rows)
+            counts = jnp.take(counts, parent_rows, axis=0)
+            tail = jnp.take(tail, parent_rows, axis=0)
+            grow = jnp.logical_and(
+                live, jnp.logical_and(active[:, None],
+                                      jnp.logical_not(fin)))
+            counts = counts + jax.nn.one_hot(
+                tok.reshape(rows), v, dtype=jnp.int32) * \
+                grow.reshape(rows)[:, None]
+            tail = jnp.concatenate(
+                [tail[:, 1:], tok.reshape(rows)[:, None]], axis=1)
+            # next pending lands at position ``lens`` -> own physical row
+            ind = update_indirection(ind, parent,
+                                     jnp.where(active, lens, -1))
+            adv = active.astype(jnp.int32)
+            return ((cache, counts, tail, ind, tok, new_cum, fin,
+                     lens + adv, glens + adv),
+                    (parent, tok, fin, new_cum))
+
+        (cache, counts, tail, ind, pending, cum, fins, *_), outs = \
+            jax.lax.scan(one, (cache, counts, tail, ind, pending, cum,
+                               fins, lengths, gen_lens),
+                         jnp.arange(self.steps_per_tick))
+        return outs + (cache, counts, tail, ind, pending, cum, fins)
 
     def _prefill_impl(self, params, cache, table, counts, tail, tokens,
                       slot, length, dp_row, rng):
@@ -455,8 +671,21 @@ class ContinuousBatchingManager:
                 valid[slot] = 1
                 sample_mask[slot] = True
                 gen_lens[slot] = lengths[slot] - self._ctx_lens[slot]
-        cache_arg = self.cache
-        table_arg = None
+        if self.paged:
+            # coverage invariant (same as step()): stay one position ahead
+            # of the pending-token write.  Decode rows and rows finishing
+            # their prompt this tick advance one block position; rows
+            # mid-prefill hold (their prompt blocks were allocated at
+            # admission)
+            hold = [s.batch_idx in self._prefill_progress
+                    and not sample_mask[s.batch_idx]
+                    for s in self.kvman.sequences]
+            self.kvman.step(hold)
+            cache_arg = self.pool
+            table_arg = jnp.asarray(self._block_tables())
+        else:
+            cache_arg = self.cache
+            table_arg = None
         self._tick += 1
         rng = jax.random.fold_in(self._base_key, self._tick)
         nt, new_cache, self._counts, self._tail = self._mixed_fn(
@@ -466,7 +695,10 @@ class ContinuousBatchingManager:
             jnp.asarray(reset_mask), jnp.asarray(gen_lens),
             jnp.asarray(active), self._decode_params(self.B), rng,
             jnp.asarray(self._ctx_lens))
-        self.cache = new_cache
+        if self.paged:
+            self.pool = new_cache
+        else:
+            self.cache = new_cache
         nt_np = np.asarray(nt)
         for slot in range(B):
             if slot in self._prefill_progress:
@@ -507,6 +739,17 @@ class ContinuousBatchingManager:
                                   for w in (sc.stop_words_list or [])]
 
     def _admit(self, req: InferenceRequest, slot: int) -> None:
+        if self.W > 1:
+            sc = req.sampling or self.sc
+            if getattr(sc, "num_beams", 1) > 1 and \
+                    sc.stop_words_list and self.steps_per_tick > 1:
+                raise NotImplementedError(
+                    "stop words on beam requests need steps_per_tick=1 "
+                    "(host-side stop detection is per tick; a multi-step "
+                    "scan would expand a stopped beam before the device "
+                    "learns it)")
+            self._admit_beam(req, slot)
+            return
         prompt = np.asarray(req.input_ids, np.int32).reshape(1, -1)
         p = prompt.shape[1]
         if self.mixed_admission:
@@ -519,6 +762,16 @@ class ContinuousBatchingManager:
             self.slot_output[slot] = []
             self._prefill_prompt[slot] = prompt[0]
             self._prefill_progress[slot] = 0
+            if self.paged:
+                # allocate the prompt's blocks up front (host bookkeeping
+                # only); chunk writes then scatter into them at arbitrary
+                # non-block-aligned offsets.  Coverage grows one position
+                # per generated token from the finishing tick onward —
+                # see _mixed_tick
+                seq = GenerationSequence(self._seq_counter, slot)
+                self._seq_counter += 1
+                self.kvman.add_sequence(seq, p)
+                self._kv_seqs[slot] = seq
             return
         bucket = _bucket(p)
         padded = np.full((1, bucket), _scalar(self.sc.pad_id), np.int32)
@@ -557,6 +810,150 @@ class ContinuousBatchingManager:
         self.slot_request[slot] = req
         self.slot_output[slot] = []
         self._push_token(slot, int(next_tok))
+
+    def _admit_beam(self, req: InferenceRequest, slot: int) -> None:
+        """Admission into a beam-enabled manager (W > 1)."""
+        prompt = np.asarray(req.input_ids, np.int32).reshape(1, -1)
+        p = prompt.shape[1]
+        bucket = _bucket(p)
+        padded = np.full((1, bucket), _scalar(self.sc.pad_id), np.int32)
+        padded[0, :p] = prompt[0]
+        self._set_slot_sampling(slot, req)
+        sc = req.sampling or self.sc
+        w = max(1, int(getattr(sc, "num_beams", 1)))
+        if w > self.W:
+            raise ValueError(f"request {req.request_id} wants {w} beams; "
+                             f"manager max_beam_width is {self.W}")
+        is_beam = w > 1
+        self._beam_w[slot] = w
+        self._is_sampled[slot] = not is_beam
+        live_row = np.arange(self.W) < w
+        key = (bucket, is_beam)
+        if key not in self._beam_prefill_fns:
+            self._beam_prefill_fns[key] = jax.jit(
+                partial(self._beam_prefill_impl, is_beam=is_beam),
+                donate_argnums=(1, 2, 3, 4))
+        rng = jax.random.fold_in(self._base_key,
+                                 (self._seeds[slot] * 1000003 + slot
+                                  + self._tick) % (2**31))
+        pending, cum, fin, self.cache, self._counts, self._tail, \
+            self._ind = self._beam_prefill_fns[key](
+                self.params, self.cache, self._counts, self._tail,
+                self._ind, jnp.asarray(padded),
+                jnp.asarray(slot, jnp.int32), jnp.asarray(p, jnp.int32),
+                self._slot_params(slot), rng, jnp.asarray(live_row))
+        pending, cum, fin = jax.device_get((pending, cum, fin))
+        self._pending[slot] = pending
+        self._cum[slot] = cum
+        self._fins[slot] = fin
+        self.sched.on_admitted(slot, p)
+        self._ctx_lens[slot] = p
+        self.slot_request[slot] = req
+        self.slot_output[slot] = []
+        self._beam_hist[slot] = [
+            [int(pending[j])] if live_row[j] else [] for j in range(self.W)]
+        self._account_beam_tick(slot)
+
+    def _account_beam_tick(self, slot: int, fins_row=None,
+                           cums_row=None) -> None:
+        """One scheduler push per tick per beam slot: budget/length
+        accounting only — finish is decided here (all live beams done),
+        not by the scheduler's token == end_id check."""
+        fins_row = self._fins[slot] if fins_row is None else fins_row
+        cums_row = self._cum[slot] if cums_row is None else cums_row
+        done = bool(np.all(fins_row |
+                           ~(np.arange(self.W) < self._beam_w[slot])))
+        end = int(self._end_ids[slot])
+        probe = end if done else (end + 1) % max(self._vocab, 2)
+        flags = self.sched.push_token(slot, probe)
+        if (flags & FINISHED) or done:
+            if not (flags & FINISHED):
+                # budget not yet exhausted but every beam finished: force
+                # the scheduler to release the slot
+                while not (self.sched.push_token(slot, end) & FINISHED):
+                    pass
+            self._finalize_beam_slot(slot, cums_row)
+
+    def _finalize_beam_slot(self, slot: int, cums_row) -> None:
+        """Pick the best beam (GNMT length penalty — the offline
+        finalize_beams twin) and send the response."""
+        req = self.slot_request[slot]
+        sc = req.sampling or self.sc
+        lp = float(getattr(sc, "length_penalty", 1.0))
+        end = int(self._end_ids[slot])
+        prompt_len = int(self._ctx_lens[slot])
+        best_score, best_tokens = -np.inf, []
+        for j in range(int(self._beam_w[slot])):
+            toks = self._beam_hist[slot][j]
+            glen = toks.index(end) if end in toks else len(toks)
+            seq_len = prompt_len + glen
+            penalty = max(((5.0 + seq_len) / 6.0) ** lp, 1e-9)
+            score = float(cums_row[j]) / penalty
+            if score > best_score:
+                best_score, best_tokens = score, toks[:glen]
+        self.send_response(Response(req.request_id, list(best_tokens),
+                                    finished=True))
+        del self.slot_request[slot]
+        del self._beam_hist[slot]
+
+    def _beam_tick(self) -> int:
+        """One serving tick in a beam-enabled manager."""
+        active, lengths, _ = self.sched.state()
+        if not active.any():
+            return 0
+        self._tick += 1
+        rng = jax.random.fold_in(self._base_key, self._tick)
+        gen_lens = lengths - self._ctx_lens
+        live = np.arange(self.W)[None, :] < self._beam_w[:, None]
+        (parents, toks, fins, cums, self.cache, self._counts, self._tail,
+         self._ind, pending, cum, fin_dev) = self._beam_step_fn(
+            self.params, self.cache, self._counts, self._tail, self._ind,
+            jnp.asarray(self._pending), jnp.asarray(self._cum),
+            jnp.asarray(self._fins), jnp.asarray(live),
+            jnp.asarray(self._is_sampled), jnp.asarray(lengths),
+            jnp.asarray(gen_lens), jnp.asarray(active),
+            self._decode_params_rows(), jnp.asarray(self._end_ids), rng,
+            jnp.asarray(self._ctx_lens))
+        parents, toks, fins, cums, pending, cum, fin_dev = jax.device_get(
+            (parents, toks, fins, cums, pending, cum, fin_dev))
+        # device_get can hand back read-only buffers; the admission path
+        # writes rows in place
+        self._pending = np.array(pending)
+        self._cum = np.array(cum)
+        self._fins = np.array(fin_dev)
+        live_slots = list(active)
+        stop_force = np.zeros((self.B, self.W), bool)
+        for k in range(parents.shape[0]):
+            for slot in range(self.B):
+                if not live_slots[slot]:
+                    continue
+                hist = self._beam_hist[slot]
+                par, tk = parents[k, slot], toks[k, slot]
+                hist = [list(hist[int(par[j])]) + [int(tk[j])]
+                        for j in range(self.W)]
+                self._beam_hist[slot] = hist
+                # stop-words: a beam whose history ends with a stop word
+                # finishes (host-exact, like the width-1 serving path);
+                # the device learns it at the next fins upload, when the
+                # frozen-EOS carry takes over
+                stops = self._stop_words.get(slot)
+                if stops:
+                    prompt = list(np.asarray(
+                        self.slot_request[slot].input_ids).reshape(-1))
+                    for j in range(int(self._beam_w[slot])):
+                        seq = prompt + hist[j]
+                        for w_ in stops:
+                            if len(w_) and len(seq) >= len(w_) and \
+                                    [int(x) for x in seq[-len(w_):]] == \
+                                    [int(x) for x in w_]:
+                                stop_force[slot, j] = True
+                self._account_beam_tick(
+                    slot, fins[k, slot] | stop_force[slot], cums[k, slot])
+                if slot not in self.slot_request:     # finished this step
+                    live_slots[slot] = False
+        if stop_force.any():
+            self._fins = self._fins | stop_force
+        return self.sched.num_active
 
     # -- paged bookkeeping -------------------------------------------------
 
@@ -629,6 +1026,8 @@ class ContinuousBatchingManager:
             if slot < 0:
                 break
             self._admit(self._requests.pop(rid), slot)
+        if self.W > 1:
+            return self._beam_tick()
         if self.mixed_admission and self._prefill_progress:
             # one mixed context+generation step: prompts advance a chunk,
             # every decode slot still produces its token this tick

@@ -374,9 +374,13 @@ def beam_search_step(logprobs, cum_log_probs, finished, num_beams: int,
     search scores finished candidates with the penalty as they are
     produced — while the carried cum_log_probs stay raw."""
     b, k, v = logprobs.shape
-    # finished beams: only EOS continuation, score unchanged
+    # finished beams: only EOS continuation, score unchanged.  ``end_id``
+    # may be a python int (offline sessions) or a per-slot [B] array
+    # (serving: every request carries its own end id)
+    end = jnp.asarray(end_id, jnp.int32)
+    end3 = end.reshape(-1, 1, 1) if end.ndim else end
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, v), 2)
-    frozen = jnp.where(col == end_id, 0.0, NEG_INF)
+    frozen = jnp.where(col == end3, 0.0, NEG_INF)
     step_scores = jnp.where(finished[..., None], frozen, logprobs)
     total = cum_log_probs[..., None] + step_scores            # [B, beam, V]
     flat = total.reshape(b, k * v)
@@ -390,8 +394,9 @@ def beam_search_step(logprobs, cum_log_probs, finished, num_beams: int,
         top_scores, top_idx = jax.lax.top_k(flat, k)          # [B, beam]
     parent = (top_idx // v).astype(jnp.int32)
     token = (top_idx % v).astype(jnp.int32)
+    end2 = end.reshape(-1, 1) if end.ndim else end
     new_finished = jnp.take_along_axis(finished, parent, axis=1) | (
-        token == end_id)
+        token == end2)
     return parent, token, top_scores, new_finished
 
 
@@ -416,13 +421,17 @@ def update_indirection(indirection, parent, cur):
     ping-pong buffers): ``indirection [B, beam, S]`` maps (beam, position)
     -> physical cache row.  After choosing ``parent`` [B, beam], beam k's
     history (< cur) is its parent's history, and position ``cur`` (about to
-    be written by the model step) is beam k's own physical row."""
+    be written by the model step) is beam k's own physical row.  ``cur``
+    may be a scalar (offline: all rows in lockstep) or a per-slot [B]
+    array (serving: every slot is at its own length)."""
     b, k, s = indirection.shape
     hist = jnp.take_along_axis(indirection, parent[..., None], axis=1)
     own = jnp.broadcast_to(jnp.arange(k, dtype=indirection.dtype)[None, :, None],
                            (b, k, 1))
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
-    return jnp.where(pos == cur, own, hist)
+    cur = jnp.asarray(cur, jnp.int32)
+    cur3 = cur.reshape(-1, 1, 1) if cur.ndim else cur
+    return jnp.where(pos == cur3, own, hist)
 
 
 def finalize_beams(tokens, cum_log_probs, lengths, length_penalty: float = 1.0):

@@ -17,6 +17,9 @@ def main():
     args = p.parse_args()
     import jax
     if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")   # pin BEFORE first device
+        # touch: enumerating devices would initialise the axon TPU backend
+        # too, which hangs forever when the relay is wedged
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
     import numpy as np
     from pallas_fmha import custom_flash_mha

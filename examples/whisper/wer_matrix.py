@@ -93,6 +93,9 @@ def main():
 
     import jax
     if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")   # pin BEFORE first device
+        # touch: enumerating devices would initialise the axon TPU backend
+        # too, which hangs forever when the relay is wedged
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
     import numpy as np
     from eddie_wang_hackathon2023_tpu.audio import (N_SAMPLES,

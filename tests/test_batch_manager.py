@@ -293,6 +293,102 @@ def test_mixed_admission_token_exact(sharp):
     assert mixed == plain
 
 
+def test_beam_serving_matches_offline(sharp):
+    """Per-request beam width in serving (ref GptManager.h:48 per-entry
+    SamplingConfig incl. beamWidth): a beam request decoded through the
+    continuous-batching manager must produce the SAME best sequence as the
+    offline GenerationSession with the same beam width."""
+    model, mc = sharp
+    W = 3
+    prompts = [[5, 11, 17, 23, 31], [40, 2, 9], [7, 8, 9, 10, 11, 12, 13]]
+    golden = []
+    for p in prompts:
+        sess = GenerationSession(mc, model,
+                                 SamplingConfig(end_id=210, pad_id=210,
+                                                num_beams=W))
+        t, l, cum = sess.decode(np.asarray([p], np.int32),
+                                np.array([len(p)]), max_new_tokens=10)
+        best_tokens, best_lens = sess.best_sequences(t, l, cum)
+        golden.append([int(x) for x in best_tokens[0, len(p):best_lens[0]]])
+    queue = [InferenceRequest(i, np.asarray(p, np.int32), max_new_tokens=10,
+                              end_id=210,
+                              sampling=SamplingConfig(end_id=210, pad_id=210,
+                                                      num_beams=W))
+             for i, p in enumerate(prompts)]
+    # max_batch_size=2 < len(prompts) forces queueing + slot reuse
+    results = _run_manager(model, queue, max_batch_size=2, max_seq_len=64,
+                           max_beam_width=W)
+    for i, g in enumerate(golden):
+        assert results[i] == g, (i, results[i], g)
+
+
+def test_greedy_and_beam_coexist_in_beam_manager(sharp):
+    """Width-1 (greedy) requests served by a beam-enabled manager stay
+    token-exact vs the plain width-1 manager, batched alongside a live
+    beam request."""
+    model, mc = sharp
+    p_greedy = [5, 11, 17, 23, 31]
+    p_beam = [40, 2, 9]
+    plain = _run_manager(model,
+                         [InferenceRequest(0, np.asarray(p_greedy, np.int32),
+                                           max_new_tokens=10, end_id=210)],
+                         max_batch_size=2, max_seq_len=64)
+    queue = [
+        InferenceRequest(0, np.asarray(p_greedy, np.int32),
+                         max_new_tokens=10, end_id=210),
+        InferenceRequest(1, np.asarray(p_beam, np.int32),
+                         max_new_tokens=10, end_id=210,
+                         sampling=SamplingConfig(end_id=210, pad_id=210,
+                                                 num_beams=3)),
+    ]
+    both = _run_manager(model, queue, max_batch_size=2, max_seq_len=64,
+                        max_beam_width=3)
+    sess = GenerationSession(mc, model,
+                             SamplingConfig(end_id=210, pad_id=210,
+                                            num_beams=3))
+    t, l, cum = sess.decode(np.asarray([p_beam], np.int32),
+                            np.array([len(p_beam)]), max_new_tokens=10)
+    bt, bl = sess.best_sequences(t, l, cum)
+    want_beam = [int(x) for x in bt[0, len(p_beam):bl[0]]]
+    assert both[1] == want_beam, (both[1], want_beam)
+    # the width-1 manager's output includes the trailing end_id; the beam
+    # manager's finalize trims at the first end_id
+    want_greedy = (plain[0][:-1] if plain[0] and plain[0][-1] == 210
+                   else plain[0])
+    assert both[0] == want_greedy, (both[0], want_greedy)
+
+
+def test_paged_mixed_admission_matches_dense(sharp):
+    """Paged KV x mixed admission (the reference's in-flight batching runs
+    ON paged KV, D/gpt_attention.md:168-200): chunked prompt append at
+    non-block-aligned offsets into the block pool must be token-exact vs
+    both the dense mixed manager and the separate-prefill manager."""
+    model, mc = sharp
+    prompts = [[5, 11, 17, 23, 31],
+               list(range(3, 40)),            # long prompt: 3 chunks at W=16
+               [40, 2],
+               [7, 8, 9, 10, 11, 12, 13]]
+    queue = lambda: [InferenceRequest(i, np.asarray(p, np.int32),
+                                      max_new_tokens=10, end_id=210)
+                     for i, p in enumerate(prompts)]
+    plain = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64)
+    dense_mixed = _run_manager(model, queue(), max_batch_size=2,
+                               max_seq_len=64, mixed_admission=True,
+                               chunk_width=16)
+    # tokens_per_block=8 with chunk_width=16 puts chunk boundaries both ON
+    # and OFF block boundaries (prompt lens 5, 37, 2, 7)
+    paged_mixed = _run_manager(model, queue(), max_batch_size=2,
+                               max_seq_len=64, mixed_admission=True,
+                               chunk_width=16, paged=True,
+                               tokens_per_block=8)
+    assert paged_mixed == dense_mixed == plain
+    # block accounting survives slot reuse: a tight pool still completes
+    tight = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
+                         mixed_admission=True, chunk_width=16, paged=True,
+                         tokens_per_block=8, num_blocks=2 * 8)
+    assert tight == plain
+
+
 def test_mixed_admission_no_decode_stall(sharp):
     """While a long prompt is being chunked in, the already-running slot
     keeps producing one token per tick (no admission stall)."""

@@ -9,14 +9,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_script_json_contract():
-    env = dict(os.environ, BENCH_MODEL="tiny", BENCH_ITERS="1")
-    code = (
-        "import jax;"
-        "jax.config.update('jax_default_device', jax.devices('cpu')[0]);"
-        "import bench; bench.DECODE_TOKENS = 4; bench.main()"
-    )
+    # pin the cpu platform (never dial the TPU relay from tests — only
+    # BENCH_DEVICE's in-python jax.config pin reliably prevents a wedged
+    # relay from hanging discovery) and the bf16 recipe: the quantized
+    # default drags the Pallas decode kernels through interpret mode on
+    # CPU, which once blew a 900 s budget
+    env = dict(os.environ, BENCH_MODEL="tiny", BENCH_ITERS="1",
+               BENCH_QUANT="bf16", BENCH_DEVICE="cpu")
+    code = "import bench; bench.DECODE_TOKENS = 4; bench.main()"
     r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
-                       capture_output=True, text=True, timeout=900)
+                       capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
