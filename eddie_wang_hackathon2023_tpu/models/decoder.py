@@ -64,6 +64,10 @@ class DecoderConfig:
     apply_query_key_layer_scaling: bool = False
     dtype: str = "bfloat16"
     quant_mode: QuantMode = QuantMode(0)
+    # pad the vocab to a multiple (usually tp_size) so embedding/lm-head
+    # shard instead of replicating (ref pad_vocab_size, T/_utils.py:194);
+    # logits are sliced back to vocab_size before returning
+    vocab_pad_multiple: int = 1
 
     def __post_init__(self):
         if self.num_kv_heads is None:
@@ -74,6 +78,11 @@ class DecoderConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    @property
+    def padded_vocab(self) -> int:
+        from ..parallel.mapping import pad_vocab_size
+        return pad_vocab_size(self.vocab_size, self.vocab_pad_multiple)
 
 
 def _make_norm(config: DecoderConfig):
@@ -151,7 +160,7 @@ class DecoderLMHead(Module):
         super().__init__()
         c = config
         self.config = c
-        self.vocab_embedding = Embedding(c.vocab_size, c.hidden_size,
+        self.vocab_embedding = Embedding(c.padded_vocab, c.hidden_size,
                                          dtype=c.dtype)
         if c.position_embedding == "learned":
             self.position_embedding = Embedding(
@@ -163,7 +172,7 @@ class DecoderLMHead(Module):
         if c.final_norm:
             self.ln_f = _make_norm(c)
         if not c.tie_word_embeddings:
-            self.lm_head = Linear(c.hidden_size, c.vocab_size,
+            self.lm_head = Linear(c.hidden_size, c.padded_vocab,
                                   bias=c.lm_head_bias, dtype=c.dtype)
 
     def new_kv_cache(self, batch: int, max_len: Optional[int] = None):
@@ -318,13 +327,7 @@ class DecoderLMHead(Module):
                 new_tail = write_tail_kv(kv_tail, kv_new, tail_len)
                 if c.final_norm:
                     x = self.ln_f(x)
-                if c.tie_word_embeddings:
-                    logits = jnp.einsum(
-                        "bld,vd->blv", x, self.vocab_embedding.weight.value,
-                        preferred_element_type=jnp.float32)
-                else:
-                    logits = self.lm_head(x).astype(jnp.float32)
-                return logits, kv_cache, new_tail
+                return self._logits(x), kv_cache, new_tail
             from ..ops.attention import write_fresh_kv
             kv_new = jnp.stack([k_new, v_new], axis=2)
             new_kv = write_fresh_kv(kv_cache, kv_new, write_index)
@@ -343,10 +346,18 @@ class DecoderLMHead(Module):
                                           (stacked, layer_ids))
         if c.final_norm:
             x = self.ln_f(x)
+        return self._logits(x), new_kv
+
+    def _logits(self, x):
+        c = self.config
         if c.tie_word_embeddings:
             logits = jnp.einsum("bld,vd->blv", x,
                                 self.vocab_embedding.weight.value,
                                 preferred_element_type=jnp.float32)
         else:
             logits = self.lm_head(x).astype(jnp.float32)
-        return logits, new_kv
+        if c.padded_vocab != c.vocab_size:
+            # sharded GEMM over the padded vocab; slice back to the logical
+            # vocab (the ColumnLinear gather epilogue)
+            logits = logits[..., :c.vocab_size]
+        return logits

@@ -481,6 +481,20 @@ def build_from_hf(family: str, hf_model, dtype: str = "float32",
     cfg_fn, map_fn = FAMILIES[family]
     config = cfg_fn(hf_model.config, dtype=dtype, **kw)
     model = DecoderLMHead(config)
-    model.load_state_dict(map_fn(hf_model.state_dict(), config),
-                          strict=False)
+    state = map_fn(hf_model.state_dict(), config)
+    if config.padded_vocab != config.vocab_size:
+        # zero-pad vocab-dim weights to the tp-divisible size (ref
+        # pad_vocab_size, T/_utils.py:194; logits sliced back in-model)
+        pad = config.padded_vocab - config.vocab_size
+        for key in ("vocab_embedding.weight", "lm_head.weight"):
+            if key in state and state[key].shape[0] == config.vocab_size:
+                w = state[key]
+                state[key] = np.concatenate(
+                    [w, np.zeros((pad,) + w.shape[1:], w.dtype)], axis=0)
+        if "lm_head.bias" in state and \
+                state["lm_head.bias"].shape[0] == config.vocab_size:
+            b = state["lm_head.bias"]
+            state["lm_head.bias"] = np.concatenate(
+                [b, np.zeros((pad,), b.dtype)])
+    model.load_state_dict(state, strict=False)
     return model, config

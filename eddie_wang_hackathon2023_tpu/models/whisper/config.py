@@ -25,10 +25,20 @@ class WhisperConfig:
     n_text_head: int = 20
     n_text_layer: int = 32
     dtype: str = "bfloat16"
+    # pad the vocab to a multiple (usually tp_size) so embedding/lm-head
+    # shard on the mesh instead of replicating (ref pad_vocab_size,
+    # T/_utils.py:194).  Logits are sliced back to n_vocab — callers never
+    # see the pad rows
+    vocab_pad_multiple: int = 1
 
     @property
     def head_dim(self) -> int:
         return self.n_text_state // self.n_text_head
+
+    @property
+    def padded_vocab(self) -> int:
+        from ...parallel.mapping import pad_vocab_size
+        return pad_vocab_size(self.n_vocab, self.vocab_pad_multiple)
 
     def to_json(self, path) -> None:
         with open(path, "w") as f:

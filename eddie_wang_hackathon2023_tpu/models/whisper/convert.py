@@ -113,8 +113,15 @@ def decoder_state_dict(sd, config: WhisperConfig,
         _block_state(sd, f"decoder.blocks.{i}.", c.n_text_head, cross=True)
         for i in range(c.n_text_layer)
     ])
+    emb = _np(sd["decoder.token_embedding.weight"])
+    if c.padded_vocab != emb.shape[0]:
+        # zero pad rows up to the tp-divisible vocab (ref pad_vocab_size,
+        # T/_utils.py:194); logits are sliced back to n_vocab in-model
+        emb = np.concatenate(
+            [emb, np.zeros((c.padded_vocab - emb.shape[0], emb.shape[1]),
+                           emb.dtype)], axis=0)
     state = {
-        "token_embedding.weight": _np(sd["decoder.token_embedding.weight"]),
+        "token_embedding.weight": emb,
         "positional_embedding": _np(sd["decoder.positional_embedding"]),
         "ln.weight": _np(sd["decoder.ln.weight"]),
         "ln.bias": _np(sd["decoder.ln.bias"]),

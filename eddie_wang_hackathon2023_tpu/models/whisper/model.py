@@ -250,7 +250,7 @@ class WhisperDecoder(Module):
         c = config
         self.config = c
         self.quant_mode = quant_mode
-        self.token_embedding = Embedding(c.n_vocab, c.n_text_state,
+        self.token_embedding = Embedding(c.padded_vocab, c.n_text_state,
                                          dtype=c.dtype)
         # int8 tied-logits GEMM: the reference EXCLUDES lm_head from WOQ by
         # choice (T/models/quantized/quant.py:51 exclude list), but at
@@ -260,10 +260,14 @@ class WhisperDecoder(Module):
         # the input lookup; see quantize_lm_head_state for the transform
         self.quantize_lm_head = quantize_lm_head
         if quantize_lm_head:
+            from ...parallel.mapping import TP_AXIS
+            from jax.sharding import PartitionSpec as P
             self.lm_head_qweight = Parameter(
-                shape=(c.n_vocab, c.n_text_state), dtype="int8")
-            self.lm_head_scale = Parameter(shape=(c.n_vocab,),
-                                           dtype="float32")
+                shape=(c.padded_vocab, c.n_text_state), dtype="int8",
+                pspec=P(TP_AXIS, None))
+            self.lm_head_scale = Parameter(shape=(c.padded_vocab,),
+                                           dtype="float32",
+                                           pspec=P(TP_AXIS))
         self.positional_embedding = Parameter(
             shape=(c.n_text_ctx, c.n_text_state), dtype=c.dtype)
         self.blocks = stack_parameter_shapes(
@@ -392,6 +396,7 @@ class WhisperDecoder(Module):
         return self._logits(x), new_kv
 
     def _logits(self, x):
+        c = self.config
         if self.quantize_lm_head:
             # int8 -> compute-dtype convert fuses into the GEMM weight read
             # (same measured-faster pattern as the WOQ linears); scales
@@ -399,10 +404,16 @@ class WhisperDecoder(Module):
             qw = self.lm_head_qweight.value.astype(x.dtype)
             logits = jnp.einsum("bld,vd->blv", x, qw,
                                 preferred_element_type=jnp.float32)
-            return logits * self.lm_head_scale.value[None, None, :]
-        return jnp.einsum("bld,vd->blv", x,
-                          self.token_embedding.weight.value,
-                          preferred_element_type=jnp.float32)
+            logits = logits * self.lm_head_scale.value[None, None, :]
+        else:
+            logits = jnp.einsum("bld,vd->blv", x,
+                                self.token_embedding.weight.value,
+                                preferred_element_type=jnp.float32)
+        if c.padded_vocab != c.n_vocab:
+            # the sharded GEMM runs on the padded vocab; the slice back to
+            # the logical vocab is the ColumnLinear gather epilogue
+            logits = logits[..., :c.n_vocab]
+        return logits
 
 
 def quantize_lm_head_state(dec_state):

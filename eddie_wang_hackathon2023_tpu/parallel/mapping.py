@@ -17,6 +17,15 @@ from jax.sharding import Mesh
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+
+
+def pad_vocab_size(vocab_size: int, tp_size: int) -> int:
+    """Round the vocab up to a tp-divisible size (ref ``pad_vocab_size``,
+    T/_utils.py:194) so the embedding table and lm-head actually shard
+    instead of silently replicating (51865 is prime-ish: large-v2 on tp=4
+    replicates 132 MB per rank without this).  Pad rows are zero and the
+    models slice logits back to the logical vocab."""
+    return -(-vocab_size // max(tp_size, 1)) * max(tp_size, 1)
 PP_AXIS = "pp"
 
 

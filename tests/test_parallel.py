@@ -86,6 +86,55 @@ def test_sharded_whisper_matches_single_device(models, cpu_devices, dp, tp):
     np.testing.assert_allclose(np.asarray(step_logits), ref_step, atol=2e-3)
 
 
+def test_vocab_padding_shards_and_matches(models, cpu_devices):
+    """pad_vocab_size (ref T/_utils.py:194): with a tp-indivisible vocab
+    (100 rows, tp=8), vocab_pad_multiple pads the embedding/lm-head to a
+    shardable size; logits (sliced back in-model) must match the unpadded
+    single-device model EXACTLY, and the table must actually shard."""
+    import dataclasses
+    if len(cpu_devices) < 8:
+        pytest.skip("not enough virtual devices")
+    _, dec, ckv = models
+    cfg_pad = dataclasses.replace(TINY, vocab_pad_multiple=8)
+    assert cfg_pad.padded_vocab == 104 and TINY.n_vocab == 100
+    dec_pad = WhisperDecoder(cfg_pad)
+    # same weights, vocab rows zero-padded
+    state = dict(dec.state_dict())
+    w = np.asarray(state["token_embedding.weight"])
+    state["token_embedding.weight"] = np.concatenate(
+        [w, np.zeros((4, w.shape[1]), w.dtype)], axis=0)
+    dec_pad.load_state_dict(state)
+
+    rs = np.random.RandomState(0)
+    tokens = np.array([[5, 17, 42], [3, 9, 27]], dtype=np.int32)
+    xa = jnp.asarray(rs.randn(2, TINY.n_audio_ctx,
+                              TINY.n_audio_state).astype(np.float32) * 0.1)
+    cross = ckv(xa)
+    cache = dec.new_kv_cache(2)
+    ref_logits, _ = dec(jnp.asarray(tokens), cache, cross, 0,
+                        jnp.array([3, 3]))
+    assert ref_logits.shape[-1] == 100
+
+    mapping = Mapping(world_size=8, dp_size=1, tp_size=8,
+                      devices=cpu_devices)
+    mesh = mapping.mesh
+    dec_p = shard_state(dec_pad.state_dict(), dec_pad.pspecs(), mesh)
+    # the padded table must actually shard on tp (the whole point)
+    emb_sharding = dec_p["token_embedding.weight"].sharding
+    assert emb_sharding.spec[0] == "tp", emb_sharding
+    # 4 heads don't divide tp=8 — replicate cache/cross; the vocab axis is
+    # the sharding under test here
+    cache_s = jax.device_put(dec_pad.new_kv_cache(2),
+                             NamedSharding(mesh, P()))
+    cross_s = jax.device_put(np.asarray(cross), NamedSharding(mesh, P()))
+    logits, _ = jax.jit(lambda p, t, c, cr, w, s:
+                        dec_pad.apply(p, t, c, cr, w, s))(
+        dec_p, jnp.asarray(tokens), cache_s, cross_s, 0, jnp.array([3, 3]))
+    assert logits.shape[-1] == 100
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-3)
+
+
 def test_sharded_gpt_generation_matches(cpu_devices):
     """End-to-end sharded GenerationSession == single-device decode."""
     import torch
