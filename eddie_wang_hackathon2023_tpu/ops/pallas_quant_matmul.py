@@ -22,17 +22,34 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel_int4(x_ref, qw_ref, scale_ref, out_ref):
+def _kernel_int4(x_ref, qw_ref, scale_ref, out_ref, *, groups: int):
     """qw block [K//2, TN] int8, half-split nibble packing (see
     ops.quant_matmul.quantize_weights_int4): unpack with int32 shifts in
-    VMEM, concat the two K-halves, one MXU dot."""
+    VMEM, concat the two K-halves, one MXU dot.
+
+    ``groups`` == 1: per-out-channel scale applied to the fp32 accumulator.
+    ``groups`` > 1 (group-wise scales [groups, TN]): each K-group of the
+    unpacked weight is scaled in VMEM before the dot (statically unrolled
+    [1, TN]-broadcast multiplies — scales don't commute through the whole
+    contraction any more)."""
     x = x_ref[:]                                   # [TM, K]
     p = qw_ref[:].astype(jnp.int32)                # [K//2, TN]
     lo = ((p << 28) >> 28).astype(x.dtype)         # sign-extended low nibble
     hi = ((p << 24) >> 28).astype(x.dtype)         # sign-extended high nibble
     w = jnp.concatenate([lo, hi], axis=0)          # [K, TN]
+    if groups == 1:
+        acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        out_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(
+            out_ref.dtype)
+        return
+    k = w.shape[0]
+    gs = k // groups
+    parts = [w[g * gs:(g + 1) * gs, :] *
+             scale_ref[g:g + 1, :].astype(x.dtype)
+             for g in range(groups)]
+    w = jnp.concatenate(parts, axis=0)
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    out_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
@@ -55,16 +72,17 @@ def quant_matmul_int4_pallas(x, qweight, scales, block_m: int = 256,
     m_pad = _round_up(m, tm)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    groups = scales.shape[0] if scales.ndim == 2 else 1
     grid = (m_pad // tm, pl.cdiv(n, tn))  # edge block auto-masked
     out = pl.pallas_call(
-        _kernel_int4,
+        functools.partial(_kernel_int4, groups=groups),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k // 2, tn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j),
+            pl.BlockSpec((groups, tn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
@@ -75,7 +93,7 @@ def quant_matmul_int4_pallas(x, qweight, scales, block_m: int = 256,
             bytes_accessed=m_pad * k * 2 + k * n // 2 + m_pad * n * 2,
             transcendentals=0,
         ),
-    )(x2, qweight, scales.reshape(1, n))
+    )(x2, qweight, scales.reshape(groups, n))
     if m_pad != m:
         out = out[:m]
     return out.reshape(*lead, n)

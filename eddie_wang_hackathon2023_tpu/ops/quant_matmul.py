@@ -40,20 +40,40 @@ def quantize_weights_int8(w) -> Tuple[np.ndarray, np.ndarray]:
     return q, scales
 
 
-def quantize_weights_int4(w) -> Tuple[np.ndarray, np.ndarray]:
+def quantize_weights_int4(w, group_size: int = None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Symmetric int4: values in [-7, 7], two nibbles packed per int8 along
     K in HALF-SPLIT order — byte i holds rows i (low nibble) and i+K/2
     (high nibble).  Unpacking is then a concat of two sign-extended planes
     (no interleave relayout — this is what lets the Pallas kernel unpack in
     VMEM with plain shifts; the CUDA reference needs its interleaved
     cutlass_preprocessors layout for the same reason).
-    Returns (packed [K//2, N] int8, scales [N] float32).  K must be even."""
+
+    ``group_size``: scale granularity along K.  None = one scale per out
+    channel (the reference's default, weightOnlyQuantOp.cpp:225).  An int
+    G gives GPTQ-style group-wise scales [K/G, N] — 3-bit mantissas over a
+    whole 1280-row column lose too much (measured 18.9% relative WER
+    divergence on Whisper vs 0.6% for int8); per-128-row scales track the
+    local weight distribution (the CUTLASS fpA_intB path has the same
+    finer-granularity mode, weightOnlyQuantMatmulPlugin.cpp:57).
+
+    Returns (packed [K//2, N] int8, scales [N] or [K/G, N] float32).
+    K must be even (and divisible by G when grouped)."""
     w = np.asarray(w, dtype=np.float32)
     k, n = w.shape
     assert k % 2 == 0, "int4 packing requires even in-features"
-    amax = np.max(np.abs(w), axis=0)
-    scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(w / scales[None, :]), -7, 7).astype(np.int8)
+    if group_size:
+        assert k % group_size == 0, (k, group_size)
+        gc = k // group_size
+        wg = w.reshape(gc, group_size, n)
+        amax = np.max(np.abs(wg), axis=1)                     # [gc, N]
+        scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(wg / scales[:, None, :]), -7,
+                    7).astype(np.int8).reshape(k, n)
+    else:
+        amax = np.max(np.abs(w), axis=0)
+        scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(w / scales[None, :]), -7, 7).astype(np.int8)
     lo = q[:k // 2] & 0xF
     hi = (q[k // 2:] & 0xF) << 4
     return (lo | hi).astype(np.int8), scales
@@ -77,6 +97,10 @@ def weight_only_quant_matmul(x, qweight, scales, bits: int = 8):
     materialises the unpacked int8 weight per call => ~3x the int4 HBM
     bytes); EWT_INT4_XLA=1 / PluginConfig.int4_pallas=False forces the
     XLA unpack path for comparison.
+
+    2-D ``scales`` [K/G, N] select the group-wise path (see
+    quantize_weights_int4): dequant is per group BEFORE the contraction
+    (scales no longer commute through the whole K reduction).
     """
     if bits == 4:
         from ..plugin import get_plugin_config
@@ -84,6 +108,16 @@ def weight_only_quant_matmul(x, qweight, scales, bits: int = 8):
             from .pallas_quant_matmul import quant_matmul_int4_pallas
             return quant_matmul_int4_pallas(x, qweight, scales)
         qweight = unpack_int4(qweight)
+    if scales.ndim == 2:
+        # group-wise dequant (scale per [group, out-channel]): scale the
+        # int weight in the activation dtype and let XLA fuse the
+        # convert+mul into the GEMM's weight read
+        k, n = qweight.shape
+        gc = scales.shape[0]
+        wf = qweight.astype(x.dtype).reshape(gc, k // gc, n) * \
+            scales[:, None, :].astype(x.dtype)
+        return jnp.matmul(x, wf.reshape(k, n),
+                          preferred_element_type=jnp.float32).astype(x.dtype)
     # int8 deliberately has NO hand kernel: two Pallas formulations were
     # measured against this XLA fused dequant-GEMM on v5e and both lost
     # (whole-block kernel 3.60 vs 3.10 ms/tok round 1; streaming-panel

@@ -39,6 +39,12 @@ class PluginConfig:
     # fused Pallas int4 dequant-GEMM (ops/pallas_quant_matmul.py) vs XLA
     # unpack (which materialises the int8 weight per call)
     int4_pallas: Optional[bool] = None
+    # int4 scale granularity along K (GPTQ-style groups; the CUTLASS
+    # fpA_intB path has the same finer-granularity mode,
+    # weightOnlyQuantMatmulPlugin.cpp:57).  Per-out-channel int4 measured
+    # 18.9% relative WER divergence on Whisper (WER.md) — one 3-bit
+    # mantissa over 1280+ rows is too coarse.  None = 128; 0 = per-channel
+    int4_group_size: Optional[int] = None
     # flash-attention (block_q, block_k_major, block_k); None = 512,512,512
     flash_blocks: Optional[Tuple[int, int, int]] = None
     # whisper transcribe as ONE jitted mel->tokens program vs the (faster
@@ -97,6 +103,14 @@ class PluginConfig:
         if self.int4_pallas is not None:
             return self.int4_pallas
         return on_tpu()
+
+    def get_int4_group_size(self) -> int:
+        v = os.environ.get("EWT_INT4_GROUP")
+        if v is not None:
+            return int(v)
+        if self.int4_group_size is not None:
+            return self.int4_group_size
+        return 128
 
     def get_flash_blocks(self) -> Tuple[int, int, int]:
         v = os.environ.get("EWT_FLASH_BLOCKS")

@@ -29,12 +29,16 @@ class WeightOnlyQuantLinear(Module):
 
     def __init__(self, in_features: int, out_features: int, bias: bool = True,
                  dtype=None, bits: int = 8, tp_size: int = 1,
-                 tp_dim: int = 0, gather_output: bool = True):
+                 tp_dim: int = 0, gather_output: bool = True,
+                 group_size: int = 0):
         super().__init__()
         self.in_features = in_features
         self.out_features = out_features
         self.bits = bits
         self.dtype = dtype
+        # int4 group-wise scale granularity along K (0 = per-out-channel;
+        # see ops.quant_matmul.quantize_weights_int4)
+        self.group_size = group_size if bits == 4 else 0
         # consulted by the fused-decode-kernel eligibility checks
         # (layers/attention.py proj/q_fusion_hoistable): tp>1 needs the
         # XLA dense path's automatic partial-sum/gather handling
@@ -43,9 +47,17 @@ class WeightOnlyQuantLinear(Module):
         w_pspec = P(None, TP_AXIS) if tp_dim == 0 else P(TP_AXIS, None)
         self.qweight = Parameter(shape=(k, out_features), dtype="int8",
                                  pspec=w_pspec)
-        self.per_channel_scale = Parameter(
-            shape=(out_features,), dtype="float32",
-            pspec=P(TP_AXIS) if tp_dim == 0 else P())
+        if self.group_size:
+            # [K/G, N]: groups follow K (row-parallel shards K)
+            self.per_channel_scale = Parameter(
+                shape=(in_features // self.group_size, out_features),
+                dtype="float32",
+                pspec=(P(None, TP_AXIS) if tp_dim == 0
+                       else P(TP_AXIS, None)))
+        else:
+            self.per_channel_scale = Parameter(
+                shape=(out_features,), dtype="float32",
+                pspec=P(TP_AXIS) if tp_dim == 0 else P())
         if bias:
             self.bias = Parameter(shape=(out_features,), dtype=dtype,
                                   pspec=P(TP_AXIS) if tp_dim == 0 else P())
@@ -65,9 +77,11 @@ class WeightOnlyQuantRowLinear(WeightOnlyQuantLinear):
     """Row-parallel variant (in dim sharded, ref layer.py:338)."""
 
     def __init__(self, in_features: int, out_features: int, bias: bool = True,
-                 dtype=None, bits: int = 8, tp_size: int = 1):
+                 dtype=None, bits: int = 8, tp_size: int = 1,
+                 group_size: int = 0):
         super().__init__(in_features, out_features, bias=bias, dtype=dtype,
-                         bits=bits, tp_size=tp_size, tp_dim=1)
+                         bits=bits, tp_size=tp_size, tp_dim=1,
+                         group_size=group_size)
 
 
 class WeightOnlyQuantQKVLinear(Module):
@@ -75,7 +89,8 @@ class WeightOnlyQuantQKVLinear(Module):
     K-major int8 (int4: [in/2, 3*H*hd]); scales [3*H*hd]."""
 
     def __init__(self, hidden_size: int, num_heads: int, num_kv_heads: int,
-                 head_dim: int, bias: bool = True, dtype=None, bits: int = 8):
+                 head_dim: int, bias: bool = True, dtype=None, bits: int = 8,
+                 group_size: int = 0):
         super().__init__()
         assert num_kv_heads == num_heads, \
             "quantised MQA/GQA qkv not implemented yet"
@@ -83,12 +98,18 @@ class WeightOnlyQuantQKVLinear(Module):
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
         self.bits = bits
+        self.group_size = group_size if bits == 4 else 0
         out = 3 * num_heads * head_dim
         k = hidden_size if bits == 8 else hidden_size // 2
         self.qweight = Parameter(shape=(k, out), dtype="int8",
                                  pspec=P(None, TP_AXIS))
-        self.per_channel_scale = Parameter(shape=(out,), dtype="float32",
-                                           pspec=P(TP_AXIS))
+        if self.group_size:
+            self.per_channel_scale = Parameter(
+                shape=(hidden_size // self.group_size, out),
+                dtype="float32", pspec=P(None, TP_AXIS))
+        else:
+            self.per_channel_scale = Parameter(shape=(out,), dtype="float32",
+                                               pspec=P(TP_AXIS))
         if bias:
             self.bias = Parameter(shape=(3, num_heads, head_dim), dtype=dtype,
                                   pspec=P(None, TP_AXIS, None))

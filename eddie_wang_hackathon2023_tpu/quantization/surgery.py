@@ -25,16 +25,34 @@ from .mode import QuantMode
 DEFAULT_EXCLUDE = ["lm_head"]
 
 
-def _quantize_stacked(w: np.ndarray, lead_ndim: int, bits: int):
-    """w [*lead, out, in] -> (q [*lead, in(, /2), out] int8, scales [*lead, out])."""
+def _quantize_stacked(w: np.ndarray, lead_ndim: int, bits: int,
+                      group_size: int = 0):
+    """w [*lead, out, in] -> (q [*lead, in(, /2), out] int8,
+    scales [*lead, out] or [*lead, in/G, out] when grouped)."""
     lead = w.shape[:lead_ndim]
     out_f, in_f = w.shape[lead_ndim], w.shape[lead_ndim + 1]
     flat = w.reshape(-1, out_f, in_f)
-    qfn = quantize_weights_int8 if bits == 8 else quantize_weights_int4
+    if bits == 8:
+        qfn = quantize_weights_int8
+    else:
+        def qfn(m):
+            return quantize_weights_int4(m, group_size=group_size or None)
     qs, ss = zip(*(qfn(np.ascontiguousarray(m.T)) for m in flat))
     q = np.stack(qs, 0).reshape(lead + qs[0].shape)
     s = np.stack(ss, 0).reshape(lead + ss[0].shape)
     return q, s
+
+
+def _int4_group(quant_mode: QuantMode, in_features: int) -> int:
+    """Resolve the int4 group size for a linear (0 for int8 / per-channel /
+    indivisible in-features — tiny test models fall back cleanly)."""
+    if not quant_mode.is_int4_weight_only():
+        return 0
+    from ..plugin import get_plugin_config
+    g = get_plugin_config().get_int4_group_size()
+    if g and in_features % g == 0:
+        return g
+    return 0
 
 
 def _relayer(new_mod: Module, lead: Tuple[int, ...]) -> Module:
@@ -73,14 +91,19 @@ def weight_only_quantize(model: Module,
                 WeightOnlyQuantQKVLinear(hidden, child.num_heads,
                                          child.num_kv_heads, child.head_dim,
                                          bias=child.bias is not None,
-                                         dtype=None, bits=bits), lead)
+                                         dtype=None, bits=bits,
+                                         group_size=_int4_group(quant_mode,
+                                                                hidden)),
+                lead)
         elif isinstance(child, RowLinear):
             lead = tuple(child.weight._shape[:-2])
             replaced = _relayer(
                 WeightOnlyQuantRowLinear(child.in_features, child.out_features,
                                          bias=child.bias is not None,
                                          dtype=child.dtype, bits=bits,
-                                         tp_size=getattr(child, "tp_size", 1)),
+                                         tp_size=getattr(child, "tp_size", 1),
+                                         group_size=_int4_group(
+                                             quant_mode, child.in_features)),
                 lead)
         elif isinstance(child, Linear):
             lead = tuple(child.weight._shape[:-2])
@@ -88,7 +111,9 @@ def weight_only_quantize(model: Module,
                 WeightOnlyQuantLinear(child.in_features, child.out_features,
                                       bias=child.bias is not None,
                                       dtype=child.dtype, bits=bits,
-                                      tp_size=getattr(child, "tp_size", 1)),
+                                      tp_size=getattr(child, "tp_size", 1),
+                                      group_size=_int4_group(
+                                          quant_mode, child.in_features)),
                 lead)
         if replaced is not None:
             setattr(model, name, replaced)
@@ -265,7 +290,8 @@ def quantize_state_dict(model: Module, state: Dict[str, np.ndarray],
             lead = w.shape[:lead_ndim]
             three, h, hd, in_f = w.shape[lead_ndim:]
             w2 = w.reshape(lead + (three * h * hd, in_f))
-            q, s = _quantize_stacked(w2, lead_ndim, bits)
+            q, s = _quantize_stacked(w2, lead_ndim, bits,
+                                     group_size=mod.group_size)
             out[f"{path}.qweight"] = q
             out[f"{path}.per_channel_scale"] = s
         elif isinstance(mod, WeightOnlyQuantLinear):
@@ -273,7 +299,8 @@ def quantize_state_dict(model: Module, state: Dict[str, np.ndarray],
             if key not in out:
                 continue
             w = np.asarray(out.pop(key), np.float32)
-            q, s = _quantize_stacked(w, w.ndim - 2, bits)
+            q, s = _quantize_stacked(w, w.ndim - 2, bits,
+                                     group_size=mod.group_size)
             out[f"{path}.qweight"] = q
             out[f"{path}.per_channel_scale"] = s
     return out

@@ -293,6 +293,36 @@ def test_mixed_admission_token_exact(sharp):
     assert mixed == plain
 
 
+def test_async_pipelined_serving_token_exact(sharp):
+    """async_depth >= 1 dispatches tick N+1 before consuming tick N (host
+    scheduling overlaps device compute).  The speculative tick feeds on the
+    device-resident pending tokens, so completed outputs must be
+    TOKEN-EXACT vs the synchronous manager — staggered admissions, slot
+    reuse, dense and paged, steps_per_tick 1 and 4."""
+    model, mc = sharp
+    prompts = [[5, 11, 17, 23, 31], [40, 2], [7, 8, 9, 10, 11, 12, 13], [3],
+               [9, 9, 9], [100, 101]]
+    queue = lambda: [InferenceRequest(i, np.asarray(p, np.int32),
+                                      max_new_tokens=12, end_id=210)
+                     for i, p in enumerate(prompts)]
+    sync = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64)
+    for depth in (1, 2):
+        got = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
+                           async_depth=depth)
+        assert got == sync, depth
+    sync4 = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
+                         steps_per_tick=4)
+    got4 = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
+                        steps_per_tick=4, async_depth=1)
+    assert got4 == sync4
+    paged_sync = _run_manager(model, queue(), max_batch_size=2,
+                              max_seq_len=64, paged=True, tokens_per_block=8)
+    paged_async = _run_manager(model, queue(), max_batch_size=2,
+                               max_seq_len=64, paged=True, tokens_per_block=8,
+                               async_depth=1)
+    assert paged_async == paged_sync
+
+
 def test_beam_serving_matches_offline(sharp):
     """Per-request beam width in serving (ref GptManager.h:48 per-entry
     SamplingConfig incl. beamWidth): a beam request decoded through the

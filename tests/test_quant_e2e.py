@@ -90,6 +90,32 @@ def test_weight_only_int4_e2e():
     assert isinstance(res[0].text, str)
 
 
+def test_weight_only_int4_groupwise_e2e(fp_pipe):
+    """Group-wise int4 (the quality fix for per-channel int4's coarseness):
+    surgery must emit [K/G, N] scales and the encoder output must land at
+    least as close to float as the per-channel variant."""
+    import os
+    mode = QuantMode.use_weight_only(use_int4_weights=True)
+    os.environ["EWT_INT4_GROUP"] = "0"
+    try:
+        pc_pipe = _pipeline(mode)
+    finally:
+        os.environ["EWT_INT4_GROUP"] = "32"
+    try:
+        gw_pipe = _pipeline(mode)
+    finally:
+        del os.environ["EWT_INT4_GROUP"]
+    # surgery actually produced group scales (n_text_state=64 -> 2 groups)
+    scale = gw_pipe.decoder.blocks.attn.dense.per_channel_scale.value
+    assert scale.ndim == 3 and scale.shape[1] == 2, scale.shape
+    xa_f = np.asarray(fp_pipe.get_audio_features(MEL))
+    err_pc = np.abs(np.asarray(pc_pipe.get_audio_features(MEL)) - xa_f).mean()
+    err_gw = np.abs(np.asarray(gw_pipe.get_audio_features(MEL)) - xa_f).mean()
+    assert err_gw <= err_pc * 1.05, (err_gw, err_pc)
+    res = gw_pipe.transcribe(MEL)
+    assert isinstance(res[0].text, str)
+
+
 def test_int8_kv_cache_e2e(fp_pipe, fp_result):
     # calibrate on the same clip (reference uses valid-clean split)
     scales = calibrate_int8_kv(fp_pipe, [MEL[0]])
