@@ -528,7 +528,8 @@ class Attention(Module):
                         pool, pk.layer_idx, 0, keepdims=False)
                     ctx = paged_decode_attention(
                         q, pool_l, pk.block_table, sequence_length,
-                        scale=self.scale, kv_quant_orig_scale=kv_qo)
+                        scale=self.scale, kv_quant_orig_scale=kv_qo,
+                        beam_indirection=beam_indirection)
                 elif getattr(cache_write_index, "ndim", 0) >= 1:
                     # mixed context+generation window (ref ibGptAttention
                     # mixed enqueue): W tokens per row at per-row start

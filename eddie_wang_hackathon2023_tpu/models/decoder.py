@@ -267,7 +267,8 @@ class DecoderLMHead(Module):
                     write_index=write_index,
                     sequence_length=sequence_length,
                     attention_start=attention_start,
-                    position_ids=position_ids)
+                    position_ids=position_ids,
+                    beam_indirection=beam_indirection)
                 return (h, pool), None
 
             (x, pool), _ = jax.lax.scan(step2, (x, kv_cache.pool),

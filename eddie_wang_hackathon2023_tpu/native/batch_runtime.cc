@@ -119,8 +119,16 @@ struct KVCacheManager {
     int context_blocks =
         context_len <= 0 ? 1 : (context_len + tokens_per_block - 1) / tokens_per_block;
     if (context_blocks < 1) context_blocks = 1;
-    for (int i = 0; i < context_blocks; ++i)
+    // full prompt blocks shared across beams (read-only after prefill);
+    // a PARTIAL last block is private per beam from the start: generation
+    // tokens land in it at every beam's own row (mirror of the python
+    // KVCacheManager.add_sequence — the lockstep test drives both)
+    bool partial = (context_len % tokens_per_block != 0) || context_len <= 0;
+    int full = context_blocks - (partial ? 1 : 0);
+    for (int i = 0; i < full; ++i)
       if (!bm.allocate(seq_id, beam_width > 1)) return false;
+    if (partial)
+      if (!bm.allocate(seq_id, false)) return false;
     return true;
   }
 

@@ -34,22 +34,21 @@ static void test_block_manager() {
   // pool: 8 blocks of 4 tokens, 2 beams, table width 4
   void* kv = ewt_kv_create(8, 4, 4, 2);
   assert(ewt_kv_free_blocks(kv) == 8);
-  // 6-token context -> 2 blocks, SHARED across beams (2 blocks used)
+  // 6-token context -> 1 FULL block shared across beams + the PARTIAL
+  // last block private per beam from the start (generation tokens land in
+  // it at every beam's own row): 3 blocks used
   assert(ewt_kv_add_sequence(kv, 0, 6) == 0);
-  assert(ewt_kv_free_blocks(kv) == 6);
+  assert(ewt_kv_free_blocks(kv) == 5);
   std::vector<int32_t> table(1 * 2 * 4);
   ewt_kv_block_table(kv, table.data());
-  assert(table[0] == table[4] && table[1] == table[5]);  // beams share
-  // step at len 6 (mid-block): beam>1 un-shares the last block (COW)
+  assert(table[0] == table[4]);          // full prompt block shared
+  assert(table[1] != table[5]);          // partial block private per beam
+  // steps at len 6, 7 (mid-block): partial already private -> no-op
   uint8_t fin0 = 0;
-  assert(ewt_kv_step(kv, &fin0) == 0);
-  ewt_kv_block_table(kv, table.data());
-  assert(table[0] == table[4]);          // first context block still shared
-  assert(table[1] != table[5]);          // last block now private per beam
-  assert(ewt_kv_free_blocks(kv) == 5);   // one extra block consumed
-  // len 7 -> 8: boundary at 8 allocates per-beam fresh blocks
+  assert(ewt_kv_step(kv, &fin0) == 0);   // len 7
+  assert(ewt_kv_free_blocks(kv) == 5);
   assert(ewt_kv_step(kv, &fin0) == 0);   // len 8
-  assert(ewt_kv_step(kv, &fin0) == 0);   // len 9 (crossed: +2 blocks)
+  assert(ewt_kv_step(kv, &fin0) == 0);   // len 9 (crossed: +2 private)
   assert(ewt_kv_free_blocks(kv) == 3);
   // free everything
   assert(ewt_kv_stop(kv, 0) == 0);

@@ -95,7 +95,8 @@ def paged_append_kv(pool, k_new, v_new, block_table, write_pos,
 def paged_decode_attention(q, pool, block_table, seq_len,
                            scale: Optional[float] = None,
                            kv_quant_orig_scale=None,
-                           causal_offset=None) -> jnp.ndarray:
+                           causal_offset=None,
+                           beam_indirection=None) -> jnp.ndarray:
     """q [B, H, Lq, D] against block-paged KV; returns [B, H, Lq, D].
 
     Lq == 1 is the generation phase.  Lq > 1 with ``causal_offset`` [B]
@@ -104,6 +105,13 @@ def paged_decode_attention(q, pool, block_table, seq_len,
     <= causal_offset[b] + i (the window's K/V must already be in the
     pool — the caller appends before the read, matching the in-place
     gpt_attention plugin semantics).
+
+    ``beam_indirection`` [Bg, W, S] (B == Bg*W rows grouped by slot):
+    paged beam search.  Every beam row APPENDS into its own private block
+    chain; the indirection redirects the READ of each history position to
+    the ancestor beam that wrote it (the reference composes its
+    cache_indirection with per-beam pointer arrays the same way inside
+    the masked-MHA plugin) — beam reorders never move blocks or tables.
 
     Numerics match ops.attention.cached_decode_attention (fp32 scores +
     softmax) — the equivalence test drives both against the same tokens.
@@ -120,6 +128,18 @@ def paged_decode_attention(q, pool, block_table, seq_len,
     blocks = pool[table]
     k = blocks[:, :, 0].transpose(0, 2, 1, 3, 4).reshape(b, hk, max_blocks * t, d)
     v = blocks[:, :, 1].transpose(0, 2, 1, 3, 4).reshape(b, hk, max_blocks * t, d)
+    if beam_indirection is not None:
+        bg, bw, s_ind = beam_indirection.shape
+        assert bg * bw == b, (beam_indirection.shape, b)
+        s_b = max_blocks * t
+        ind = beam_indirection
+        if s_ind < s_b:          # positions past S are masked by seq_len
+            ind = jnp.pad(ind, ((0, 0), (0, 0), (0, s_b - s_ind)))
+        idx = ind[:, :, None, :s_b, None].astype(jnp.int32)
+        k = jnp.take_along_axis(k.reshape(bg, bw, hk, s_b, d), idx,
+                                axis=1).reshape(b, hk, s_b, d)
+        v = jnp.take_along_axis(v.reshape(bg, bw, hk, s_b, d), idx,
+                                axis=1).reshape(b, hk, s_b, d)
     if pool.dtype == jnp.int8:
         assert kv_quant_orig_scale is not None
         k = (k.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)

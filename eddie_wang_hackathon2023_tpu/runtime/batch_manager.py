@@ -181,15 +181,10 @@ class ContinuousBatchingManager:
         # reordering rides the cache_indirection row map — the cache never
         # physically reorders (same trick as the offline GenerationSession)
         self.W = max(1, max_beam_width)
-        if self.W > 1:
-            if paged:
-                raise NotImplementedError(
-                    "beam serving currently requires the dense slot cache "
-                    "(per-beam block-table sharing is not implemented)")
-            if mixed_admission:
-                raise NotImplementedError(
-                    "beam serving with mixed admission is not implemented "
-                    "(admission prefill runs as a separate dispatch)")
+        if self.W > 1 and mixed_admission:
+            raise NotImplementedError(
+                "beam serving with mixed admission is not implemented "
+                "(admission prefill runs as a separate dispatch)")
         # tokens generated per scheduler tick: >1 amortises the host round
         # trip (dominant on remote/tunnelled devices) at the cost of up to
         # steps_per_tick-1 wasted steps after a slot hits EOT and the same
@@ -204,13 +199,14 @@ class ContinuousBatchingManager:
         self.max_top_k = max_top_k
 
         if paged:
-            nb = num_blocks or self.B * self.max_blocks_per_seq
+            nb = num_blocks or self.B * self.W * self.max_blocks_per_seq
             self.num_blocks = nb
             self.pool = model.new_paged_pool(nb, tokens_per_block)
             self.kvman = KVCacheManager(
                 num_layers=self.pool.shape[0], num_blocks=nb,
                 tokens_per_block=tokens_per_block,
-                max_blocks_per_seq=self.max_blocks_per_seq)
+                max_blocks_per_seq=self.max_blocks_per_seq,
+                beam_width=self.W)
             self._kv_seqs: Dict[int, GenerationSequence] = {}   # slot -> seq
             self._seq_counter = 0
             self.cache = None
@@ -265,7 +261,7 @@ class ContinuousBatchingManager:
             self._beam_hist: Dict[int, List[List[int]]] = {}
             self._beam_prefill_fns: Dict[tuple, Callable] = {}
             self._beam_step_fn = jax.jit(self._beam_step_impl,
-                                         donate_argnums=(1, 2, 3, 4))
+                                         donate_argnums=(1, 3, 4, 5))
 
         # -- mixed context+generation step (true in-flight batching, ref
         # ibGptAttentionPlugin / T/functional.py:2985-3137): admission
@@ -361,28 +357,43 @@ class ContinuousBatchingManager:
                                dp.bad_word_lens)
         return lg
 
-    def _beam_prefill_impl(self, params, cache, counts, tail, ind, tokens,
-                           slot, length, dp_row, rng, live_row,
-                           is_beam: bool):
+    def _beam_prefill_impl(self, params, cache, table, copy_src, copy_dst,
+                           counts, tail, ind, tokens, slot, length, dp_row,
+                           rng, live_row, is_beam: bool):
         """Admission into a beam manager: prefill the prompt KV into the
         slot's physical row 0 only; the indirection maps every beam's
         prompt positions to row 0 (no KV tiling — the offline session
-        repeats the cache instead, generation.py:125).  Beam requests
-        expand the top-W first continuations; sampled/greedy requests
-        (width 1) sample on beam row 0.  Returns (pending [W], cum [W],
-        fin [W], cache, counts, tail, ind)."""
+        repeats the cache instead, generation.py:125).  Paged mode writes
+        through beam-0's block table and then replicates the PARTIAL
+        prompt block (``copy_src`` -> ``copy_dst`` [W-1], out-of-range =
+        no-op) into each sibling beam's private block — full prompt blocks
+        stay shared read-only.  Beam requests expand the top-W first
+        continuations; sampled/greedy requests (width 1) sample on beam
+        row 0.  Returns (pending [W], cum [W], fin [W], cache, counts,
+        tail, ind)."""
         from .sampling import beam_search_step
         v = self._vocab
         W = self.W
         row0 = slot * W
         extra = (dict(context_lengths=length[None])
                  if self._needs_ctx else {})
-        row_cache = jax.lax.dynamic_slice_in_dim(cache, row0, 1, axis=1)
-        logits, row_cache = self.model.apply(
-            params, tokens, row_cache, 0, length[None],
-            attention_start=None, **extra)
-        cache = jax.lax.dynamic_update_slice_in_dim(cache, row_cache, row0,
-                                                    axis=1)
+        if self.paged:
+            from ..ops.paged_attention import PagedCacheState
+            logits, state = self.model.apply(
+                params, tokens, PagedCacheState(cache, table), 0,
+                length[None], attention_start=None, **extra)
+            cache = state.pool
+            part = jnp.broadcast_to(
+                cache[:, copy_src][:, None],
+                (cache.shape[0], W - 1) + cache.shape[2:])
+            cache = cache.at[:, copy_dst].set(part, mode="drop")
+        else:
+            row_cache = jax.lax.dynamic_slice_in_dim(cache, row0, 1, axis=1)
+            logits, row_cache = self.model.apply(
+                params, tokens, row_cache, 0, length[None],
+                attention_start=None, **extra)
+            cache = jax.lax.dynamic_update_slice_in_dim(cache, row_cache,
+                                                        row0, axis=1)
         p = tokens.shape[1]
         oh = jax.nn.one_hot(tokens[0], v, dtype=jnp.int32)
         valid = (jnp.arange(p) < length)[:, None]
@@ -435,9 +446,10 @@ class ContinuousBatchingManager:
         ind = jax.lax.dynamic_update_slice(ind, ind_slot[None], (slot, 0, 0))
         return pending, cum_row, fin_row, cache, counts, tail, ind
 
-    def _beam_step_impl(self, params, cache, counts, tail, ind, pending,
-                        cum, fins, live, is_sampled, lengths, gen_lens,
-                        active, dp_rows, end_slot, rng, ctx_lens=None):
+    def _beam_step_impl(self, params, cache, table, counts, tail, ind,
+                        pending, cum, fins, live, is_sampled, lengths,
+                        gen_lens, active, dp_rows, end_slot, rng,
+                        ctx_lens=None):
         """steps_per_tick beam/sampling steps for all slots in ONE program.
 
         pending [B, W] this tick's not-yet-written tokens; lengths [B]
@@ -456,6 +468,9 @@ class ContinuousBatchingManager:
         extra = (dict(context_lengths=jnp.repeat(ctx_lens, W))
                  if self._needs_ctx else {})
         eye = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None], (B, W))
+        if self.paged:
+            from ..ops.paged_attention import PagedCacheState
+            cache = PagedCacheState(cache, table)
 
         def one(carry, k):
             cache, counts, tail, ind, pending, cum, fins, lens, glens = carry
@@ -519,7 +534,8 @@ class ContinuousBatchingManager:
             jax.lax.scan(one, (cache, counts, tail, ind, pending, cum,
                                fins, lengths, gen_lens),
                          jnp.arange(self.steps_per_tick))
-        return outs + (cache, counts, tail, ind, pending, cum, fins)
+        out_cache = cache.pool if self.paged else cache
+        return outs + (out_cache, counts, tail, ind, pending, cum, fins)
 
     def _prefill_impl(self, params, cache, table, counts, tail, tokens,
                       slot, length, dp_row, rng):
@@ -859,16 +875,49 @@ class ContinuousBatchingManager:
         if key not in self._beam_prefill_fns:
             self._beam_prefill_fns[key] = jax.jit(
                 partial(self._beam_prefill_impl, is_beam=is_beam),
-                donate_argnums=(1, 2, 3, 4))
+                donate_argnums=(1, 5, 6, 7))
         rng = jax.random.fold_in(self._base_key,
                                  (self._seeds[slot] * 1000003 + slot
                                   + self._tick) % (2**31))
-        pending, cum, fin, self.cache, self._counts, self._tail, \
+        if self.paged:
+            seq = GenerationSequence(self._seq_counter, slot)
+            self._seq_counter += 1
+            self.kvman.add_sequence(seq, p)
+            self._kv_seqs[slot] = seq
+            self._kv_step_one(slot)      # cover the pending token's slot
+            tables = self._block_tables()
+            row0 = slot * self.W
+            tpb = self.tokens_per_block
+            if p % tpb != 0:
+                # replicate the partial prompt block into each sibling
+                # beam's private block after the prefill writes it
+                bidx = (p - 1) // tpb
+                copy_src = int(tables[row0][bidx])
+                copy_dst = np.array(
+                    [tables[row0 + j][bidx] for j in range(1, self.W)],
+                    np.int32)
+            else:                         # no partial block: no-op copy
+                copy_src = 0
+                copy_dst = np.full((self.W - 1,), self.num_blocks, np.int32)
+            cache_arg = self.pool
+            table_arg = jnp.asarray(tables[row0:row0 + 1])
+        else:
+            cache_arg = self.cache
+            table_arg = None
+            copy_src = 0
+            copy_dst = np.zeros((max(self.W - 1, 1),), np.int32)
+        pending, cum, fin, new_cache, self._counts, self._tail, \
             self._ind = self._beam_prefill_fns[key](
-                self.params, self.cache, self._counts, self._tail,
+                self.params, cache_arg, table_arg,
+                jnp.asarray(copy_src, jnp.int32), jnp.asarray(copy_dst),
+                self._counts, self._tail,
                 self._ind, jnp.asarray(padded),
                 jnp.asarray(slot, jnp.int32), jnp.asarray(p, jnp.int32),
                 self._slot_params(slot), rng, jnp.asarray(live_row))
+        if self.paged:
+            self.pool = new_cache
+        else:
+            self.cache = new_cache
         pending, cum, fin = jax.device_get((pending, cum, fin))
         self._pending[slot] = pending
         self._cum[slot] = cum
@@ -920,6 +969,8 @@ class ContinuousBatchingManager:
                 best_score, best_tokens = score, toks[:glen]
         self.send_response(Response(req.request_id, list(best_tokens),
                                     finished=True))
+        if self.paged and slot in self._kv_seqs:
+            self.kvman.stop(self._kv_seqs.pop(slot))
         del self.slot_request[slot]
         del self._beam_hist[slot]
 
@@ -932,15 +983,30 @@ class ContinuousBatchingManager:
         rng = jax.random.fold_in(self._base_key, self._tick)
         gen_lens = lengths - self._ctx_lens
         live = np.arange(self.W)[None, :] < self._beam_w[:, None]
-        (parents, toks, fins, cums, self.cache, self._counts, self._tail,
+        if self.paged:
+            # pre-extend every live slot's private chain for the positions
+            # this tick writes (new private block per beam at boundaries)
+            for _ in range(self.steps_per_tick):
+                self.kvman.step([False] * len(self.kvman.sequences))
+            cache_arg = self.pool
+            table_arg = jnp.asarray(self._block_tables())
+        else:
+            cache_arg = self.cache
+            table_arg = None
+        (parents, toks, fins, cums, new_cache, self._counts, self._tail,
          self._ind, pending, cum, fin_dev) = self._beam_step_fn(
-            self.params, self.cache, self._counts, self._tail, self._ind,
+            self.params, cache_arg, table_arg, self._counts, self._tail,
+            self._ind,
             jnp.asarray(self._pending), jnp.asarray(self._cum),
             jnp.asarray(self._fins), jnp.asarray(live),
             jnp.asarray(self._is_sampled), jnp.asarray(lengths),
             jnp.asarray(gen_lens), jnp.asarray(active),
             self._decode_params_rows(), jnp.asarray(self._end_ids), rng,
             jnp.asarray(self._ctx_lens))
+        if self.paged:
+            self.pool = new_cache
+        else:
+            self.cache = new_cache
         parents, toks, fins, cums, pending, cum, fin_dev = jax.device_get(
             (parents, toks, fins, cums, pending, cum, fin_dev))
         # device_get can hand back read-only buffers; the admission path
@@ -992,11 +1058,16 @@ class ContinuousBatchingManager:
         self.kvman.step(finished)
 
     def _block_tables(self) -> np.ndarray:
-        arr = np.full((self.B, self.max_blocks_per_seq), -1, np.int32)
+        """[B*W, max_blocks] per-row tables (rows grouped by slot): every
+        beam row has its own private generation chain; prompt blocks appear
+        in all of a slot's rows (shared, read-only)."""
+        arr = np.full((self.B * self.W, self.max_blocks_per_seq), -1,
+                      np.int32)
         if self.kvman.sequences:
             idx = self.kvman.get_block_index_arrays()   # [n, beam, max]
             for i, seq in enumerate(self.kvman.sequences):
-                arr[seq.batch_idx] = idx[i, 0]
+                for j in range(self.W):
+                    arr[seq.batch_idx * self.W + j] = idx[i, j]
         return arr
 
     # -- token push / responses -------------------------------------------

@@ -159,11 +159,21 @@ class KVCacheManager:
                      context_len: int) -> None:
         self.lens.append(context_len)
         self.sequences.append(sequence)
-        context_blocks = max(1, -(-context_len // self.tokens_per_block))
-        for _ in range(context_blocks):
-            # context blocks are shared across beams (they hold the prompt)
+        t = self.tokens_per_block
+        context_blocks = max(1, -(-context_len // t))
+        # full context blocks are shared across beams (they hold the prompt
+        # and are never written again); a PARTIAL last block is private per
+        # beam from the start — generation tokens land in it at every
+        # beam's own row, so sharing it would clobber siblings (the caller
+        # copies the partial prompt KV into each beam's private block after
+        # prefill; cf. ref replace_shared_block copy-on-write)
+        partial = (context_len % t != 0) or context_len == 0
+        full = context_blocks - (1 if partial else 0)
+        for _ in range(full):
             self.blocks_manager.allocate(sequence,
                                          share_across_beam=self.beam_width > 1)
+        if partial:
+            self.blocks_manager.allocate(sequence, share_across_beam=False)
 
     def step(self, finished: List[bool]) -> None:
         """Advance every live sequence by one token; allocate a fresh block

@@ -346,10 +346,24 @@ def test_beam_serving_matches_offline(sharp):
                                                       num_beams=W))
              for i, p in enumerate(prompts)]
     # max_batch_size=2 < len(prompts) forces queueing + slot reuse
-    results = _run_manager(model, queue, max_batch_size=2, max_seq_len=64,
-                           max_beam_width=W)
+    results = _run_manager(model, list(queue), max_batch_size=2,
+                           max_seq_len=64, max_beam_width=W)
     for i, g in enumerate(golden):
         assert results[i] == g, (i, results[i], g)
+    # paged beam serving (ref GptManager beams ON paged KV): shared prompt
+    # blocks + per-beam private generation chains + indirection-redirected
+    # reads must reproduce the dense beam manager exactly.  tokens_per_
+    # block=8 with prompt lens 5/3/7 exercises the partial-prompt-block
+    # replication; the tight pool proves shared-block refcounts recycle
+    paged = _run_manager(model, list(queue), max_batch_size=2,
+                         max_seq_len=64, max_beam_width=W, paged=True,
+                         tokens_per_block=8)
+    assert paged == results
+    tight = _run_manager(model, list(queue), max_batch_size=2,
+                         max_seq_len=64, max_beam_width=W, paged=True,
+                         tokens_per_block=8,
+                         num_blocks=2 * (W * 3 + 1))
+    assert tight == results
 
 
 def test_greedy_and_beam_coexist_in_beam_manager(sharp):

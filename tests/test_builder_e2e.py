@@ -16,28 +16,29 @@ DIMS = dict(n_mels=80, n_vocab=51865, n_audio_ctx=30, n_audio_state=32,
             n_text_head=4, n_text_layer=2)
 
 
-def _fake_openai_pt(path):
+def _fake_openai_pt(path, dims=None):
     """Random weights in OpenAI whisper state-dict layout."""
+    dims = dict(DIMS if dims is None else dims)
     g = torch.Generator().manual_seed(0)
-    d, dh = DIMS["n_audio_state"], DIMS["n_audio_state"]
+    d = dims["n_audio_state"]
 
     def r(*shape):
         return torch.randn(*shape, generator=g) * 0.05
 
     sd = {
-        "encoder.conv1.weight": r(d, DIMS["n_mels"], 3),
+        "encoder.conv1.weight": r(d, dims["n_mels"], 3),
         "encoder.conv1.bias": r(d),
         "encoder.conv2.weight": r(d, d, 3),
         "encoder.conv2.bias": r(d),
         "encoder.ln_post.weight": 1 + r(d) * 0,
         "encoder.ln_post.bias": r(d) * 0,
-        "decoder.token_embedding.weight": r(DIMS["n_vocab"], d),
-        "decoder.positional_embedding": r(DIMS["n_text_ctx"], d),
+        "decoder.token_embedding.weight": r(dims["n_vocab"], d),
+        "decoder.positional_embedding": r(dims["n_text_ctx"], d),
         "decoder.ln.weight": torch.ones(d),
         "decoder.ln.bias": torch.zeros(d),
     }
-    for side, n_layer, cross in (("encoder", DIMS["n_audio_layer"], False),
-                                 ("decoder", DIMS["n_text_layer"], True)):
+    for side, n_layer, cross in (("encoder", dims["n_audio_layer"], False),
+                                 ("decoder", dims["n_text_layer"], True)):
         for i in range(n_layer):
             p = f"{side}.blocks.{i}."
             sd.update({
@@ -69,7 +70,7 @@ def _fake_openai_pt(path):
                     p + "cross_attn.out.weight": r(d, d),
                     p + "cross_attn.out.bias": r(d),
                 })
-    torch.save({"dims": DIMS, "model_state_dict": sd}, path)
+    torch.save({"dims": dims, "model_state_dict": sd}, path)
     return path
 
 
