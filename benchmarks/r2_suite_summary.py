@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Summarise /tmp/r2suite logs into one table (run after r2_tpu_suite.sh)."""
+"""Summarise suite logs into one table (run after r2/r3_tpu_suite.sh):
+``python benchmarks/r2_suite_summary.py [/tmp/r3suite]``."""
 import glob
 import json
 import os
 import re
+import sys
 
-OUT = "/tmp/r2suite"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r2suite"
 for f in sorted(glob.glob(os.path.join(OUT, "*.log"))):
     name = os.path.basename(f)[:-4]
     txt = open(f, errors="replace").read()

@@ -308,6 +308,39 @@ class GenerationSession:
         sc = self.sampling_config
         beam = sc.num_beams
         b, in_len = input_ids.shape
+        if beam > 1 and not self.use_cache_indirection:
+            # physical-gather beam reorder rematerialises the WHOLE cache
+            # every step: the gathered copy + the donated carry's double
+            # buffer put ~3x the cache bytes live at once.  At 2k ctx on a
+            # 24L/1024h model that is ~9 GB and it OOM-killed the axon v5e
+            # worker (round-2 beam_bench 'gather' mode crash — root cause:
+            # memory, not a kernel bug).  cache_indirection (default)
+            # carries a [B, beam, S] row map instead and is also ~26x
+            # faster at 2k ctx; this mode exists as a numerical
+            # cross-check for small shapes.
+            mc = self.model_config
+            nkv = mc.num_kv_heads or mc.num_heads
+            total = in_len + max_new_tokens
+            cache_bytes = (mc.num_layers * b * beam * 2 * nkv * total
+                           * (mc.hidden_size // mc.num_heads) * 2)
+            live = 3 * cache_bytes
+            limit = None
+            try:
+                stats = jax.devices()[0].memory_stats()
+                limit = stats.get("bytes_limit") if stats else None
+            except Exception:
+                pass
+            if limit and live > 0.9 * limit:
+                raise MemoryError(
+                    f"physical-gather beam decode needs ~{live / 1e9:.1f} GB "
+                    f"live cache (> device limit {limit / 1e9:.1f} GB); use "
+                    "use_cache_indirection=True (the default)")
+            if live > 4e9:
+                from ..logger import logger
+                logger.warning(
+                    f"physical-gather beam decode will hold "
+                    f"~{live / 1e9:.1f} GB of cache copies live per step; "
+                    "prefer use_cache_indirection=True")
         prompt_len = (bucket_length(in_len) if self.bucket_prompts
                       else in_len)
         pad = prompt_len - in_len
