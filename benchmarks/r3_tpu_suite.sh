@@ -29,7 +29,12 @@ EWT_FUSE_PROJ=0 EWT_FUSE_Q=0 run bench_nofuse 1400 python bench.py
 BENCH_CKV_DYNAMIC=1 run bench_ckvdyn 1400 python bench.py
 EWT_FUSE_QKV=1 run bench_fuseqkv 1400 python bench.py
 BENCH_QUANT=bf16 run bench_bf16 1400 python bench.py
+# r3 candidate: bf16 dense out-proj epilogue ("nk" kernel dots) — adopt as
+# default or delete per this A/B (the int8-GEMV discipline)
+BENCH_QUANT=bf16 EWT_FUSE_PROJ_BF16=1 run bench_bf16_projfuse 1400 python bench.py
 BENCH_BATCH=8 run bench_b8 1400 python bench.py
+# GPT-350M bf16 bs1 with the bf16 epilogue (VERDICT next#6's target row)
+EWT_FUSE_PROJ_BF16=1 run gpt_bf16_projfuse 1200 python benchmarks/benchmark.py --quant none --batch_size 1
 
 # ---- int4: group-wise vs per-channel, pallas vs xla (r3) --------------------
 BENCH_QUANT=woq4 run bench_woq4_g128 1400 python bench.py

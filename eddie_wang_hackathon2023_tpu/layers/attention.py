@@ -60,7 +60,18 @@ def proj_fusion_hoistable(attn) -> bool:
     array instead of XLA materialising a per-layer HBM slice copy each
     step."""
     d = getattr(attn, "dense", None)
-    return _woq8_unsharded(d)
+    if _woq8_unsharded(d):
+        return True
+    # bf16/f32 dense epilogue: same fusion with the weight in its native
+    # [N, K] layout — default OFF pending a device A/B (the "nk" dots
+    # contract both minors, whose MXU cost vs the replaced GEMV launch is
+    # unmeasured; the int8-GEMV discipline: measure, then adopt or delete)
+    from ..plugin import get_plugin_config
+    return (get_plugin_config().use_fuse_decode_proj_bf16()
+            and d is not None
+            and getattr(d, "qweight", None) is None
+            and getattr(d, "weight", None) is not None
+            and getattr(d, "tp_size", 1) == 1)
 
 
 def q_fusion_hoistable(attn) -> bool:
@@ -282,14 +293,17 @@ class Attention(Module):
 
     def _decode_proj_operands(self, batch: int = 1):
         """Out-projection operands for the fused Pallas decode kernel
-        (ops.pallas_decode_attention proj=): only the int8 WOQ dense
-        qualifies — its qweight is already [K, N] K-major, so the kernel
-        view [H, D, N] is free; bf16 Linear stores [out, in] and would
-        need a per-step transpose.  tp>1 needs the XLA dense's automatic
-        partial-sum reduction.  Returns (w, scale, bias) or None.
+        (ops.pallas_decode_attention proj=): the int8 WOQ dense (qweight
+        already [K, N] K-major, kernel view [H, D, N] free) or — behind
+        PluginConfig.fuse_decode_proj_bf16, default off pending device
+        A/B — the plain float Linear in its native [N, K] layout (the
+        kernel's "nk" per-head dots contract the minor dims; a per-step
+        transpose would copy the whole stacked weight).  tp>1 needs the
+        XLA dense's automatic partial-sum reduction.  Returns
+        (w, scale, bias[, layout]) or None.
 
-        Inside a scanned decoder the bound qweight may be the FULL
-        stacked [L, K, N] array (see ``proj_fusion_hoistable``) — passed
+        Inside a scanned decoder the bound weight may be the FULL
+        stacked [L, ...] array (see ``proj_fusion_hoistable``) — passed
         through as-is; the kernel's index_map picks the layer panel.
 
         ``batch``: the fused epilogue runs its per-head dots once per
@@ -299,13 +313,17 @@ class Attention(Module):
         from ..plugin import get_plugin_config
         if batch != 1:
             return None
-        if not get_plugin_config().use_fuse_decode_proj():
+        cfg = get_plugin_config()
+        if not cfg.use_fuse_decode_proj():
             return None
         if not proj_fusion_hoistable(self):
             return None
         d = self.dense
-        return (d.qweight.value, d.per_channel_scale.value,
-                None if d.bias is None else d.bias.value)
+        if getattr(d, "qweight", None) is not None:
+            return (d.qweight.value, d.per_channel_scale.value,
+                    None if d.bias is None else d.bias.value)
+        return (d.weight.value, None,
+                None if d.bias is None else d.bias.value, "nk")
 
     def _decode_q_operands(self, batch: int = 1):
         """q-projection operands for the fused Pallas decode kernel

@@ -293,10 +293,13 @@ class DecoderLMHead(Module):
                 cfg = get_plugin_config()
                 if cfg.use_pallas_decode() and cfg.use_fuse_decode_proj():
                     from ..layers.attention import proj_fusion_hoistable
-                    key = "attention.dense.qweight"
-                    if proj_fusion_hoistable(block.attention) and \
-                            key in stacked:
-                        hoisted[key] = stacked.pop(key)
+                    if proj_fusion_hoistable(block.attention):
+                        key = "attention.dense." + (
+                            "qweight"
+                            if getattr(block.attention.dense, "qweight",
+                                       None) is not None else "weight")
+                        if key in stacked:
+                            hoisted[key] = stacked.pop(key)
                 if cfg.use_pallas_decode() and cfg.use_fuse_decode_qkv():
                     from ..layers.attention import qkv_fusion_hoistable
                     a = block.attention

@@ -338,10 +338,16 @@ class WhisperDecoder(Module):
                 from ...layers.attention import (proj_fusion_hoistable,
                                                  q_fusion_hoistable)
                 if cfg.use_fuse_decode_proj():
-                    for mod, key in ((block.attn, "attn.dense.qweight"),
-                                     (block.cross_attn,
-                                      "cross_attn.dense.qweight")):
-                        if proj_fusion_hoistable(mod) and key in stacked:
+                    for mod, base in ((block.attn, "attn.dense."),
+                                      (block.cross_attn,
+                                       "cross_attn.dense.")):
+                        if not proj_fusion_hoistable(mod):
+                            continue
+                        key = base + (
+                            "qweight"
+                            if getattr(mod.dense, "qweight", None)
+                            is not None else "weight")
+                        if key in stacked:
                             hoisted[key] = stacked.pop(key)
                 if cfg.use_fuse_decode_q() and \
                         q_fusion_hoistable(block.cross_attn):

@@ -46,8 +46,8 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             q_ref, kv_ref,
             *rest, scale: float, quant: bool, with_fresh: bool,
             with_tail: bool, with_proj: bool, proj_quant: bool,
-            proj_bias: bool, with_xq: bool, xq_quant: bool, xq_bias: bool,
-            with_xqkv: bool, cache_dt,
+            proj_bias: bool, proj_nk: bool, with_xq: bool, xq_quant: bool,
+            xq_bias: bool, with_xqkv: bool, cache_dt,
             cdt, cs: int, n_chunks: int, s_max: int):
     # positional order: scalar-prefetch refs, input refs, output ref(s),
     # scratch refs (running max / denom / context accumulator, + the
@@ -90,12 +90,22 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         ctx_a = ctx.astype(cdt)                            # [H, D]
         # per-head [1,D]x[D,N] dots, statically unrolled (Mosaic has no
         # batched-3D dot or [H,D]->[1,H*D] shape cast; static sublane
-        # slices + 2D matmuls lower cleanly), summed over heads
+        # slices + 2D matmuls lower cleanly), summed over heads.
+        # proj_nk: the weight rides in the Linear layer's native [N, K]
+        # layout (bf16 dense — transposing it per step would copy the
+        # whole stacked weight); the per-head dot contracts both minors
+        # ("NT" gemm)
         out = None
         for h in range(ctx_a.shape[0]):
-            part = jax.lax.dot(
-                ctx_a[h:h + 1, :], pw[0, h].astype(cdt),
-                preferred_element_type=jnp.float32)        # [1, N]
+            if proj_nk:
+                part = jax.lax.dot_general(
+                    ctx_a[h:h + 1, :], pw[0, :, h].astype(cdt),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [1, N]
+            else:
+                part = jax.lax.dot(
+                    ctx_a[h:h + 1, :], pw[0, h].astype(cdt),
+                    preferred_element_type=jnp.float32)    # [1, N]
             out = part if out is None else out + part
         i = 1
         if proj_quant:
@@ -433,17 +443,31 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
 
     with_proj = proj is not None
     proj_quant = proj_bias = False
+    proj_nk = False
     if with_proj:
-        pw, pscale, pbias = proj
-        N = pw.shape[-1]
-        assert pw.shape[-2] == H * D, \
-            f"proj weight [..., {H*D}, N], got {pw.shape}"
-        # [K, N] per-layer slice, or the FULL stacked [L, K, N] weight: a
-        # stacked operand + layer index_map makes the layer panel a
-        # direct HBM->VMEM DMA — passing the slice instead costs a
-        # materialised per-layer HBM copy every step (profiled 0.24
-        # ms/step as constant_dynamic-slice fusions on large-v2)
-        pw = pw.reshape(-1, H, D, N)             # free view: K contiguous
+        if len(proj) == 4:
+            pw, pscale, pbias, layout = proj
+            proj_nk = layout == "nk"
+        else:
+            pw, pscale, pbias = proj
+        if proj_nk:
+            # bf16 dense: the Linear layer's native [N, K] ([L, N, K]
+            # stacked) layout — per-step transposition would copy the
+            # whole weight, so the kernel contracts the minor dims instead
+            N = pw.shape[-2]
+            assert pw.shape[-1] == H * D, \
+                f"proj weight [..., N, {H*D}], got {pw.shape}"
+            pw = pw.reshape(-1, N, H, D)         # free view: K contiguous
+        else:
+            N = pw.shape[-1]
+            assert pw.shape[-2] == H * D, \
+                f"proj weight [..., {H*D}, N], got {pw.shape}"
+            # [K, N] per-layer slice, or the FULL stacked [L, K, N] weight:
+            # a stacked operand + layer index_map makes the layer panel a
+            # direct HBM->VMEM DMA — passing the slice instead costs a
+            # materialised per-layer HBM copy every step (profiled 0.24
+            # ms/step as constant_dynamic-slice fusions on large-v2)
+            pw = pw.reshape(-1, H, D, N)         # free view: K contiguous
         stacked_w = pw.shape[0] > 1
         proj_quant = pscale is not None
         proj_bias = pbias is not None
@@ -454,8 +478,9 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         def s_map(b, c, lref, sref, stref, kref, tref):
             return (0, 0)
 
-        in_specs += [pl.BlockSpec((1, H, D, N), w_map,
-                                  memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec(
+            (1, N, H, D) if proj_nk else (1, H, D, N), w_map,
+            memory_space=pltpu.VMEM)]
         args += [pw]
         if proj_quant:
             in_specs += [pl.BlockSpec((1, N), s_map,
@@ -532,8 +557,9 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     kernel = functools.partial(
         _kernel, scale=float(scale), quant=quant, with_fresh=with_fresh,
         with_tail=with_tail, with_proj=with_proj, proj_quant=proj_quant,
-        proj_bias=proj_bias, with_xq=with_xq, xq_quant=xq_quant,
-        xq_bias=xq_bias, with_xqkv=with_xqkv, cache_dt=full_cache.dtype,
+        proj_bias=proj_bias, proj_nk=proj_nk, with_xq=with_xq,
+        xq_quant=xq_quant, xq_bias=xq_bias, with_xqkv=with_xqkv,
+        cache_dt=full_cache.dtype,
         cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
     bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B
     out = pl.pallas_call(

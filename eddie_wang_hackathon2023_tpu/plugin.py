@@ -67,6 +67,12 @@ class PluginConfig:
     # GEMV per attention).  Only applies where pallas_decode applies and
     # the dense layer is int8 WOQ, tp=1.  None = on with pallas_decode
     fuse_decode_proj: Optional[bool] = None
+    # extend the fused out-projection epilogue to UN-quantised (bf16/f32)
+    # dense weights in their native [N, K] layout ("nk" kernel dots).
+    # Default OFF pending a device A/B — the minor-contracting dots' MXU
+    # cost vs the replaced GEMV launch is unmeasured (fusion_sweep has a
+    # cell; adopt or delete after the r3 suite runs)
+    fuse_decode_proj_bf16: Optional[bool] = None
     # fuse the SELF-attention QKV projection into the Pallas decode
     # kernel prologue (fresh K/V computed, cache-cast and emitted
     # in-kernel).  WOQ8 qkv, float KV cache, no rope/alibi, batch 1.
@@ -133,6 +139,12 @@ class PluginConfig:
         if self.fuse_decode_proj is not None:
             return self.fuse_decode_proj
         return True
+
+    def use_fuse_decode_proj_bf16(self) -> bool:
+        v = os.environ.get("EWT_FUSE_PROJ_BF16")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        return bool(self.fuse_decode_proj_bf16)
 
     def use_fuse_decode_qkv(self) -> bool:
         v = os.environ.get("EWT_FUSE_QKV")

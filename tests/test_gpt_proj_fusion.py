@@ -69,6 +69,42 @@ def test_gpt_woq_proj_fusion_token_exact(monkeypatch, tail):
     assert outs["0"] == outs["1"]
 
 
+@pytest.mark.parametrize("tail", [0, 4])
+def test_gpt_bf16_proj_fusion_token_exact(monkeypatch, tail):
+    """The round-3 bf16 dense epilogue (EWT_FUSE_PROJ_BF16, weight in its
+    native [N, K] layout, "nk" kernel dots): an UN-quantised DecoderLMHead
+    must decode token-exact with the fusion on vs off, exercising the
+    scan-xs .weight hoisting."""
+    model = DecoderLMHead(
+        DecoderConfig(vocab_size=128, hidden_size=64, num_layers=3,
+                      num_heads=4, max_position_embeddings=96,
+                      dtype="float32"))
+    model.zeros_init()
+    _rand_load(model, 9)
+    mc = ModelConfig(vocab_size=128, num_layers=3, num_heads=4,
+                     hidden_size=64)
+    rs = np.random.RandomState(1)
+    ids = rs.randint(0, 128, (1, 11)).astype(np.int32)
+    lens = np.asarray([7], np.int32)
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    monkeypatch.setenv("EWT_DECODE_TAIL", str(tail))
+    from eddie_wang_hackathon2023_tpu.layers.attention import \
+        proj_fusion_hoistable
+    monkeypatch.setenv("EWT_FUSE_PROJ_BF16", "1")
+    assert proj_fusion_hoistable(model.blocks.attention)
+    monkeypatch.setenv("EWT_FUSE_PROJ_BF16", "0")
+    assert not proj_fusion_hoistable(model.blocks.attention)
+    outs = {}
+    for fuse in ("0", "1"):
+        monkeypatch.setenv("EWT_FUSE_PROJ_BF16", fuse)
+        sess = GenerationSession(mc, model,
+                                 SamplingConfig(end_id=-1, pad_id=0))
+        toks, slens, cum = sess.decode(ids, lens, max_new_tokens=9)
+        outs[fuse] = (toks.tolist(), slens.tolist())
+        del sess
+    assert outs["0"] == outs["1"]
+
+
 def test_mqa_family_pallas_env_token_exact(monkeypatch):
     """SantaCoder (MQA): with EWT_PALLAS_DECODE=1 the kernel must decline
     (unequal query/KV heads) and generation stays token-exact vs the

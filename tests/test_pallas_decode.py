@@ -230,6 +230,39 @@ def test_fused_out_projection(quant_w):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_out_projection_nk_layout():
+    """proj= epilogue with the weight in the Linear layer's NATIVE [N, K]
+    layout (bf16 dense fusion, "nk" dots) — must equal the [K, N] path and
+    the XLA dense, single and stacked (index-map-selected) weights."""
+    N = H * D
+    rs = np.random.RandomState(11)
+    w = rs.randn(N, N).astype(np.float32) * 0.1   # [N, K] row-major
+    bias = rs.randn(N).astype(np.float32) * 0.1
+    wj = jnp.asarray(w)
+    cache, q = mk(jnp.int8)
+    seq = jnp.asarray([S, S], jnp.int32)
+    scale, kscale = 1.0 / D ** 0.5, 0.05
+    ctx = fused_decode_attention(cache, 1, q, seq, scale,
+                                 kv_quant_orig_scale=kscale, interpret=True)
+    merged = ctx.transpose(0, 2, 1, 3).reshape(B, 1, N)
+    ref = (jnp.matmul(merged, wj.T, preferred_element_type=jnp.float32)
+           .astype(merged.dtype) + jnp.asarray(bias, merged.dtype))
+    out = fused_decode_attention(cache, 1, q, seq, scale,
+                                 kv_quant_orig_scale=kscale,
+                                 proj=(wj, None, jnp.asarray(bias), "nk"),
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref.reshape(B, N)),
+                               rtol=2e-5, atol=2e-5)
+    wstack = jnp.stack([jnp.full_like(wj, 99.0), wj,
+                        jnp.full_like(wj, -5.0)])
+    out_st = fused_decode_attention(
+        cache, 1, q, seq, scale, kv_quant_orig_scale=kscale,
+        proj=(wstack, None, jnp.asarray(bias), "nk"), interpret=True)
+    np.testing.assert_allclose(np.asarray(out_st),
+                               np.asarray(ref.reshape(B, N)),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("quant_w", [True, False])
 @pytest.mark.parametrize("stacked", [False, True])
 def test_fused_q_projection(quant_w, stacked):
