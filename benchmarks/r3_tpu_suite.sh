@@ -41,6 +41,12 @@ BENCH_QUANT=woq4 run bench_woq4_g128 1400 python bench.py
 BENCH_QUANT=woq4 EWT_INT4_GROUP=0 run bench_woq4_perchan 1400 python bench.py
 BENCH_QUANT=woq4 EWT_INT4_XLA=1 run bench_woq4_xla 1400 python bench.py
 
+# ---- small-op-floor fusions (r3 candidates; adopt or delete per A/B) --------
+EWT_FUSE_LN=1 EWT_FUSE_RESIDUAL=1 run bench_lnres 1400 python bench.py
+# scan_unroll sweep (the other small-op lever the r2 verdict named)
+EWT_SCAN_UNROLL=2 run bench_unroll2 1400 python bench.py
+EWT_SCAN_UNROLL=4 run bench_unroll4 1400 python bench.py
+
 # ---- traces for the README roofline table ----------------------------------
 BENCH_QUANT="woq8+ckv8+lmq8" PROFILE_TARGET=loop LOOP_STEPS=32 \
     run prof_loop 1400 python benchmarks/profile_decode.py

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import enum
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -427,7 +427,9 @@ class Attention(Module):
                 attention_start=None,
                 beam_indirection=None,
                 valid_len: Optional[int] = None,
-                use_cache: bool = False):
+                use_cache: bool = False,
+                residual=None,
+                prologue_ln: Optional[Tuple] = None):
         b, l, _ = hidden_states.shape
 
         if self.cross_attention:
@@ -435,7 +437,23 @@ class Attention(Module):
                 "cross attention consumes precomputed cross K/V (ref attention.py:308-323)"
             key, value, cross_scale, seq_minor = \
                 self._unpack_cross_kv(cross_key_value)
-            if seq_minor and l == 1 and _pallas_decode():
+
+            def _ret(out, fused_res=False):
+                # ``residual`` contract: when given, the return ALWAYS
+                # includes it — fused into the kernel epilogue when
+                # eligible, added here otherwise
+                if residual is not None and not fused_res:
+                    out = out + residual
+                return (out, past_key_value) if use_cache else out
+
+            use_fused = seq_minor and l == 1 and _pallas_decode()
+            xq_ops = self._decode_q_operands(batch=b) if use_fused else None
+            if prologue_ln is not None and xq_ops is None:
+                # LN couldn't fuse into the prologue: apply it here (same
+                # functional the block's LayerNorm uses — bit-identical)
+                from ..functional import layer_norm
+                hidden_states = layer_norm(hidden_states, *prologue_ln)
+            if use_fused:
                 # stacked seq-minor decode: fused kernel, q-projection
                 # fused into its prologue when the WOQ operands qualify
                 assert attention_mask is None
@@ -446,20 +464,23 @@ class Attention(Module):
                     full = full[0]
                 s_full = jnp.full((b,), key.shape[3], jnp.int32)
                 proj = self._decode_proj_operands(batch=b)
-                xq_ops = self._decode_q_operands(batch=b)
+                fuse_res = residual is not None and proj is not None
                 if xq_ops is not None:
                     res = fused_decode_attention(
                         full, li, None, s_full, self.scale,
                         kv_quant_orig_scale=cross_scale, proj=proj,
-                        xq=(hidden_states,) + xq_ops)
+                        xq=(hidden_states,) + xq_ops,
+                        ln=prologue_ln,
+                        residual=residual if fuse_res else None)
                 else:
                     query = self._split_heads(self.q_linear(hidden_states))
                     res = fused_decode_attention(
                         full, li, query, s_full, self.scale,
-                        kv_quant_orig_scale=cross_scale, proj=proj)
+                        kv_quant_orig_scale=cross_scale, proj=proj,
+                        residual=residual if fuse_res else None)
                 out = (res[:, None, :] if proj is not None
                        else self.dense(self._merge_heads(res)))
-                return (out, past_key_value) if use_cache else out
+                return _ret(out, fused_res=fuse_res)
             query = self._split_heads(self.q_linear(hidden_states))
             if seq_minor:
                 # stacked [.,.,D,S] views: unmasked attention via the
@@ -469,8 +490,7 @@ class Attention(Module):
                 ctx = cached_decode_attention(
                     query, (key, value), s_full, scale=self.scale,
                     kv_quant_orig_scale=cross_scale)
-                out = self.dense(self._merge_heads(ctx))
-                return (out, past_key_value) if use_cache else out
+                return _ret(self.dense(self._merge_heads(ctx)))
             if key.dtype == jnp.int8:
                 key = (key.astype(jnp.float32) * cross_scale).astype(query.dtype)
                 value = (value.astype(jnp.float32) * cross_scale).astype(query.dtype)
@@ -479,8 +499,7 @@ class Attention(Module):
                 value = value.astype(query.dtype)
             ctx = flash_mha(query, key, value, causal=False, scale=self.scale,
                             bias=attention_mask)
-            out = self.dense(self._merge_heads(ctx))
-            return (out, past_key_value) if use_cache else out
+            return _ret(self.dense(self._merge_heads(ctx)))
 
         fused_qkv = self._try_fused_qkv_decode(
             hidden_states, past_key_value, cache_write_index,

@@ -75,8 +75,27 @@ class ResidualAttentionBlock(Module):
             attn_out, kv_cache = attn_out
         x = x + attn_out
         if self.cross_attention:
-            x = x + self.cross_attn(self.cross_attn_ln(x),
-                                    cross_key_value=cross_kv)
+            from ...plugin import get_plugin_config
+            cfg = get_plugin_config()
+            fuse_ln = cfg.use_fuse_decode_ln()
+            fuse_res = cfg.use_fuse_decode_residual()
+            if fuse_ln or fuse_res:
+                # small-op-floor fusions: the attention folds the pre-LN
+                # into its kernel prologue and the residual add into its
+                # proj epilogue where eligible (and applies both itself
+                # on every fallback path — the contract in
+                # Attention.forward makes this unconditional-safe)
+                ln = self.cross_attn_ln
+                out = self.cross_attn(
+                    x if fuse_ln else ln(x),
+                    cross_key_value=cross_kv,
+                    residual=x if fuse_res else None,
+                    prologue_ln=((ln.weight.value, ln.bias.value, ln.eps)
+                                 if fuse_ln else None))
+                x = out if fuse_res else x + out
+            else:
+                x = x + self.cross_attn(self.cross_attn_ln(x),
+                                        cross_key_value=cross_kv)
         x = x + self.mlp2(gelu(self.mlp1(self.mlp_ln(x))))
         if use_cache:
             return x, kv_cache

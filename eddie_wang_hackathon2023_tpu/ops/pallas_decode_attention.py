@@ -47,7 +47,8 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             *rest, scale: float, quant: bool, with_fresh: bool,
             with_tail: bool, with_proj: bool, proj_quant: bool,
             proj_bias: bool, proj_nk: bool, with_xq: bool, xq_quant: bool,
-            xq_bias: bool, with_xqkv: bool, cache_dt,
+            xq_bias: bool, with_xqkv: bool, with_res: bool, with_ln: bool,
+            ln_eps: float, cache_dt,
             cdt, cs: int, n_chunks: int, s_max: int):
     # positional order: scalar-prefetch refs, input refs, output ref(s),
     # scratch refs (running max / denom / context accumulator, + the
@@ -62,6 +63,13 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
     if with_xqkv:
         ok_ref, ov_ref = rest[-(n_scr + 2)], rest[-(n_scr + 1)]
     extra = rest[:-(n_scr + n_out)]
+    # residual / prologue-LN operands ride at the very end of the inputs
+    if with_res:
+        res_ref = extra[-1]
+        extra = extra[:-1]
+    if with_ln:
+        lng_ref, lnb_ref = extra[-2:]
+        extra = extra[:-2]
     if with_xq or with_xqkv:
         # q(kv)-projection operands ride last: weight block
         # [1, dm, H, D] (xq) / [1, dm, 3H, D] (xqkv)
@@ -113,6 +121,10 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             i += 1
         if proj_bias:
             out = out + proj_refs[i][...]
+        if with_res:
+            # fused residual add (the block's x + attn_out): one less
+            # elementwise dispatch per layer per step
+            out = out + res_ref[...].astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
     b = pl.program_id(0)
     c = pl.program_id(1)
@@ -144,7 +156,17 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
                 xsc = xq_refs[i][0].astype(jnp.float32)    # [(3)H, D]
                 i += 1
             xb = xq_refs[i][0].astype(cdt) if xq_bias else None
-            xa = q_ref[0].astype(cdt)                      # [1, dm]
+            xa = q_ref[0].astype(jnp.float32)              # [1, dm]
+            if with_ln:
+                # fused pre-LN (functional.layer_norm numerics: fp32
+                # statistics, affine, then cast) — the LN dispatch leaves
+                # the XLA stream and rides the prologue
+                mu = jnp.mean(xa, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(xa - mu), axis=-1, keepdims=True)
+                xa = (xa - mu) * jax.lax.rsqrt(var + ln_eps)
+                xa = xa * lng_ref[...].astype(jnp.float32) + \
+                    lnb_ref[...].astype(jnp.float32)
+            xa = xa.astype(cdt)
             H = qs_ref.shape[0]
 
             def proj_row(r):
@@ -285,6 +307,8 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            proj: Optional[Tuple] = None,
                            xq: Optional[Tuple] = None,
                            xqkv: Optional[Tuple] = None,
+                           residual=None,
+                           ln: Optional[Tuple] = None,
                            chunk: Optional[int] = None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
@@ -530,6 +554,34 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                                       memory_space=pltpu.VMEM)]
             args += [jnp.asarray(xb).reshape(1, n_rows, D)]
 
+    # fused pre-LN of the prologue's hidden state (``ln`` = (gamma, beta,
+    # eps)) and fused residual add into the proj epilogue (``residual``
+    # [B, N] or [B, 1, N]) — the small-op-floor fusions (round-3): each
+    # removes one elementwise dispatch per layer per step
+    with_ln = ln is not None
+    ln_eps = 0.0
+    if with_ln:
+        assert with_xq or with_xqkv, \
+            "fused LN applies to the q(kv) prologue's hidden state"
+        lng, lnb, ln_eps = ln
+        dm = q.shape[-1]
+
+        def ln_map(b, c, lref, sref, stref, kref, tref):
+            return (0, 0)
+
+        in_specs += [pl.BlockSpec((1, dm), ln_map, memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, dm), ln_map, memory_space=pltpu.VMEM)]
+        args += [jnp.asarray(lng).reshape(1, dm),
+                 jnp.asarray(lnb).reshape(1, dm)]
+    with_res = residual is not None
+    if with_res:
+        assert with_proj, "fused residual applies to the proj epilogue"
+        res = jnp.asarray(residual).reshape(B, -1)
+        assert res.shape[1] == N, (res.shape, N)
+        in_specs += [pl.BlockSpec((1, N), o_proj_map,
+                                  memory_space=pltpu.VMEM)]
+        args += [res]
+
     if with_xqkv:
         out_spec = [out_spec,
                     pl.BlockSpec((1, H, D), o_map, memory_space=pltpu.VMEM),
@@ -559,6 +611,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         with_tail=with_tail, with_proj=with_proj, proj_quant=proj_quant,
         proj_bias=proj_bias, proj_nk=proj_nk, with_xq=with_xq,
         xq_quant=xq_quant, xq_bias=xq_bias, with_xqkv=with_xqkv,
+        with_res=with_res, with_ln=with_ln, ln_eps=float(ln_eps),
         cache_dt=full_cache.dtype,
         cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
     bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B

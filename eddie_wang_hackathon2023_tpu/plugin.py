@@ -73,6 +73,12 @@ class PluginConfig:
     # cost vs the replaced GEMV launch is unmeasured (fusion_sweep has a
     # cell; adopt or delete after the r3 suite runs)
     fuse_decode_proj_bf16: Optional[bool] = None
+    # small-op-floor fusions (round-3, default OFF pending device A/B —
+    # the decode trace shows ~0.6 ms/step of sub-microsecond dispatches):
+    # fold the pre-LN into the fused kernel's q prologue and the block's
+    # residual add into its proj epilogue (whisper cross-attention decode)
+    fuse_decode_ln: Optional[bool] = None
+    fuse_decode_residual: Optional[bool] = None
     # fuse the SELF-attention QKV projection into the Pallas decode
     # kernel prologue (fresh K/V computed, cache-cast and emitted
     # in-kernel).  WOQ8 qkv, float KV cache, no rope/alibi, batch 1.
@@ -145,6 +151,18 @@ class PluginConfig:
         if v is not None:
             return v not in ("0", "false", "off")
         return bool(self.fuse_decode_proj_bf16)
+
+    def use_fuse_decode_ln(self) -> bool:
+        v = os.environ.get("EWT_FUSE_LN")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        return bool(self.fuse_decode_ln)
+
+    def use_fuse_decode_residual(self) -> bool:
+        v = os.environ.get("EWT_FUSE_RESIDUAL")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        return bool(self.fuse_decode_residual)
 
     def use_fuse_decode_qkv(self) -> bool:
         v = os.environ.get("EWT_FUSE_QKV")
