@@ -181,10 +181,6 @@ class ContinuousBatchingManager:
         # reordering rides the cache_indirection row map — the cache never
         # physically reorders (same trick as the offline GenerationSession)
         self.W = max(1, max_beam_width)
-        if self.W > 1 and mixed_admission:
-            raise NotImplementedError(
-                "beam serving with mixed admission is not implemented "
-                "(admission prefill runs as a separate dispatch)")
         # tokens generated per scheduler tick: >1 amortises the host round
         # trip (dominant on remote/tunnelled devices) at the cost of up to
         # steps_per_tick-1 wasted steps after a slot hits EOT and the same
@@ -210,8 +206,16 @@ class ContinuousBatchingManager:
             self._kv_seqs: Dict[int, GenerationSequence] = {}   # slot -> seq
             self._seq_counter = 0
             self.cache = None
+            self.S_cache = self.S
         else:
-            self.cache = model.new_kv_cache(self.B * self.W, self.S)
+            # beam x mixed: the chunk feeder parks excluded rows' window
+            # writes at their NEXT pending position; chunk_width columns of
+            # slack keep the end-of-cache dynamic-update-slice from
+            # clamping back onto real KV
+            self.S_cache = self.S + (max(2, chunk_width)
+                                     if mixed_admission and self.W > 1
+                                     else 0)
+            self.cache = model.new_kv_cache(self.B * self.W, self.S_cache)
         self.sched = make_scheduler(self.B, self.S, _scalar(self.sc.end_id),
                                     native_scheduler)
         self._requests: Dict[int, InferenceRequest] = {}   # queued, by id
@@ -252,7 +256,7 @@ class ContinuousBatchingManager:
         if self.W > 1:
             # beam state: device-resident indirection; host mirrors of the
             # small per-(slot, beam) arrays (the tick fetches tokens anyway)
-            self._ind = jnp.zeros((self.B, self.W, self.S), jnp.int32)
+            self._ind = jnp.zeros((self.B, self.W, self.S_cache), jnp.int32)
             self._pending = np.zeros((self.B, self.W), np.int32)
             self._cum = np.full((self.B, self.W), -1e9, np.float32)
             self._fins = np.ones((self.B, self.W), bool)
@@ -858,6 +862,37 @@ class ContinuousBatchingManager:
         """Admission into a beam-enabled manager (W > 1)."""
         prompt = np.asarray(req.input_ids, np.int32).reshape(1, -1)
         p = prompt.shape[1]
+        if self.mixed_admission:
+            # beam x mixed: the chunk FEEDER streams the whole prompt into
+            # the slot's beam-0 row through the mixed window program while
+            # other slots keep beam-decoding; at handoff the slot joins
+            # the beam tick with pending = the last prompt token, whose
+            # (re)write + logits reproduce the beam-prefill expansion
+            # exactly (see _beam_handoff)
+            self._set_slot_sampling(slot, req)
+            sc = req.sampling or self.sc
+            w = max(1, int(getattr(sc, "num_beams", 1)))
+            if w > self.W:
+                raise ValueError(f"request {req.request_id} wants {w} "
+                                 f"beams; manager max_beam_width is {self.W}")
+            self._beam_w[slot] = w
+            self._is_sampled[slot] = w == 1
+            self.sched.on_admitted(slot, p)
+            self._ctx_lens[slot] = p
+            self.slot_request[slot] = req
+            self.slot_output[slot] = []
+            self._beam_hist[slot] = [[] for _ in range(self.W)]
+            # keep the slot out of done-checks until handoff
+            self._fins[slot] = True
+            self._cum[slot] = -1e9
+            self._prefill_prompt[slot] = prompt[0]
+            self._prefill_progress[slot] = 0
+            if self.paged:
+                seq = GenerationSequence(self._seq_counter, slot)
+                self._seq_counter += 1
+                self.kvman.add_sequence(seq, p)
+                self._kv_seqs[slot] = seq
+            return
         bucket = _bucket(p)
         padded = np.full((1, bucket), _scalar(self.sc.pad_id), np.int32)
         padded[0, :p] = prompt[0]
@@ -974,11 +1009,120 @@ class ContinuousBatchingManager:
         del self.slot_request[slot]
         del self._beam_hist[slot]
 
+    def _beam_feed_tick(self) -> None:
+        """beam x mixed admission: advance every feeding slot's prompt one
+        chunk through the mixed window program over the full B*W-row cache.
+        Non-feeding rows are excluded by valid=0 with their window writes
+        parked at the row's NEXT pending position (dense: overwritten
+        before ever attended, with chunk_width slack columns at the cache
+        end; paged: dropped or covered-but-unread) — so beam decoding
+        never stalls behind an admission."""
+        rows = self.B * self.W
+        Wc = self.chunk_width
+        active, lengths, _ = self.sched.state()
+        window = np.zeros((rows, Wc), np.int32)
+        write_pos = np.zeros((rows,), np.int32)
+        valid = np.zeros((rows,), np.int32)
+        is_prefill = np.zeros((rows,), bool)
+        no_mask = np.zeros((rows,), bool)
+        reset_mask = np.zeros((rows,), bool)
+        done_slots = []
+        for slot in range(self.B):
+            r0 = slot * self.W
+            if slot in self._prefill_progress:
+                off = self._prefill_progress[slot]
+                prompt = self._prefill_prompt[slot]
+                p = len(prompt)
+                k = min(Wc, p - off)
+                window[r0, :k] = prompt[off:off + k]
+                write_pos[r0] = off
+                valid[r0] = k
+                is_prefill[r0] = True
+                reset_mask[r0] = off == 0
+                self._prefill_progress[slot] = off + k
+                if off + k == p:
+                    done_slots.append(slot)
+            elif active[slot]:
+                write_pos[r0:r0 + self.W] = lengths[slot]
+        if self.paged:
+            cache_arg = self.pool
+            # CRITICAL: non-feeding rows' tables alias the slot's SHARED
+            # prompt blocks (beam sibling rows in particular) — their
+            # parked window writes would clobber the prompt.  Masking
+            # their tables to -1 makes every one of their lanes an
+            # out-of-range scatter (dropped); their attention reads are
+            # garbage but discarded (nothing samples in a feed tick)
+            tables = self._block_tables()
+            feed_rows = np.zeros((rows,), bool)
+            for slot in self._prefill_progress:
+                feed_rows[slot * self.W] = True
+            for slot in done_slots:
+                feed_rows[slot * self.W] = True
+            tables[~feed_rows] = -1
+            table_arg = jnp.asarray(tables)
+        else:
+            cache_arg = self.cache
+            table_arg = None
+        self._tick += 1
+        rng = jax.random.fold_in(self._base_key, self._tick)
+        _, new_cache, self._counts, self._tail = self._mixed_fn(
+            self.params, cache_arg, table_arg, self._counts, self._tail,
+            jnp.asarray(window), jnp.asarray(write_pos), jnp.asarray(valid),
+            jnp.asarray(is_prefill), jnp.asarray(no_mask),
+            jnp.asarray(reset_mask), jnp.asarray(np.zeros((rows,), np.int32)),
+            jnp.asarray(no_mask), self._decode_params_rows(), rng,
+            jnp.asarray(np.repeat(self._ctx_lens, self.W)))
+        if self.paged:
+            self.pool = new_cache
+        else:
+            self.cache = new_cache
+        for slot in done_slots:
+            self._beam_handoff(slot)
+
+    def _handoff_impl(self, counts, tail, ind, slot):
+        """Broadcast the fed slot's beam-0 penalty counts + ban tail to its
+        sibling beam rows and zero its indirection (prompt reads -> row 0)."""
+        W, v = self.W, self._vocab
+        row0 = slot * W
+        c0 = jax.lax.dynamic_slice(counts, (row0, 0), (1, v))
+        counts = jax.lax.dynamic_update_slice(
+            counts, jnp.broadcast_to(c0, (W, v)), (row0, 0))
+        t0 = jax.lax.dynamic_slice(tail, (row0, 0), (1, self._tail_len))
+        tail = jax.lax.dynamic_update_slice(
+            tail, jnp.broadcast_to(t0, (W, self._tail_len)), (row0, 0))
+        ind = jax.lax.dynamic_update_slice(
+            ind, jnp.zeros((1, W, ind.shape[2]), ind.dtype), (slot, 0, 0))
+        return counts, tail, ind
+
+    def _beam_handoff(self, slot: int) -> None:
+        """The fed slot joins the beam tick: pending = the LAST prompt
+        token — its (idempotent) rewrite at position p-1 produces the
+        prefill-final logits, and the tick's beam_search_step over
+        cum = [0, -inf, ...] IS the first-beam expansion the separate
+        beam prefill performs (token-exact by construction)."""
+        del self._prefill_progress[slot]
+        prompt = self._prefill_prompt.pop(slot)
+        if not hasattr(self, "_handoff_fn"):
+            self._handoff_fn = jax.jit(self._handoff_impl,
+                                       donate_argnums=(0, 1, 2))
+        self._counts, self._tail, self._ind = self._handoff_fn(
+            self._counts, self._tail, self._ind,
+            jnp.asarray(slot, jnp.int32))
+        self._pending[slot] = int(prompt[-1])
+        self._cum[slot] = -1e9
+        self._cum[slot, 0] = 0.0
+        self._fins[slot] = False
+
     def _beam_tick(self) -> int:
         """One serving tick in a beam-enabled manager."""
         active, lengths, _ = self.sched.state()
+        if self._prefill_progress:
+            # slots still being chunk-fed don't decode yet
+            active = active.copy()
+            for slot in self._prefill_progress:
+                active[slot] = False
         if not active.any():
-            return 0
+            return self.sched.num_active if self._prefill_progress else 0
         self._tick += 1
         rng = jax.random.fold_in(self._base_key, self._tick)
         gen_lens = lengths - self._ctx_lens
@@ -1125,6 +1269,8 @@ class ContinuousBatchingManager:
                 break
             self._admit(self._requests.pop(rid), slot)
         if self.W > 1:
+            if self.mixed_admission and self._prefill_progress:
+                self._beam_feed_tick()
             return self._beam_tick()
         if self.mixed_admission and self._prefill_progress:
             # one mixed context+generation step: prompts advance a chunk,

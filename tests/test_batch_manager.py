@@ -366,6 +366,37 @@ def test_beam_serving_matches_offline(sharp):
     assert tight == results
 
 
+def test_mixed_admission_beam_serving_matches(sharp):
+    """beam x mixed admission (ref GptManager serves beamWidth requests
+    through in-flight batching): prompts chunk-fed through the mixed
+    window program while other slots beam-decode must produce EXACTLY the
+    separate-prefill beam manager's outputs — dense and paged, incl. a
+    long prompt and a width-1 greedy request in the same batch."""
+    model, mc = sharp
+    W = 3
+    beam_sc = SamplingConfig(end_id=210, pad_id=210, num_beams=W)
+    prompts = [[5, 11, 17, 23, 31],
+               list(range(3, 40)),            # long prompt: 3 chunks at W=16
+               [40, 2, 9],
+               [7, 8, 9, 10, 11, 12, 13]]
+    queue = lambda: [
+        InferenceRequest(i, np.asarray(p, np.int32), max_new_tokens=8,
+                         end_id=210,
+                         sampling=beam_sc if i != 2 else None)
+        for i, p in enumerate(prompts)]
+    plain = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
+                         max_beam_width=W)
+    mixed = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
+                         max_beam_width=W, mixed_admission=True,
+                         chunk_width=16)
+    assert mixed == plain
+    paged_mixed = _run_manager(model, queue(), max_batch_size=2,
+                               max_seq_len=64, max_beam_width=W,
+                               mixed_admission=True, chunk_width=16,
+                               paged=True, tokens_per_block=8)
+    assert paged_mixed == plain
+
+
 def test_greedy_and_beam_coexist_in_beam_manager(sharp):
     """Width-1 (greedy) requests served by a beam-enabled manager stay
     token-exact vs the plain width-1 manager, batched alongside a live

@@ -216,6 +216,43 @@ def test_sharded_woq_generation_matches(cpu_devices):
     np.testing.assert_array_equal(ref_lens, got_lens)
 
 
+def test_sharded_continuous_batching_matches(cpu_devices):
+    """Serving x TP — the production configuration: the continuous-batching
+    manager driven with tp=4-sharded params must produce exactly the
+    single-device manager's tokens (staggered admissions, slot reuse; the
+    ref could only serve TP under mpirun with >= 2 physical GPUs)."""
+    import torch
+    import transformers as T
+    from eddie_wang_hackathon2023_tpu.models.families import build_from_hf
+    from eddie_wang_hackathon2023_tpu.runtime.batch_manager import (
+        ContinuousBatchingManager, InferenceRequest)
+    from eddie_wang_hackathon2023_tpu.runtime.sampling import SamplingConfig
+    torch.manual_seed(3)
+    cfg = T.GPT2Config(vocab_size=96, n_positions=64, n_embd=32, n_layer=2,
+                       n_head=4, initializer_range=0.2)
+    hf = T.GPT2LMHeadModel(cfg).eval()
+    model, config = build_from_hf("gpt2", hf, dtype="float32")
+    prompts = [[5, 11, 17, 23], [2, 3], [40, 41, 42, 43, 44], [7]]
+
+    def run(params):
+        results = {}
+        q = [InferenceRequest(i, np.asarray(p, np.int32), max_new_tokens=8,
+                              end_id=95) for i, p in enumerate(prompts)]
+        mgr = ContinuousBatchingManager(
+            model, SamplingConfig(end_id=95, pad_id=95), max_batch_size=2,
+            max_seq_len=64, params=params,
+            get_inference_requests=lambda n: [q.pop(0)] if q else [],
+            send_response=lambda r: results.__setitem__(
+                r.request_id, r.output_ids) if r.finished else None)
+        mgr.run()
+        return results
+
+    single = run(model.state_dict())
+    mapping = Mapping(world_size=4, tp_size=4, devices=cpu_devices[:4])
+    sharded = shard_state(model.state_dict(), model.pspecs(), mapping.mesh)
+    assert run(sharded) == single
+
+
 def test_sharded_woq_whisper_decoder(models, cpu_devices):
     """Quantised Whisper decoder logits on a dp=2 x tp=2 mesh == single
     device (int8 qweight pspecs exercised on a real mesh)."""
