@@ -140,31 +140,30 @@ def main():
           f"decode {batch * steps_run / per_call:.1f} tok/s (incl. "
           f"encode+cross-kv amortised)", file=sys.stderr)
 
-    # stage breakdown (jitted, steady state).  DISTINCT device-resident
-    # inputs per iteration: repeated same-arg dispatches through the
-    # axon tunnel get elided/misreported (block_until_ready returns
-    # without real execution), which once showed a 103 ms "encoder"
-    xa = pipe.get_audio_features(mel)
-    jax.block_until_ready(xa)
-    mels = [jax.device_put(mel + np.float32(i) * 1e-7) for i in range(3)]
-    jax.block_until_ready(mels)
-    t0 = time.time()
-    enc_outs = [pipe.get_audio_features(m) for m in mels]
-    jax.block_until_ready(enc_outs)
-    t_enc = (time.time() - t0) / 3
-    xa = enc_outs[-1]
-    cross = pipe.precompute_cross_kv(xa)
-    jax.block_until_ready(cross)
-    xas = [xa + jnp.float32(i) * 1e-7 for i in range(3)]
-    jax.block_until_ready(xas)
-    t0 = time.time()
-    ckv_outs = [pipe.precompute_cross_kv(x) for x in xas]
-    jax.block_until_ready(ckv_outs)
-    t_ckv = (time.time() - t0) / 3
-    print(f"[bench] encoder {t_enc * 1e3:.1f} ms, cross-kv {t_ckv * 1e3:.1f} ms, "
-          f"decode-loop {(per_call - t_enc - t_ckv) * 1e3:.1f} ms "
-          f"({(per_call - t_enc - t_ckv) / max(steps_run, 1) * 1e3:.2f} ms/tok)",
-          file=sys.stderr)
+    # stage breakdown via the two-length slope: time the same pipeline at
+    # 2x the decode budget and attribute the difference to the decode
+    # loop.  (Timing stages in isolation double-counts the axon tunnel's
+    # per-dispatch round-trip — it once reported encoder alone slower
+    # than the whole utterance and a negative decode loop.)  The slope
+    # cancels every per-call constant: encoder, cross-KV, prefill,
+    # transfers, host post-processing.
+    if os.environ.get("BENCH_STAGES", "1") != "0":
+        opts2 = DecodingOptions(language="en", sample_len=2 * DECODE_TOKENS)
+        pipe2 = WhisperPipeline(config, enc, dec, ckv, opts2, qmode)
+        pipe2.bind_params()
+        pipe2.transcribe(mel)  # compile
+        times2 = []
+        for _ in range(max(3, n_iter // 2)):
+            t0 = time.time()
+            pipe2.transcribe(mel)
+            times2.append(time.time() - t0)
+        per_call2 = min(times2)
+        slope = (per_call2 - per_call) / DECODE_TOKENS
+        prologue = per_call - slope * steps_run
+        print(f"[bench] decode-loop slope {slope * 1e3:.2f} ms/tok "
+              f"({steps_run} steps => {slope * steps_run * 1e3:.1f} ms); "
+              f"encode+cross-kv+prefill+host {prologue * 1e3:.1f} ms "
+              f"(2x-len call {per_call2 * 1e3:.1f} ms)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "whisper_large_v2_utt_per_s",

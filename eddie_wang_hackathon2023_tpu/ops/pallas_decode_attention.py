@@ -181,7 +181,8 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
                 return ph
 
             for h in range(H):
-                qs_ref[h:h + 1, :] = proj_row(h).astype(qs_ref.dtype)
+                # qs scratch is [H, 1, D]; qs_ref[h] views the [1, D] row
+                qs_ref[h] = proj_row(h).astype(qs_ref.dtype)
             if with_xqkv:
                 for h in range(H):
                     kh = proj_row(H + h).astype(cache_dt)
@@ -192,13 +193,17 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
                 ov_ref[0] = vs_ref[...]
 
     def read_q():
+        # q rides the whole kernel as [H, 1, D]: Mosaic on this libtpu
+        # rejects the [H,D]->[H,1,D] shape cast on packed (bf16) vectors
+        # ("infer-vector-layout: unsupported shape cast"), so the unit dim
+        # must come from the ref slice / scratch shape, never a reshape
         if with_xq or with_xqkv:
-            return qs_ref[...].astype(cdt)                 # [H, D]
-        return q_ref[0, :, 0, :].astype(cdt)
+            return qs_ref[...].astype(cdt)                 # [H, 1, D]
+        return q_ref[0].astype(cdt)                        # [H, 1, D]
 
     @pl.when(c < n_need)
     def _chunk():
-        q = read_q()                                       # [H, D]
+        q = read_q()                                       # [H, 1, D]
         kv = kv_ref[0, 0]                                  # [2, H, D, CS]
         k = kv[0].astype(cdt)                              # [H, D, CS]
         v = kv[1].astype(cdt)
@@ -211,7 +216,7 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             v = jnp.where(col < s_max, v, 0)
         # batched over heads: [H,1,D] x [H,D,CS] -> [H,1,CS] fp32
         s = jax.lax.dot_general(
-            q[:, None, :], k,
+            q, k,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         s = s * (scale * kscale)
@@ -240,16 +245,22 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         acc = acc_ref[:, :]                                # [H, D]
         if with_fresh or with_xqkv:
             if with_xqkv:
-                q32 = qs_ref[...].astype(jnp.float32)
-                fk = ks_ref[...].astype(jnp.float32)       # [H, D]
-                fv = vs_ref[...].astype(jnp.float32)
+                q32 = qs_ref[...].astype(jnp.float32)      # [H, 1, D]
+                # f32 unit-dim insert (packed-dtype shape casts are the
+                # ones Mosaic rejects; 32-bit lowers)
+                fk3 = ks_ref[...].astype(jnp.float32)[:, None, :]
+                fv = vs_ref[...].astype(jnp.float32)       # [H, D]
+                s_f = jnp.sum(q32 * fk3, axis=-1) * (scale * kscale)
             else:
-                q32 = q_ref[0, :, 0, :].astype(jnp.float32)
+                q32 = q_ref[0].astype(jnp.float32)         # [H, 1, D]
                 fk_ref, fv_ref = extra[-2], extra[-1]
-                fk = fk_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
                 fv = fv_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
-            s_f = jnp.sum(q32 * fk, axis=-1,
-                          keepdims=True) * (scale * kscale)    # [H, 1]
+                # [H,1,D] x [H,D,1] (contract D, batch H) -> [H,1,1]
+                s_f = jax.lax.dot_general(
+                    q32, fk_ref[0].astype(jnp.float32),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, :, 0] \
+                    * (scale * kscale)                     # [H, 1]
             if with_tail:
                 # K-step deferred tail block [Kmax,1,1,2,H,D] tail-major
                 # (see ops.attention write_tail_kv): masked extra columns
@@ -262,7 +273,7 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
                 tv = jnp.transpose(t_ref[:, 0, 0, 1], (1, 0, 2)).astype(cdt)
                 # [H,1,D] x [H,K,D] (contract D, batch H) -> [H,1,K]
                 s_t = jax.lax.dot_general(
-                    q[:, None, :], tk,
+                    q, tk,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
                 s_t = s_t * (scale * kscale)
@@ -599,7 +610,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
             [pltpu.VMEM((H, D), full_cache.dtype),   # computed fresh K
              pltpu.VMEM((H, D), full_cache.dtype)]   # computed fresh V
             if with_xqkv else []) + (
-            [pltpu.VMEM((H, D), cdt)]                # computed q
+            [pltpu.VMEM((H, 1, D), cdt)]             # computed q [H,1,D]
             if (with_xq or with_xqkv) else []) + [
             pltpu.VMEM((H, 1), jnp.float32),   # running max
             pltpu.VMEM((H, 1), jnp.float32),   # running denom

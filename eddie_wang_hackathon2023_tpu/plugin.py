@@ -176,7 +176,10 @@ class PluginConfig:
             return v not in ("0", "false", "off")
         if self.fuse_decode_q is not None:
             return self.fuse_decode_q
-        return True
+        # device A/B (v5e, large-v2 woq8+ckv8+lmq8, round 3): the per-head
+        # [1,dm]x[dm,D] prologue dot loop is MXU-hostile — 760.6 ms/utt vs
+        # 152.7 ms with the q projection left to XLA's dequant-GEMM.  OFF.
+        return False
 
     def use_qkv_flat_barrier(self) -> bool:
         v = os.environ.get("EWT_QKV_BARRIER")
