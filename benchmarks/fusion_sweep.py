@@ -3,10 +3,12 @@
 
   cross_plain   — kernel only, q/projection outside (2 XLA GEMVs/layer)
   cross_proj    — + fused out-projection epilogue
-  cross_projq   — + fused q-projection prologue (the full fusion)
   self_plain    — self kernel, projection outside
   self_proj     — + fused out-projection epilogue
-  self_projqkv  — + fused QKV prologue (xqkv=, one launch per layer)
+
+(Two prologue variants — cross_projq / self_projqkv — were swept, lost
+their round-3 device A/B (760.6 vs 152.7 ms/utt; scoped-VMEM OOM) and
+were deleted with their kernel paths.)
 
 Each variant chains N data-dependent layer calls (kernel + whatever XLA
 GEMVs the variant leaves outside) in ONE jit and reports xplane device
@@ -68,9 +70,6 @@ def run(variant: str):
                  jnp.asarray(rs.randn(1, H, D, 1) * 0.1, jnp.bfloat16))
     pqw, psc, pb = mk_proj(rs)
     xqw, xsc, xb = mk_proj(rs)
-    kqw = jnp.asarray(rs.randint(-127, 127, (L, DM, 3 * DM)).astype(np.int8))
-    ksc = jnp.asarray((rs.rand(3 * DM) * 0.01).astype(np.float32))
-    kb = jnp.asarray((rs.randn(3 * DM) * 0.01).astype(np.float32))
     seq_len = jnp.asarray([valid + (1 if fresh is not None else 0)],
                           jnp.int32)
     x0 = jnp.asarray(rs.randn(1, 1, DM) * 0.1, jnp.bfloat16)
@@ -79,18 +78,7 @@ def run(variant: str):
     def chain(x, cache):
         def step(h, i):
             li = i % L
-            if variant == "cross_projq":
-                out = fused_decode_attention(
-                    cache, li, None, seq_len, 0.125,
-                    kv_quant_orig_scale=kscale,
-                    proj=(pqw, psc, pb), xq=(h, xqw, xsc, xb))
-                out = out[:, None, :]
-            elif variant == "self_projqkv":
-                out, _, _ = fused_decode_attention(
-                    cache, li, None, seq_len, 0.125,
-                    proj=(pqw, psc, pb), xqkv=(h, kqw, ksc, kb))
-                out = out[:, None, :]
-            else:
+            if True:
                 # per-layer dynamic slices, matching the real scan-xs
                 # pattern (incl. any materialised slice-copy cost)
                 q = (weight_only_quant_matmul(h, xqw[li], xsc)
@@ -124,8 +112,8 @@ def run(variant: str):
 
 
 def main():
-    variants = sys.argv[1:] or ["cross_plain", "cross_proj", "cross_projq",
-                                "self_plain", "self_proj", "self_projqkv"]
+    variants = sys.argv[1:] or ["cross_plain", "cross_proj",
+                                "self_plain", "self_proj"]
     res = {v: run(v) for v in variants}
     print(res)
 

@@ -1,7 +1,8 @@
 #!/bin/bash
-# Round-3 TPU measurement suite: every round-2 pending device A/B plus the
-# round-3 features (async serving, beam serving, paged beam, int4 group
-# scales).  Run when the relay is healthy; results land in /tmp/r3suite;
+# Round-3 TPU measurement suite.  The kernel-fusion A/Bs at the top were
+# RUN on v5e early in round 3 (results in README.md; the q/qkv/ln/res
+# fusion candidates lost and were deleted — the rows here re-capture the
+# surviving configs for the record).  Results land in /tmp/r3suite;
 # each step is timeout-guarded and independent, so a wedged tunnel only
 # loses the current step.  Summarise with:
 #     python benchmarks/r2_suite_summary.py /tmp/r3suite
@@ -23,29 +24,18 @@ run() {  # run <name> <timeout_s> <cmd...>
     echo "    exit=$? tail:"; tail -3 "$OUT/$name.log" | sed 's/^/    /'
 }
 
-# ---- headline + r2 pending fusion A/Bs -------------------------------------
+# ---- headline + surviving fusion A/Bs --------------------------------------
 run bench_fused 1400 python bench.py
-EWT_FUSE_PROJ=0 EWT_FUSE_Q=0 run bench_nofuse 1400 python bench.py
+EWT_FUSE_PROJ=0 run bench_nofuse 1400 python bench.py
 BENCH_CKV_DYNAMIC=1 run bench_ckvdyn 1400 python bench.py
-EWT_FUSE_QKV=1 run bench_fuseqkv 1400 python bench.py
 BENCH_QUANT=bf16 run bench_bf16 1400 python bench.py
-# r3 candidate: bf16 dense out-proj epilogue ("nk" kernel dots) — adopt as
-# default or delete per this A/B (the int8-GEMV discipline)
-BENCH_QUANT=bf16 EWT_FUSE_PROJ_BF16=1 run bench_bf16_projfuse 1400 python bench.py
+BENCH_QUANT=bf16 EWT_FUSE_PROJ_BF16=0 run bench_bf16_nofuse 1400 python bench.py
 BENCH_BATCH=8 run bench_b8 1400 python bench.py
-# GPT-350M bf16 bs1 with the bf16 epilogue (VERDICT next#6's target row)
-EWT_FUSE_PROJ_BF16=1 run gpt_bf16_projfuse 1200 python benchmarks/benchmark.py --quant none --batch_size 1
 
 # ---- int4: group-wise vs per-channel, pallas vs xla (r3) --------------------
 BENCH_QUANT=woq4 run bench_woq4_g128 1400 python bench.py
 BENCH_QUANT=woq4 EWT_INT4_GROUP=0 run bench_woq4_perchan 1400 python bench.py
 BENCH_QUANT=woq4 EWT_INT4_XLA=1 run bench_woq4_xla 1400 python bench.py
-
-# ---- small-op-floor fusions (r3 candidates; adopt or delete per A/B) --------
-EWT_FUSE_LN=1 EWT_FUSE_RESIDUAL=1 run bench_lnres 1400 python bench.py
-# scan_unroll sweep (the other small-op lever the r2 verdict named)
-EWT_SCAN_UNROLL=2 run bench_unroll2 1400 python bench.py
-EWT_SCAN_UNROLL=4 run bench_unroll4 1400 python bench.py
 
 # ---- traces for the README roofline table ----------------------------------
 BENCH_QUANT="woq8+ckv8+lmq8" PROFILE_TARGET=loop LOOP_STEPS=32 \

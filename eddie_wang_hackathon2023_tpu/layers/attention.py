@@ -60,40 +60,24 @@ def proj_fusion_hoistable(attn) -> bool:
     array instead of XLA materialising a per-layer HBM slice copy each
     step."""
     d = getattr(attn, "dense", None)
+    # the fused kernel itself declines MQA/GQA (its batched-over-heads
+    # dots assume equal q/KV heads) — hoisting for a model that will
+    # never take the kernel would hand the XLA dense a stacked 3-D weight
+    if getattr(attn, "num_attention_kv_heads", None) != \
+            getattr(attn, "num_attention_heads", None):
+        return False
     if _woq8_unsharded(d):
         return True
-    # bf16/f32 dense epilogue: same fusion with the weight in its native
-    # [N, K] layout — default OFF pending a device A/B (the "nk" dots
-    # contract both minors, whose MXU cost vs the replaced GEMV launch is
-    # unmeasured; the int8-GEMV discipline: measure, then adopt or delete)
+    # bf16/f32 dense epilogue: same fusion with the weight pre-swapped to
+    # [K, N] (see _decode_proj_operands) — default ON per the round-3
+    # device A/B: GPT-350M bf16 bs1 338 vs 289 tok/s, Whisper large-v2
+    # bf16 5.35 vs 5.06 utt/s
     from ..plugin import get_plugin_config
     return (get_plugin_config().use_fuse_decode_proj_bf16()
             and d is not None
             and getattr(d, "qweight", None) is None
             and getattr(d, "weight", None) is not None
             and getattr(d, "tp_size", 1) == 1)
-
-
-def q_fusion_hoistable(attn) -> bool:
-    """Same, for the cross-attention q_linear and the fused q-projection
-    prologue (Attention._decode_q_operands / kernel ``xq=``)."""
-    return (getattr(attn, "cross_attention", False)
-            and _woq8_unsharded(getattr(attn, "q_linear", None)))
-
-
-def qkv_fusion_hoistable(attn) -> bool:
-    """Same, for the SELF-attention fused-QKV prologue (kernel
-    ``xqkv=``): int8 WOQ fused QKV, no MQA, no positional transform on
-    q/k (rope/alibi/glm run between projection and attention and are not
-    expressible in the prologue)."""
-    qkv = getattr(attn, "qkv", None)
-    return (not getattr(attn, "cross_attention", False)
-            and attn.position_embedding_type
-            == PositionEmbeddingType.learned_absolute
-            and getattr(qkv, "qweight", None) is not None
-            and getattr(qkv, "bits", None) == 8
-            and getattr(qkv, "num_kv_heads", -1)
-            == getattr(qkv, "num_heads", -2))
 
 
 def _woq8_unsharded(linear) -> bool:
@@ -295,12 +279,10 @@ class Attention(Module):
         """Out-projection operands for the fused Pallas decode kernel
         (ops.pallas_decode_attention proj=): the int8 WOQ dense (qweight
         already [K, N] K-major, kernel view [H, D, N] free) or — behind
-        PluginConfig.fuse_decode_proj_bf16, default off pending device
-        A/B — the plain float Linear in its native [N, K] layout (the
-        kernel's "nk" per-head dots contract the minor dims; a per-step
-        transpose would copy the whole stacked weight).  tp>1 needs the
-        XLA dense's automatic partial-sum reduction.  Returns
-        (w, scale, bias[, layout]) or None.
+        PluginConfig.fuse_decode_proj_bf16, default ON per the round-3
+        device A/B — the plain float Linear, minors swapped to [K, N]
+        below.  tp>1 needs the XLA dense's automatic partial-sum
+        reduction.  Returns (w, scale, bias) or None.
 
         Inside a scanned decoder the bound weight may be the FULL
         stacked [L, ...] array (see ``proj_fusion_hoistable``) — passed
@@ -322,73 +304,15 @@ class Attention(Module):
         if getattr(d, "qweight", None) is not None:
             return (d.qweight.value, d.per_channel_scale.value,
                     None if d.bias is None else d.bias.value)
-        return (d.weight.value, None,
-                None if d.bias is None else d.bias.value, "nk")
-
-    def _decode_q_operands(self, batch: int = 1):
-        """q-projection operands for the fused Pallas decode kernel
-        prologue (ops.pallas_decode_attention xq=): int8 WOQ q_linear,
-        tp=1 (same qualification as the out-projection; see
-        ``q_fusion_hoistable``), batch 1 (see _decode_proj_operands).
-        The bound qweight may be the FULL stacked [L, dm, H*D] array
-        (scan hoisting).  Returns (w, scale, bias) or None."""
-        from ..plugin import get_plugin_config
-        if batch != 1:
-            return None
-        if not get_plugin_config().use_fuse_decode_q():
-            return None
-        if not q_fusion_hoistable(self):
-            return None
-        ql = self.q_linear
-        return (ql.qweight.value, ql.per_channel_scale.value,
-                None if ql.bias is None else ql.bias.value)
-
-    def _try_fused_qkv_decode(self, hidden_states, past_key_value,
-                              cache_write_index, sequence_length,
-                              attention_start, beam_indirection,
-                              attention_mask, use_cache):
-        """Fully-fused self-attention decode step (kernel ``xqkv=``):
-        QKV projection + cached attention + fresh-KV cache cast (+ the
-        out-projection epilogue) in ONE Pallas launch.  Returns the
-        forward result, or None when ineligible (see
-        ``qkv_fusion_hoistable`` + PluginConfig.fuse_decode_qkv; the
-        caller falls through to the standard path)."""
-        b, l, _ = hidden_states.shape
-        if (l != 1 or b != 1 or attention_mask is not None
-                or beam_indirection is not None
-                or not isinstance(past_key_value, tuple)
-                or len(past_key_value) < 3
-                or past_key_value[2] != "defer"
-                or self.use_int8_kv_cache or self.use_fp8_kv_cache):
-            return None
-        from ..plugin import get_plugin_config
-        cfg = get_plugin_config()
-        if not (cfg.use_pallas_decode() and cfg.use_fuse_decode_qkv()
-                and _pallas_decode() and qkv_fusion_hoistable(self)):
-            return None
-        if len(past_key_value) == 5:
-            full_cache, layer_idx, _, kv_tail, tail_len = past_key_value
-        else:
-            full_cache, layer_idx, _ = past_key_value
-            kv_tail = tail_len = None
-        if full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn):
-            return None
-        from ..ops.pallas_decode_attention import fused_decode_attention
-        qkv = self.qkv
-        proj = self._decode_proj_operands(batch=b)
-        res, k_st, v_st = fused_decode_attention(
-            full_cache, layer_idx, None, sequence_length, self.scale,
-            start_index=attention_start,
-            tail_kv=(None if kv_tail is None else (kv_tail, tail_len)),
-            xqkv=(hidden_states, qkv.qweight.value,
-                  qkv.per_channel_scale.value,
-                  None if qkv.bias is None
-                  else qkv.bias.value.reshape(-1)),
-            proj=proj)
-        out = (res[:, None, :] if proj is not None
-               else self.dense(self._merge_heads(res)))
-        k_st, v_st = k_st[..., None], v_st[..., None]   # [B,H,D,1]
-        return (out, (k_st, v_st)) if use_cache else out
+        # float dense rides the kernel in the int8 path's [.., K, N]
+        # layout: swap the Linear-native [N, K] minors HERE — the swap is
+        # loop-invariant, so XLA relayouts once outside the decode
+        # while_loop, not per step.  (An in-kernel "nk" layout was tried
+        # instead and deleted: its [1, N, H, D] VMEM panel padded
+        # (20,64)->(24,128) sublane x lane — 7.9 MB/panel on large-v2 —
+        # and overflowed the 16 MiB scoped-VMEM stack on device.)
+        return (jnp.swapaxes(d.weight.value, -1, -2), None,
+                None if d.bias is None else d.bias.value)
 
     def _split_heads(self, x):
         b, l, _ = x.shape
@@ -427,9 +351,7 @@ class Attention(Module):
                 attention_start=None,
                 beam_indirection=None,
                 valid_len: Optional[int] = None,
-                use_cache: bool = False,
-                residual=None,
-                prologue_ln: Optional[Tuple] = None):
+                use_cache: bool = False):
         b, l, _ = hidden_states.shape
 
         if self.cross_attention:
@@ -438,24 +360,13 @@ class Attention(Module):
             key, value, cross_scale, seq_minor = \
                 self._unpack_cross_kv(cross_key_value)
 
-            def _ret(out, fused_res=False):
-                # ``residual`` contract: when given, the return ALWAYS
-                # includes it — fused into the kernel epilogue when
-                # eligible, added here otherwise
-                if residual is not None and not fused_res:
-                    out = out + residual
+            def _ret(out):
                 return (out, past_key_value) if use_cache else out
 
-            use_fused = seq_minor and l == 1 and _pallas_decode()
-            xq_ops = self._decode_q_operands(batch=b) if use_fused else None
-            if prologue_ln is not None and xq_ops is None:
-                # LN couldn't fuse into the prologue: apply it here (same
-                # functional the block's LayerNorm uses — bit-identical)
-                from ..functional import layer_norm
-                hidden_states = layer_norm(hidden_states, *prologue_ln)
-            if use_fused:
-                # stacked seq-minor decode: fused kernel, q-projection
-                # fused into its prologue when the WOQ operands qualify
+            query = self._split_heads(self.q_linear(hidden_states))
+            if seq_minor and l == 1 and _pallas_decode():
+                # stacked seq-minor decode: fused kernel (+ out-proj
+                # epilogue when the operands qualify)
                 assert attention_mask is None
                 from ..ops.pallas_decode_attention import \
                     fused_decode_attention
@@ -464,24 +375,12 @@ class Attention(Module):
                     full = full[0]
                 s_full = jnp.full((b,), key.shape[3], jnp.int32)
                 proj = self._decode_proj_operands(batch=b)
-                fuse_res = residual is not None and proj is not None
-                if xq_ops is not None:
-                    res = fused_decode_attention(
-                        full, li, None, s_full, self.scale,
-                        kv_quant_orig_scale=cross_scale, proj=proj,
-                        xq=(hidden_states,) + xq_ops,
-                        ln=prologue_ln,
-                        residual=residual if fuse_res else None)
-                else:
-                    query = self._split_heads(self.q_linear(hidden_states))
-                    res = fused_decode_attention(
-                        full, li, query, s_full, self.scale,
-                        kv_quant_orig_scale=cross_scale, proj=proj,
-                        residual=residual if fuse_res else None)
+                res = fused_decode_attention(
+                    full, li, query, s_full, self.scale,
+                    kv_quant_orig_scale=cross_scale, proj=proj)
                 out = (res[:, None, :] if proj is not None
                        else self.dense(self._merge_heads(res)))
-                return _ret(out, fused_res=fuse_res)
-            query = self._split_heads(self.q_linear(hidden_states))
+                return _ret(out)
             if seq_minor:
                 # stacked [.,.,D,S] views: unmasked attention via the
                 # seq-minor einsums (int8 dequant handled inside)
@@ -500,13 +399,6 @@ class Attention(Module):
             ctx = flash_mha(query, key, value, causal=False, scale=self.scale,
                             bias=attention_mask)
             return _ret(self.dense(self._merge_heads(ctx)))
-
-        fused_qkv = self._try_fused_qkv_decode(
-            hidden_states, past_key_value, cache_write_index,
-            sequence_length, attention_start, beam_indirection,
-            attention_mask, use_cache)
-        if fused_qkv is not None:
-            return fused_qkv
 
         q, k, v = self.qkv(hidden_states)          # [B,L,H,D]
         if self.position_embedding_type == PositionEmbeddingType.rope:

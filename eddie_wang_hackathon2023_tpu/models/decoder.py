@@ -300,14 +300,6 @@ class DecoderLMHead(Module):
                                        None) is not None else "weight")
                         if key in stacked:
                             hoisted[key] = stacked.pop(key)
-                if cfg.use_pallas_decode() and cfg.use_fuse_decode_qkv():
-                    from ..layers.attention import qkv_fusion_hoistable
-                    a = block.attention
-                    key = "attention.qkv.qweight"
-                    if qkv_fusion_hoistable(a) and \
-                            not (a.use_int8_kv_cache
-                                 or a.use_fp8_kv_cache) and key in stacked:
-                        hoisted[key] = stacked.pop(key)
 
             def step(h, scanned):
                 layer_params, li = scanned

@@ -75,27 +75,8 @@ class ResidualAttentionBlock(Module):
             attn_out, kv_cache = attn_out
         x = x + attn_out
         if self.cross_attention:
-            from ...plugin import get_plugin_config
-            cfg = get_plugin_config()
-            fuse_ln = cfg.use_fuse_decode_ln()
-            fuse_res = cfg.use_fuse_decode_residual()
-            if fuse_ln or fuse_res:
-                # small-op-floor fusions: the attention folds the pre-LN
-                # into its kernel prologue and the residual add into its
-                # proj epilogue where eligible (and applies both itself
-                # on every fallback path — the contract in
-                # Attention.forward makes this unconditional-safe)
-                ln = self.cross_attn_ln
-                out = self.cross_attn(
-                    x if fuse_ln else ln(x),
-                    cross_key_value=cross_kv,
-                    residual=x if fuse_res else None,
-                    prologue_ln=((ln.weight.value, ln.bias.value, ln.eps)
-                                 if fuse_ln else None))
-                x = out if fuse_res else x + out
-            else:
-                x = x + self.cross_attn(self.cross_attn_ln(x),
-                                        cross_key_value=cross_kv)
+            x = x + self.cross_attn(self.cross_attn_ln(x),
+                                    cross_key_value=cross_kv)
         x = x + self.mlp2(gelu(self.mlp1(self.mlp_ln(x))))
         if use_cache:
             return x, kv_cache
@@ -354,8 +335,7 @@ class WhisperDecoder(Module):
             # (at batch>1 the fusions decline and dense/q_linear run as
             # XLA GEMVs, which need the per-layer sliced weight)
             if tokens.shape[0] == 1 and cfg.use_pallas_decode():
-                from ...layers.attention import (proj_fusion_hoistable,
-                                                 q_fusion_hoistable)
+                from ...layers.attention import proj_fusion_hoistable
                 if cfg.use_fuse_decode_proj():
                     for mod, base in ((block.attn, "attn.dense."),
                                       (block.cross_attn,
@@ -368,19 +348,6 @@ class WhisperDecoder(Module):
                             is not None else "weight")
                         if key in stacked:
                             hoisted[key] = stacked.pop(key)
-                if cfg.use_fuse_decode_q() and \
-                        q_fusion_hoistable(block.cross_attn):
-                    key = "cross_attn.q_linear.qweight"
-                    if key in stacked:
-                        hoisted[key] = stacked.pop(key)
-                from ...layers.attention import qkv_fusion_hoistable
-                if cfg.use_fuse_decode_qkv() and \
-                        qkv_fusion_hoistable(block.attn) and \
-                        not (block.attn.use_int8_kv_cache
-                             or block.attn.use_fp8_kv_cache):
-                    key = "attn.qkv.qweight"
-                    if key in stacked:
-                        hoisted[key] = stacked.pop(key)
 
             def step(h, scanned):
                 layer_params, l = scanned

@@ -46,38 +46,19 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             q_ref, kv_ref,
             *rest, scale: float, quant: bool, with_fresh: bool,
             with_tail: bool, with_proj: bool, proj_quant: bool,
-            proj_bias: bool, proj_nk: bool, with_xq: bool, xq_quant: bool,
-            xq_bias: bool, with_xqkv: bool, with_res: bool, with_ln: bool,
-            ln_eps: float, cache_dt,
+            proj_bias: bool,
             cdt, cs: int, n_chunks: int, s_max: int):
-    # positional order: scalar-prefetch refs, input refs, output ref(s),
-    # scratch refs (running max / denom / context accumulator, + the
-    # computed q (and k/v in xqkv mode) buffers)
+    # positional order: scalar-prefetch refs, input refs, output ref,
+    # scratch refs (running max / denom / context accumulator).
+    # (Round-3 device A/Bs deleted two prologue modes that once rode here:
+    # a fused q-projection (760.6 vs 152.7 ms/utt — the per-head
+    # [1,dm]x[dm,D] dot loop is MXU-hostile) and a fused QKV projection
+    # (scoped-VMEM compile OOM).  The projections stay in XLA's
+    # dequant-GEMM stream; only the OUT-projection epilogue survived its
+    # A/B.)
     m_ref, d_ref, acc_ref = rest[-3:]
-    n_scr = 3 + (1 if (with_xq or with_xqkv) else 0) + (2 if with_xqkv else 0)
-    qs_ref = rest[-4] if (with_xq or with_xqkv) else None
-    ks_ref = rest[-6] if with_xqkv else None
-    vs_ref = rest[-5] if with_xqkv else None
-    n_out = 3 if with_xqkv else 1
-    o_ref = rest[-(n_scr + n_out)]
-    if with_xqkv:
-        ok_ref, ov_ref = rest[-(n_scr + 2)], rest[-(n_scr + 1)]
-    extra = rest[:-(n_scr + n_out)]
-    # residual / prologue-LN operands ride at the very end of the inputs
-    if with_res:
-        res_ref = extra[-1]
-        extra = extra[:-1]
-    if with_ln:
-        lng_ref, lnb_ref = extra[-2:]
-        extra = extra[:-2]
-    if with_xq or with_xqkv:
-        # q(kv)-projection operands ride last: weight block
-        # [1, dm, H, D] (xq) / [1, dm, 3H, D] (xqkv)
-        # (+ scale, same trailing shape) (+ bias); q_ref is the raw
-        # hidden state x [1, 1, dm] instead of the projected query
-        n_xq = 1 + (1 if xq_quant else 0) + (1 if xq_bias else 0)
-        xq_refs = extra[-n_xq:]
-        extra = extra[:-n_xq]
+    o_ref = rest[-4]
+    extra = rest[:-4]
     if with_proj:
         # out-projection operands ride at the tail of the inputs:
         # weight block [1, H, D, N] (+ scale [1, N]) (+ bias [1, N])
@@ -98,22 +79,12 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         ctx_a = ctx.astype(cdt)                            # [H, D]
         # per-head [1,D]x[D,N] dots, statically unrolled (Mosaic has no
         # batched-3D dot or [H,D]->[1,H*D] shape cast; static sublane
-        # slices + 2D matmuls lower cleanly), summed over heads.
-        # proj_nk: the weight rides in the Linear layer's native [N, K]
-        # layout (bf16 dense — transposing it per step would copy the
-        # whole stacked weight); the per-head dot contracts both minors
-        # ("NT" gemm)
+        # slices + 2D matmuls lower cleanly), summed over heads
         out = None
         for h in range(ctx_a.shape[0]):
-            if proj_nk:
-                part = jax.lax.dot_general(
-                    ctx_a[h:h + 1, :], pw[0, :, h].astype(cdt),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [1, N]
-            else:
-                part = jax.lax.dot(
-                    ctx_a[h:h + 1, :], pw[0, h].astype(cdt),
-                    preferred_element_type=jnp.float32)    # [1, N]
+            part = jax.lax.dot(
+                ctx_a[h:h + 1, :], pw[0, h].astype(cdt),
+                preferred_element_type=jnp.float32)        # [1, N]
             out = part if out is None else out + part
         i = 1
         if proj_quant:
@@ -121,16 +92,12 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             i += 1
         if proj_bias:
             out = out + proj_refs[i][...]
-        if with_res:
-            # fused residual add (the block's x + attn_out): one less
-            # elementwise dispatch per layer per step
-            out = out + res_ref[...].astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
     b = pl.program_id(0)
     c = pl.program_id(1)
     kscale = kscale_ref[0] if quant else 1.0
     seq_len = seqlen_ref[b]
-    cache_len = seq_len - 1 if (with_fresh or with_xqkv) else seq_len
+    cache_len = seq_len - 1 if with_fresh else seq_len
     if with_tail:
         cache_len = cache_len - tlen_ref[0]
     n_need = jnp.maximum(jax.lax.div(cache_len + cs - 1, cs), 1)
@@ -140,65 +107,12 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         m_ref[...] = jnp.full(m_ref.shape, NEG, m_ref.dtype)
         d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-        if with_xq or with_xqkv:
-            # fused q(kv)-projection: (x @ W) * scale + bias, computed
-            # once per batch row into scratch; per-head 2D dots (see emit
-            # for the Mosaic rationale), same numeric chain as
-            # weight_only_quant_matmul (fp32 accum, per-channel scale).
-            # xqkv additionally computes K and V (weight rows H..2H-1 and
-            # 2H..3H-1), casts them to the cache dtype exactly like
-            # cast_kv_for_cache, stores them for the fresh-token math and
-            # emits them through the extra outputs for the deferred write
-            xw = xq_refs[0]
-            i = 1
-            xsc = None
-            if xq_quant:
-                xsc = xq_refs[i][0].astype(jnp.float32)    # [(3)H, D]
-                i += 1
-            xb = xq_refs[i][0].astype(cdt) if xq_bias else None
-            xa = q_ref[0].astype(jnp.float32)              # [1, dm]
-            if with_ln:
-                # fused pre-LN (functional.layer_norm numerics: fp32
-                # statistics, affine, then cast) — the LN dispatch leaves
-                # the XLA stream and rides the prologue
-                mu = jnp.mean(xa, axis=-1, keepdims=True)
-                var = jnp.mean(jnp.square(xa - mu), axis=-1, keepdims=True)
-                xa = (xa - mu) * jax.lax.rsqrt(var + ln_eps)
-                xa = xa * lng_ref[...].astype(jnp.float32) + \
-                    lnb_ref[...].astype(jnp.float32)
-            xa = xa.astype(cdt)
-            H = qs_ref.shape[0]
-
-            def proj_row(r):
-                ph = jax.lax.dot(
-                    xa, xw[0, :, r, :].astype(cdt),
-                    preferred_element_type=jnp.float32)    # [1, D]
-                if xsc is not None:
-                    ph = ph * xsc[r:r + 1, :]
-                ph = ph.astype(cdt)
-                if xb is not None:
-                    ph = ph + xb[r:r + 1, :]
-                return ph
-
-            for h in range(H):
-                # qs scratch is [H, 1, D]; qs_ref[h] views the [1, D] row
-                qs_ref[h] = proj_row(h).astype(qs_ref.dtype)
-            if with_xqkv:
-                for h in range(H):
-                    kh = proj_row(H + h).astype(cache_dt)
-                    vh = proj_row(2 * H + h).astype(cache_dt)
-                    ks_ref[h:h + 1, :] = kh
-                    vs_ref[h:h + 1, :] = vh
-                ok_ref[0] = ks_ref[...]
-                ov_ref[0] = vs_ref[...]
 
     def read_q():
         # q rides the whole kernel as [H, 1, D]: Mosaic on this libtpu
         # rejects the [H,D]->[H,1,D] shape cast on packed (bf16) vectors
         # ("infer-vector-layout: unsupported shape cast"), so the unit dim
-        # must come from the ref slice / scratch shape, never a reshape
-        if with_xq or with_xqkv:
-            return qs_ref[...].astype(cdt)                 # [H, 1, D]
+        # must come from the ref slice, never a reshape
         return q_ref[0].astype(cdt)                        # [H, 1, D]
 
     @pl.when(c < n_need)
@@ -243,24 +157,16 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
         m = m_ref[:, :]                                    # [H, 1]
         d = d_ref[:, :]
         acc = acc_ref[:, :]                                # [H, D]
-        if with_fresh or with_xqkv:
-            if with_xqkv:
-                q32 = qs_ref[...].astype(jnp.float32)      # [H, 1, D]
-                # f32 unit-dim insert (packed-dtype shape casts are the
-                # ones Mosaic rejects; 32-bit lowers)
-                fk3 = ks_ref[...].astype(jnp.float32)[:, None, :]
-                fv = vs_ref[...].astype(jnp.float32)       # [H, D]
-                s_f = jnp.sum(q32 * fk3, axis=-1) * (scale * kscale)
-            else:
-                q32 = q_ref[0].astype(jnp.float32)         # [H, 1, D]
-                fk_ref, fv_ref = extra[-2], extra[-1]
-                fv = fv_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
-                # [H,1,D] x [H,D,1] (contract D, batch H) -> [H,1,1]
-                s_f = jax.lax.dot_general(
-                    q32, fk_ref[0].astype(jnp.float32),
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)[:, :, 0] \
-                    * (scale * kscale)                     # [H, 1]
+        if with_fresh:
+            q32 = q_ref[0].astype(jnp.float32)             # [H, 1, D]
+            fk_ref, fv_ref = extra[-2], extra[-1]
+            fv = fv_ref[0, :, :, 0].astype(jnp.float32)    # [H, D]
+            # [H,1,D] x [H,D,1] (contract D, batch H) -> [H,1,1]
+            s_f = jax.lax.dot_general(
+                q32, fk_ref[0].astype(jnp.float32),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, :, 0] \
+                * (scale * kscale)                         # [H, 1]
             if with_tail:
                 # K-step deferred tail block [Kmax,1,1,2,H,D] tail-major
                 # (see ops.attention write_tail_kv): masked extra columns
@@ -316,10 +222,6 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            start_index=None,
                            tail_kv: Optional[Tuple] = None,
                            proj: Optional[Tuple] = None,
-                           xq: Optional[Tuple] = None,
-                           xqkv: Optional[Tuple] = None,
-                           residual=None,
-                           ln: Optional[Tuple] = None,
                            chunk: Optional[int] = None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
@@ -347,24 +249,13 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     1.6 MB GEMVs measured at 53% HBM bw vs 77-90% for the larger ones —
     launch-overhead-bound).  Returns [B, N] (dense output, bias applied)
     instead of the [B, H, 1, D] context.
-    ``xq``: (x, weight, scale, bias) — fuse the Q-PROJECTION into the
-    kernel prologue (cached-only mode, i.e. cross-attention decode): pass
-    the raw hidden state ``x`` [B, 1, d_model] as ``q`` and the q_linear
-    operands (weight [d_model, H*D] per-layer or stacked
-    [L, d_model, H*D]; int8 WOQ scale [H*D] fp32 or None; bias [H*D] or
-    None).  q is computed once per batch row into VMEM scratch with the
-    weight_only_quant_matmul numeric chain — the 1.6 MB GEMV and its
-    launch leave the XLA dispatch stream and ride the kernel's DMA
-    pipeline.  Incompatible with fresh_kv/tail_kv.
-    ``xqkv``: (x, weight, scale, bias) — SELF-attention decode analogue
-    of ``xq``: the fused QKV projection runs in the prologue (weight
-    [d_model, 3*H*D] per-layer or stacked [L, ...]; rows 0..H-1 = Q,
-    H..2H-1 = K, 2H..3H-1 = V), the fresh K/V are cast to the cache
-    dtype in-kernel (cast_kv_for_cache chain, float caches only) and
-    returned as extra outputs for the deferred write.  Replaces
-    ``fresh_kv`` (mutually exclusive); composes with ``tail_kv`` and
-    ``proj``.  Return value becomes (attn_out, k_fresh [B,H,D],
-    v_fresh [B,H,D]).
+    (Two PROLOGUE fusions — a q-projection ``xq=`` and a full QKV
+    projection ``xqkv=`` — were built, measured on device in round 3 and
+    DELETED: the per-head [1,dm]x[dm,D] prologue dot loop ran the
+    large-v2 utterance at 760.6 ms vs 152.7 ms with the projection left
+    to XLA's dequant-GEMM, and the stacked QKV weight blew the 16 MiB
+    scoped-VMEM compile limit.  Input projections belong to XLA; only
+    the out-projection epilogue survived its A/B.)
     ``chunk``: sequence-panel width (default 256, env EWT_DECODE_CHUNK);
     the kernel streams the cache in [2,H,D,chunk] panels with online
     softmax, skipping panels past the valid length.
@@ -384,20 +275,8 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
     with_fresh = fresh_kv is not None
     with_tail = tail_kv is not None
-    with_xq = xq is not None
-    with_xqkv = xqkv is not None
-    assert not (with_tail and not (with_fresh or with_xqkv)), \
-        "tail mode requires fresh K/V (operand or fused-QKV)"
-    assert not (with_xq and with_fresh), \
-        "fused q-projection is cached-only (cross-attention decode)"
-    assert not (with_xqkv and (with_fresh or with_xq)), \
-        "fused QKV replaces fresh_kv/xq"
-    assert not (with_xqkv and quant), \
-        "fused QKV supports float caches only (in-kernel cast)"
-    if with_xq:
-        q = xq[0]                                # [B, 1, d_model]
-    if with_xqkv:
-        q = xqkv[0]                              # [B, 1, d_model]
+    assert not (with_tail and not with_fresh), \
+        "tail mode requires fresh K/V"
     if not interpret:
         # off-TPU (CPU tests with the knob forced on) run the interpreter
         from .._utils import runtime_platform
@@ -439,9 +318,6 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     def q_map(b, c, lref, sref, stref, kref, tref):
         return (b, 0, 0, 0)
 
-    def x_map(b, c, lref, sref, stref, kref, tref):
-        return (b, 0, 0)
-
     def o_map(b, c, lref, sref, stref, kref, tref):
         # 3-D [B,H,D] output block: storing the scratch-sourced [H,D]
         # context through a (1,H,1,D) block needs a 2D->4D vector shape
@@ -456,9 +332,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         return (0, lref[0], b, 0, 0, 0)
 
     in_specs = [
-        (pl.BlockSpec((1, 1, q.shape[-1]), x_map, memory_space=pltpu.VMEM)
-         if (with_xq or with_xqkv) else
-         pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM)),
+        pl.BlockSpec((1, H, 1, D), q_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 2, H, D, cs), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [q, full_cache]
@@ -478,31 +352,21 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
 
     with_proj = proj is not None
     proj_quant = proj_bias = False
-    proj_nk = False
     if with_proj:
-        if len(proj) == 4:
-            pw, pscale, pbias, layout = proj
-            proj_nk = layout == "nk"
-        else:
-            pw, pscale, pbias = proj
-        if proj_nk:
-            # bf16 dense: the Linear layer's native [N, K] ([L, N, K]
-            # stacked) layout — per-step transposition would copy the
-            # whole weight, so the kernel contracts the minor dims instead
-            N = pw.shape[-2]
-            assert pw.shape[-1] == H * D, \
-                f"proj weight [..., N, {H*D}], got {pw.shape}"
-            pw = pw.reshape(-1, N, H, D)         # free view: K contiguous
-        else:
-            N = pw.shape[-1]
-            assert pw.shape[-2] == H * D, \
-                f"proj weight [..., {H*D}, N], got {pw.shape}"
-            # [K, N] per-layer slice, or the FULL stacked [L, K, N] weight:
-            # a stacked operand + layer index_map makes the layer panel a
-            # direct HBM->VMEM DMA — passing the slice instead costs a
-            # materialised per-layer HBM copy every step (profiled 0.24
-            # ms/step as constant_dynamic-slice fusions on large-v2)
-            pw = pw.reshape(-1, H, D, N)         # free view: K contiguous
+        pw, pscale, pbias = proj
+        N = pw.shape[-1]
+        assert pw.shape[-2] == H * D, \
+            f"proj weight [..., {H*D}, N], got {pw.shape}"
+        # [K, N] per-layer slice, or the FULL stacked [L, K, N] weight:
+        # a stacked operand + layer index_map makes the layer panel a
+        # direct HBM->VMEM DMA — passing the slice instead costs a
+        # materialised per-layer HBM copy every step (profiled 0.24
+        # ms/step as constant_dynamic-slice fusions on large-v2).
+        # Float dense weights arrive pre-swapped to [.., K, N] by the
+        # layer (a loop-invariant swapaxes XLA hoists) — an in-kernel
+        # [N, K] "nk" layout was measured and deleted: its [1, N, H, D]
+        # VMEM panel padded (20,64)->(24,128) and OOM'd scoped VMEM.
+        pw = pw.reshape(-1, H, D, N)             # free view: K contiguous
         stacked_w = pw.shape[0] > 1
         proj_quant = pscale is not None
         proj_bias = pbias is not None
@@ -514,7 +378,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
             return (0, 0)
 
         in_specs += [pl.BlockSpec(
-            (1, N, H, D) if proj_nk else (1, H, D, N), w_map,
+            (1, H, D, N), w_map,
             memory_space=pltpu.VMEM)]
         args += [pw]
         if proj_quant:
@@ -532,86 +396,13 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         out_shape = jax.ShapeDtypeStruct((B, H, D), q.dtype)
 
     cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
-    xq_quant = xq_bias = False
-    if with_xq or with_xqkv:
-        _, xw, xsc, xb = xq if with_xq else xqkv
-        dm = q.shape[-1]
-        n_rows = H if with_xq else 3 * H
-        assert xw.shape[-2] == dm and xw.shape[-1] == n_rows * D, \
-            f"q(kv) weight [..., {dm}, {n_rows * D}], got {xw.shape}"
-        # [dm, (3)H, D] so the per-head panel is a static middle-index
-        # slice (a lane slice of [dm, H*D] at h*D would hit Mosaic
-        # relayouts)
-        xw = xw.reshape(-1, dm, n_rows, D)
-        xq_stacked = xw.shape[0] > 1
-        xq_quant = xsc is not None
-        xq_bias = xb is not None
-
-        def xw_map(b, c, lref, sref, stref, kref, tref):
-            return (lref[0] if xq_stacked else 0, 0, 0, 0)
-
-        def xs_map(b, c, lref, sref, stref, kref, tref):
-            return (0, 0, 0)
-
-        in_specs += [pl.BlockSpec((1, dm, n_rows, D), xw_map,
-                                  memory_space=pltpu.VMEM)]
-        args += [xw]
-        if xq_quant:
-            in_specs += [pl.BlockSpec((1, n_rows, D), xs_map,
-                                      memory_space=pltpu.VMEM)]
-            args += [jnp.asarray(xsc, jnp.float32).reshape(1, n_rows, D)]
-        if xq_bias:
-            in_specs += [pl.BlockSpec((1, n_rows, D), xs_map,
-                                      memory_space=pltpu.VMEM)]
-            args += [jnp.asarray(xb).reshape(1, n_rows, D)]
-
-    # fused pre-LN of the prologue's hidden state (``ln`` = (gamma, beta,
-    # eps)) and fused residual add into the proj epilogue (``residual``
-    # [B, N] or [B, 1, N]) — the small-op-floor fusions (round-3): each
-    # removes one elementwise dispatch per layer per step
-    with_ln = ln is not None
-    ln_eps = 0.0
-    if with_ln:
-        assert with_xq or with_xqkv, \
-            "fused LN applies to the q(kv) prologue's hidden state"
-        lng, lnb, ln_eps = ln
-        dm = q.shape[-1]
-
-        def ln_map(b, c, lref, sref, stref, kref, tref):
-            return (0, 0)
-
-        in_specs += [pl.BlockSpec((1, dm), ln_map, memory_space=pltpu.VMEM),
-                     pl.BlockSpec((1, dm), ln_map, memory_space=pltpu.VMEM)]
-        args += [jnp.asarray(lng).reshape(1, dm),
-                 jnp.asarray(lnb).reshape(1, dm)]
-    with_res = residual is not None
-    if with_res:
-        assert with_proj, "fused residual applies to the proj epilogue"
-        res = jnp.asarray(residual).reshape(B, -1)
-        assert res.shape[1] == N, (res.shape, N)
-        in_specs += [pl.BlockSpec((1, N), o_proj_map,
-                                  memory_space=pltpu.VMEM)]
-        args += [res]
-
-    if with_xqkv:
-        out_spec = [out_spec,
-                    pl.BlockSpec((1, H, D), o_map, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, H, D), o_map, memory_space=pltpu.VMEM)]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, H, D), full_cache.dtype),
-                     jax.ShapeDtypeStruct((B, H, D), full_cache.dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B, n_chunks),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=(
-            [pltpu.VMEM((H, D), full_cache.dtype),   # computed fresh K
-             pltpu.VMEM((H, D), full_cache.dtype)]   # computed fresh V
-            if with_xqkv else []) + (
-            [pltpu.VMEM((H, 1, D), cdt)]             # computed q [H,1,D]
-            if (with_xq or with_xqkv) else []) + [
+        scratch_shapes=[
             pltpu.VMEM((H, 1), jnp.float32),   # running max
             pltpu.VMEM((H, 1), jnp.float32),   # running denom
             pltpu.VMEM((H, D), jnp.float32),   # context accumulator
@@ -620,10 +411,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     kernel = functools.partial(
         _kernel, scale=float(scale), quant=quant, with_fresh=with_fresh,
         with_tail=with_tail, with_proj=with_proj, proj_quant=proj_quant,
-        proj_bias=proj_bias, proj_nk=proj_nk, with_xq=with_xq,
-        xq_quant=xq_quant, xq_bias=xq_bias, with_xqkv=with_xqkv,
-        with_res=with_res, with_ln=with_ln, ln_eps=float(ln_eps),
-        cache_dt=full_cache.dtype,
+        proj_bias=proj_bias,
         cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
     bytes_cost = 2 * H * D * S * full_cache.dtype.itemsize * B
     out = pl.pallas_call(
@@ -635,11 +423,6 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
             transcendentals=B * H * S),
         interpret=interpret,
     )(layer_arr, seqlen_arr, start_arr, kscale_arr, tlen_arr, *args)
-    if with_xqkv:
-        attn, fk_out, fv_out = out
-        if not with_proj:
-            attn = attn[:, :, None, :]
-        return attn, fk_out, fv_out
     if with_proj:
         return out                               # [B, N]
     return out[:, :, None, :]

@@ -68,31 +68,15 @@ class PluginConfig:
     # the dense layer is int8 WOQ, tp=1.  None = on with pallas_decode
     fuse_decode_proj: Optional[bool] = None
     # extend the fused out-projection epilogue to UN-quantised (bf16/f32)
-    # dense weights in their native [N, K] layout ("nk" kernel dots).
-    # Default OFF pending a device A/B — the minor-contracting dots' MXU
-    # cost vs the replaced GEMV launch is unmeasured (fusion_sweep has a
-    # cell; adopt or delete after the r3 suite runs)
+    # dense weights (minors pre-swapped to [K, N] by the layer).  None =
+    # ON: the round-3 device A/B measured GPT-350M bf16 bs1 338 vs 289
+    # tok/s and Whisper large-v2 bf16 5.35 vs 5.06 utt/s.
+    # (Four sibling fusions were measured in the same sweep and DELETED
+    # per the adopt-or-delete discipline: the q-projection prologue
+    # (760.6 vs 152.7 ms/utt), the QKV prologue (scoped-VMEM compile
+    # OOM), pre-LN-into-prologue (died with the prologue) and
+    # residual-into-epilogue (155.3-155.8 vs 152.7 ms/utt).)
     fuse_decode_proj_bf16: Optional[bool] = None
-    # small-op-floor fusions (round-3, default OFF pending device A/B —
-    # the decode trace shows ~0.6 ms/step of sub-microsecond dispatches):
-    # fold the pre-LN into the fused kernel's q prologue and the block's
-    # residual add into its proj epilogue (whisper cross-attention decode)
-    fuse_decode_ln: Optional[bool] = None
-    fuse_decode_residual: Optional[bool] = None
-    # fuse the SELF-attention QKV projection into the Pallas decode
-    # kernel prologue (fresh K/V computed, cache-cast and emitted
-    # in-kernel).  WOQ8 qkv, float KV cache, no rope/alibi, batch 1.
-    # Default OFF pending a device A/B (benchmarks/fusion_sweep.py): the
-    # prologue runs 3H sequential per-head GEMV dots whose MXU cost is
-    # uncertain vs the XLA dispatch it replaces.  None = off
-    fuse_decode_qkv: Optional[bool] = None
-    # fuse the cross-attention q-projection (int8 WOQ q_linear) into the
-    # Pallas decode kernel prologue: q computed once per step in VMEM
-    # scratch, the 1.6 MB weight read rides the kernel's DMA pipeline
-    # instead of a separate launch-overhead-bound GEMV dispatch.  Only
-    # applies where pallas_decode applies, cached-only (cross) mode,
-    # WOQ8 q_linear, tp=1.  None = on with pallas_decode
-    fuse_decode_q: Optional[bool] = None
     # materialise the fused QKV projection's flat [B,L,3*H*D] result
     # (optimization_barrier) before the head split in context/prefill
     # calls, so XLA emits the GEMM in a well-tiled N-minor layout instead
@@ -150,36 +134,9 @@ class PluginConfig:
         v = os.environ.get("EWT_FUSE_PROJ_BF16")
         if v is not None:
             return v not in ("0", "false", "off")
-        return bool(self.fuse_decode_proj_bf16)
-
-    def use_fuse_decode_ln(self) -> bool:
-        v = os.environ.get("EWT_FUSE_LN")
-        if v is not None:
-            return v not in ("0", "false", "off")
-        return bool(self.fuse_decode_ln)
-
-    def use_fuse_decode_residual(self) -> bool:
-        v = os.environ.get("EWT_FUSE_RESIDUAL")
-        if v is not None:
-            return v not in ("0", "false", "off")
-        return bool(self.fuse_decode_residual)
-
-    def use_fuse_decode_qkv(self) -> bool:
-        v = os.environ.get("EWT_FUSE_QKV")
-        if v is not None:
-            return v not in ("0", "false", "off")
-        return bool(self.fuse_decode_qkv)
-
-    def use_fuse_decode_q(self) -> bool:
-        v = os.environ.get("EWT_FUSE_Q")
-        if v is not None:
-            return v not in ("0", "false", "off")
-        if self.fuse_decode_q is not None:
-            return self.fuse_decode_q
-        # device A/B (v5e, large-v2 woq8+ckv8+lmq8, round 3): the per-head
-        # [1,dm]x[dm,D] prologue dot loop is MXU-hostile — 760.6 ms/utt vs
-        # 152.7 ms with the q projection left to XLA's dequant-GEMM.  OFF.
-        return False
+        if self.fuse_decode_proj_bf16 is not None:
+            return self.fuse_decode_proj_bf16
+        return True
 
     def use_qkv_flat_barrier(self) -> bool:
         v = os.environ.get("EWT_QKV_BARRIER")

@@ -40,7 +40,7 @@ class WeightOnlyQuantLinear(Module):
         # see ops.quant_matmul.quantize_weights_int4)
         self.group_size = group_size if bits == 4 else 0
         # consulted by the fused-decode-kernel eligibility checks
-        # (layers/attention.py proj/q_fusion_hoistable): tp>1 needs the
+        # (layers/attention.py proj_fusion_hoistable): tp>1 needs the
         # XLA dense path's automatic partial-sum/gather handling
         self.tp_size = tp_size
         k = in_features if bits == 8 else in_features // 2

@@ -60,7 +60,6 @@ def test_gpt_woq_proj_fusion_token_exact(monkeypatch, tail):
     outs = {}
     for fuse in ("0", "1"):
         monkeypatch.setenv("EWT_FUSE_PROJ", fuse)
-        monkeypatch.setenv("EWT_FUSE_QKV", fuse)
         sess = GenerationSession(mc, model,
                                  SamplingConfig(end_id=-1, pad_id=0))
         toks, slens, cum = sess.decode(ids, lens, max_new_tokens=9)

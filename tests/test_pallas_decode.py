@@ -230,26 +230,30 @@ def test_fused_out_projection(quant_w):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_fused_out_projection_nk_layout():
-    """proj= epilogue with the weight in the Linear layer's NATIVE [N, K]
-    layout (bf16 dense fusion, "nk" dots) — must equal the [K, N] path and
-    the XLA dense, single and stacked (index-map-selected) weights."""
+def test_fused_out_projection_float_dense():
+    """proj= epilogue with a FLOAT dense weight (the bf16/f32 fusion):
+    the layer pre-swaps the Linear-native [N, K] minors to the kernel's
+    [K, N] contract — must equal the XLA dense, single and stacked
+    (index-map-selected) weights.  (An in-kernel "nk" layout was deleted:
+    its [1,N,H,D] VMEM panel padded (20,64)->(24,128) and OOM'd scoped
+    VMEM on device.)"""
     N = H * D
     rs = np.random.RandomState(11)
     w = rs.randn(N, N).astype(np.float32) * 0.1   # [N, K] row-major
     bias = rs.randn(N).astype(np.float32) * 0.1
-    wj = jnp.asarray(w)
+    wj = jnp.swapaxes(jnp.asarray(w), -1, -2)     # layer-side swap
     cache, q = mk(jnp.int8)
     seq = jnp.asarray([S, S], jnp.int32)
     scale, kscale = 1.0 / D ** 0.5, 0.05
     ctx = fused_decode_attention(cache, 1, q, seq, scale,
                                  kv_quant_orig_scale=kscale, interpret=True)
     merged = ctx.transpose(0, 2, 1, 3).reshape(B, 1, N)
-    ref = (jnp.matmul(merged, wj.T, preferred_element_type=jnp.float32)
+    ref = (jnp.matmul(merged, jnp.asarray(w).T,
+                      preferred_element_type=jnp.float32)
            .astype(merged.dtype) + jnp.asarray(bias, merged.dtype))
     out = fused_decode_attention(cache, 1, q, seq, scale,
                                  kv_quant_orig_scale=kscale,
-                                 proj=(wj, None, jnp.asarray(bias), "nk"),
+                                 proj=(wj, None, jnp.asarray(bias)),
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref.reshape(B, N)),
                                rtol=2e-5, atol=2e-5)
@@ -257,113 +261,9 @@ def test_fused_out_projection_nk_layout():
                         jnp.full_like(wj, -5.0)])
     out_st = fused_decode_attention(
         cache, 1, q, seq, scale, kv_quant_orig_scale=kscale,
-        proj=(wstack, None, jnp.asarray(bias), "nk"), interpret=True)
+        proj=(wstack, None, jnp.asarray(bias)), interpret=True)
     np.testing.assert_allclose(np.asarray(out_st),
                                np.asarray(ref.reshape(B, N)),
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("quant_w", [True, False])
-@pytest.mark.parametrize("stacked", [False, True])
-def test_fused_q_projection(quant_w, stacked):
-    """xq= prologue (fused q_linear): kernel output with the raw hidden
-    state + q weights must equal projecting q outside then calling the
-    kernel; stacked [L, dm, H*D] weights must pick layer_idx's panel."""
-    from eddie_wang_hackathon2023_tpu.ops.quant_matmul import (
-        quantize_weights_int8, weight_only_quant_matmul)
-    DM = 16
-    HD = H * D
-    rs = np.random.RandomState(11)
-    x = jnp.asarray(rs.randn(B, 1, DM).astype(np.float32))
-    w = rs.randn(DM, HD).astype(np.float32) * 0.2
-    bias = rs.randn(HD).astype(np.float32) * 0.1
-    if quant_w:
-        qw, sc = quantize_weights_int8(w)
-        wq, scale = jnp.asarray(qw), jnp.asarray(sc)
-        q_flat = weight_only_quant_matmul(x, wq, scale) \
-            + jnp.asarray(bias, x.dtype)
-    else:
-        wq, scale = jnp.asarray(w), None
-        q_flat = (jnp.matmul(x, jnp.asarray(w),
-                             preferred_element_type=jnp.float32)
-                  .astype(x.dtype) + jnp.asarray(bias, x.dtype))
-    q = q_flat.reshape(B, 1, H, D).transpose(0, 2, 1, 3)   # [B, H, 1, D]
-
-    cache, _ = mk(jnp.int8, seed=3)
-    seq = jnp.asarray([S, S], jnp.int32)
-    scale_a, kscale = 1.0 / D ** 0.5, 0.04
-    ref = fused_decode_attention(cache, 1, q, seq, scale_a,
-                                 kv_quant_orig_scale=kscale, interpret=True)
-    if stacked:
-        wq = jnp.stack([jnp.zeros_like(wq), wq, jnp.ones_like(wq)])
-    out = fused_decode_attention(cache, 1, None, seq, scale_a,
-                                 kv_quant_orig_scale=kscale,
-                                 xq=(x, wq, scale, jnp.asarray(bias)),
-                                 interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
-
-
-@pytest.mark.parametrize("quant_w", [True, False])
-@pytest.mark.parametrize("tail", [False, True])
-def test_fused_qkv_projection(quant_w, tail):
-    """xqkv= prologue (fused self-attention QKV): kernel fed the raw
-    hidden state must equal projecting q/k/v outside, casting k/v via
-    cast_kv_for_cache and calling the fresh-kv kernel — and must return
-    the identical fresh K/V for the deferred write."""
-    from eddie_wang_hackathon2023_tpu.ops.attention import cast_kv_for_cache
-    from eddie_wang_hackathon2023_tpu.ops.quant_matmul import (
-        quantize_weights_int8, weight_only_quant_matmul)
-    DM = 16
-    HD = H * D
-    rs = np.random.RandomState(21)
-    x = jnp.asarray(rs.randn(B, 1, DM).astype(np.float32))
-    w = rs.randn(DM, 3 * HD).astype(np.float32) * 0.2
-    bias = rs.randn(3 * HD).astype(np.float32) * 0.1
-    if quant_w:
-        qw, sc = quantize_weights_int8(w)
-        wq, scale = jnp.asarray(qw), jnp.asarray(sc)
-        flat = weight_only_quant_matmul(x, wq, scale) \
-            + jnp.asarray(bias, x.dtype)
-    else:
-        wq, scale = jnp.asarray(w), None
-        flat = (jnp.matmul(x, jnp.asarray(w),
-                           preferred_element_type=jnp.float32)
-                .astype(x.dtype) + jnp.asarray(bias, x.dtype))
-    qkv = flat.reshape(B, 1, 3, H, D)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)        # [B, H, 1, D]
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    cache, _ = mk(jnp.float32, seed=13)
-    k_st, v_st = cast_kv_for_cache(k, v, cache.dtype)    # [B, H, D, 1]
-
-    seq = jnp.asarray([13, 9], jnp.int32)
-    scale_a = 1.0 / D ** 0.5
-    tail_arg = None
-    if tail:
-        rs2 = np.random.RandomState(22)
-        tail_arr = jnp.asarray(rs2.randn(4, L, B, 2, H, D)
-                               .astype(np.float32))
-        tail_arg = (tail_arr, jnp.asarray(2, jnp.int32))
-    ref = fused_decode_attention(cache, 0, q, seq, scale_a,
-                                 fresh_kv=(k_st, v_st), tail_kv=tail_arg,
-                                 interpret=True)
-    got, fk, fv = fused_decode_attention(
-        cache, 0, None, seq, scale_a, tail_kv=tail_arg,
-        xqkv=(x, wq, scale, jnp.asarray(bias)), interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
-    # fp32 accumulation association differs between the one-GEMM XLA
-    # projection and the per-head kernel dots -> ~1e-7, not bit-exact
-    np.testing.assert_allclose(np.asarray(fk), np.asarray(k_st[..., 0]),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(fv), np.asarray(v_st[..., 0]),
-                               rtol=1e-5, atol=1e-6)
-
-    # stacked weight [L, DM, 3HD] picks layer_idx's panel
-    wstack = jnp.stack([wq, jnp.zeros_like(wq), jnp.ones_like(wq)])
-    got2, _, _ = fused_decode_attention(
-        cache, 0, None, seq, scale_a, tail_kv=tail_arg,
-        xqkv=(x, wstack, scale, jnp.asarray(bias)), interpret=True)
-    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)

@@ -104,26 +104,27 @@ def test_builder_roundtrip(tmp_path):
         set_plugin_config(old)
 
 
-def test_round2_fusion_fields_roundtrip():
-    """The round-2 kernel-recipe fields (fused epilogues/prologues,
-    decode chunk) survive the builder config.json dict round-trip so an
-    engine build pins them."""
-    cfg = PluginConfig(fuse_decode_proj=False, fuse_decode_q=False,
-                       fuse_decode_qkv=True, decode_chunk=384,
-                       qkv_flat_barrier=True)
+def test_fusion_fields_roundtrip():
+    """The kernel-recipe fields (fused out-proj epilogue, decode chunk)
+    survive the builder config.json dict round-trip so an engine build
+    pins them.  (The q/qkv prologue and ln/residual fields were deleted
+    with their kernels after losing the round-3 device A/B.)"""
+    cfg = PluginConfig(fuse_decode_proj=False, fuse_decode_proj_bf16=False,
+                       decode_chunk=384, qkv_flat_barrier=True)
     back = PluginConfig.from_dict(cfg.to_dict())
     assert back.fuse_decode_proj is False
-    assert back.fuse_decode_q is False
-    assert back.fuse_decode_qkv is True
+    assert back.fuse_decode_proj_bf16 is False
     assert back.qkv_flat_barrier is True
     assert back.get_decode_chunk(2048) == 384
-    assert back.use_fuse_decode_qkv() is True
+    assert back.use_fuse_decode_proj_bf16() is False
 
 
 def test_fusion_env_overrides(monkeypatch):
     monkeypatch.setenv("EWT_FUSE_PROJ", "0")
     assert PluginConfig(fuse_decode_proj=True).use_fuse_decode_proj() is False
-    monkeypatch.setenv("EWT_FUSE_Q", "0")
-    assert PluginConfig(fuse_decode_q=True).use_fuse_decode_q() is False
-    monkeypatch.setenv("EWT_FUSE_QKV", "1")
-    assert PluginConfig().use_fuse_decode_qkv() is True
+    monkeypatch.setenv("EWT_FUSE_PROJ_BF16", "0")
+    assert PluginConfig(
+        fuse_decode_proj_bf16=True).use_fuse_decode_proj_bf16() is False
+    monkeypatch.delenv("EWT_FUSE_PROJ_BF16")
+    # device-A/B-adopted default: ON when unset
+    assert PluginConfig().use_fuse_decode_proj_bf16() is True

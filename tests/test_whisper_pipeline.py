@@ -321,10 +321,10 @@ def test_pallas_decode_path_token_exact(pipeline, features, monkeypatch):
 
 
 def test_pallas_proj_fusion_token_exact(features, monkeypatch):
-    """WOQ int8 pipeline: the fused out-projection epilogue + fused
-    cross-q prologue (EWT_FUSE_PROJ/EWT_FUSE_Q, ops.pallas_decode_attention
-    proj=/xq=, incl. the scan-xs qweight hoisting in the decoder) must
-    reproduce the un-fused Pallas path token for token (interpret mode)."""
+    """WOQ int8 pipeline: the fused out-projection epilogue
+    (EWT_FUSE_PROJ, ops.pallas_decode_attention proj=, incl. the scan-xs
+    qweight hoisting in the decoder) must reproduce the un-fused Pallas
+    path token for token (interpret mode)."""
     from eddie_wang_hackathon2023_tpu.quantization import QuantMode
     from eddie_wang_hackathon2023_tpu.quantization.surgery import \
         weight_only_quantize_state
@@ -343,8 +343,6 @@ def test_pallas_proj_fusion_token_exact(features, monkeypatch):
     outs = {}
     for fuse in ("0", "1"):
         monkeypatch.setenv("EWT_FUSE_PROJ", fuse)
-        monkeypatch.setenv("EWT_FUSE_Q", fuse)
-        monkeypatch.setenv("EWT_FUSE_QKV", fuse)
         pipe = WhisperPipeline(CFG, enc, dec, ckv,
                                DecodingOptions(language="en", sample_len=10))
         pipe.bind_params()
