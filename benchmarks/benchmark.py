@@ -90,10 +90,15 @@ def main():
             lens = np.full((bs,), in_len, np.int32)
             for _ in range(args.warm_up):
                 sess.decode(ids, lens, max_new_tokens=out_len)
+            # distinct prompts per timed run: repeated same-arg dispatches
+            # can be served from the axon tunnel's result cache without
+            # re-executing (see bench.py / bert_bench.py)
+            runs_ids = [rs.randint(0, vocab, (bs, in_len)).astype(np.int32)
+                        for _ in range(args.num_runs)]
             times = []
-            for _ in range(args.num_runs):
+            for rids in runs_ids:
                 t0 = time.time()
-                sess.decode(ids, lens, max_new_tokens=out_len)
+                sess.decode(rids, lens, max_new_tokens=out_len)
                 times.append(time.time() - t0)
             latency = min(times)
             toks = bs * out_len

@@ -77,7 +77,12 @@ def main():
             jax.block_until_ready(batches)
             t0 = time.time()
             outs = [run(params, b, lens) for b in batches]
-            jax.block_until_ready(outs)
+            # block_until_ready alone is NOT a sync barrier through the
+            # axon tunnel (it once reported 0.06 ms for a bert_base@512
+            # forward).  Force a data-dependent host fetch: the summed
+            # sink cannot materialise without every forward executing.
+            np.asarray(sum(jnp.sum(leaf.astype(jnp.float32))
+                           for leaf in jax.tree.leaves(outs)))
             ms = (time.time() - t0) / args.num_runs * 1e3
             print(f"[BENCHMARK] model_name {args.model} precision "
                   f"{args.dtype} batch_size {bs} input_length {inlen} "

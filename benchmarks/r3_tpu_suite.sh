@@ -26,16 +26,16 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 # ---- headline + surviving fusion A/Bs --------------------------------------
 run bench_fused 1400 python bench.py
-EWT_FUSE_PROJ=0 run bench_nofuse 1400 python bench.py
-BENCH_CKV_DYNAMIC=1 run bench_ckvdyn 1400 python bench.py
-BENCH_QUANT=bf16 run bench_bf16 1400 python bench.py
-BENCH_QUANT=bf16 EWT_FUSE_PROJ_BF16=0 run bench_bf16_nofuse 1400 python bench.py
-BENCH_BATCH=8 run bench_b8 1400 python bench.py
+EWT_FUSE_PROJ=0 BENCH_STAGES=0 run bench_nofuse 1400 python bench.py
+BENCH_CKV_DYNAMIC=1 BENCH_STAGES=0 run bench_ckvdyn 1400 python bench.py
+BENCH_QUANT=bf16 BENCH_STAGES=0 run bench_bf16 1400 python bench.py
+BENCH_QUANT=bf16 EWT_FUSE_PROJ_BF16=0 BENCH_STAGES=0 run bench_bf16_nofuse 1400 python bench.py
+BENCH_BATCH=8 BENCH_STAGES=0 run bench_b8 1400 python bench.py
 
 # ---- int4: group-wise vs per-channel, pallas vs xla (r3) --------------------
-BENCH_QUANT=woq4 run bench_woq4_g128 1400 python bench.py
-BENCH_QUANT=woq4 EWT_INT4_GROUP=0 run bench_woq4_perchan 1400 python bench.py
-BENCH_QUANT=woq4 EWT_INT4_XLA=1 run bench_woq4_xla 1400 python bench.py
+BENCH_QUANT=woq4 BENCH_STAGES=0 run bench_woq4_g128 1400 python bench.py
+BENCH_QUANT=woq4 EWT_INT4_GROUP=0 BENCH_STAGES=0 run bench_woq4_perchan 1400 python bench.py
+BENCH_QUANT=woq4 EWT_INT4_XLA=1 BENCH_STAGES=0 run bench_woq4_xla 1400 python bench.py
 
 # ---- traces for the README roofline table ----------------------------------
 BENCH_QUANT="woq8+ckv8+lmq8" PROFILE_TARGET=loop LOOP_STEPS=32 \

@@ -519,21 +519,18 @@ class Attention(Module):
                     # cache_indirection beam mode (ref T/functional.py:2738
                     # cache_indirection plugin arg): the per-(beam,
                     # position) physical-row map rides into the attention
-                    # READ instead of physically reordering the cache every
-                    # step — the gather fuses into the K/V consumption
-                    kk, vv = layer_kv_views(full_cache, layer_idx)
-                    bb, hh, dd, ss = kk.shape
-                    bg, bw, _ = beam_indirection.shape
-                    idx = beam_indirection[:, :, None, None, :]
-                    kk = jnp.take_along_axis(
-                        kk.reshape(bg, bw, hh, dd, ss), idx,
-                        axis=1).reshape(bb, hh, dd, ss)
-                    vv = jnp.take_along_axis(
-                        vv.reshape(bg, bw, hh, dd, ss), idx,
-                        axis=1).reshape(bb, hh, dd, ss)
-                    ctx = cached_decode_attention(
-                        q, (kk, vv), sequence_length, scale=self.scale,
-                        kv_quant_orig_scale=kv_qo,
+                    # READ as masked cross-beam scores — XLA lowered the
+                    # previous take_along_axis formulation to a
+                    # materialised reordered cache copy (2x cache bytes
+                    # written+re-read per layer per step; 13.2 ms/tok at
+                    # beam=4/ctx=2048 on v5e).  See
+                    # ops.attention.beam_indirect_decode_attention.
+                    from ..ops.attention import \
+                        beam_indirect_decode_attention
+                    ctx = beam_indirect_decode_attention(
+                        q, layer_kv_views(full_cache, layer_idx),
+                        sequence_length, beam_indirection,
+                        scale=self.scale, kv_quant_orig_scale=kv_qo,
                         start_index=attention_start, fresh_kv=(k_st, v_st))
                 elif _pallas_decode() and \
                         self.num_attention_kv_heads == \

@@ -128,18 +128,6 @@ def paged_decode_attention(q, pool, block_table, seq_len,
     blocks = pool[table]
     k = blocks[:, :, 0].transpose(0, 2, 1, 3, 4).reshape(b, hk, max_blocks * t, d)
     v = blocks[:, :, 1].transpose(0, 2, 1, 3, 4).reshape(b, hk, max_blocks * t, d)
-    if beam_indirection is not None:
-        bg, bw, s_ind = beam_indirection.shape
-        assert bg * bw == b, (beam_indirection.shape, b)
-        s_b = max_blocks * t
-        ind = beam_indirection
-        if s_ind < s_b:          # positions past S are masked by seq_len
-            ind = jnp.pad(ind, ((0, 0), (0, 0), (0, s_b - s_ind)))
-        idx = ind[:, :, None, :s_b, None].astype(jnp.int32)
-        k = jnp.take_along_axis(k.reshape(bg, bw, hk, s_b, d), idx,
-                                axis=1).reshape(b, hk, s_b, d)
-        v = jnp.take_along_axis(v.reshape(bg, bw, hk, s_b, d), idx,
-                                axis=1).reshape(b, hk, s_b, d)
     if pool.dtype == jnp.int8:
         assert kv_quant_orig_scale is not None
         k = (k.astype(jnp.float32) * kv_quant_orig_scale).astype(q.dtype)
@@ -148,6 +136,37 @@ def paged_decode_attention(q, pool, block_table, seq_len,
         k = k.astype(q.dtype)
         v = v.astype(q.dtype)
     acc_t = jnp.float32
+    if beam_indirection is not None:
+        # masked cross-beam scores instead of take_along_axis — XLA
+        # lowered the gather to a materialised reordered K/V copy (2x the
+        # gathered bytes written + re-read); see
+        # ops.attention.beam_indirect_decode_attention for the math
+        assert lq == 1, "paged beam indirection is a generation-step path"
+        bg, bw, s_ind = beam_indirection.shape
+        assert bg * bw == b, (beam_indirection.shape, b)
+        s_b = max_blocks * t
+        ind = beam_indirection
+        if s_ind < s_b:          # positions past S are masked by seq_len
+            ind = jnp.pad(ind, ((0, 0), (0, 0), (0, s_b - s_ind)))
+        k5 = k.reshape(bg, bw, hk, s_b, d)
+        v5 = v.reshape(bg, bw, hk, s_b, d)
+        q4 = q[:, :, 0, :].reshape(bg, bw, hk, d)
+        s_all = jnp.einsum("gqhd,gkhsd->gqkhs", q4, k5,
+                           preferred_element_type=acc_t) * \
+            jnp.asarray(scale, acc_t)
+        sel = (ind[:, :, None, :s_b] ==
+               jnp.arange(bw, dtype=ind.dtype)[None, None, :, None])
+        scores = jnp.sum(jnp.where(sel[:, :, :, None, :], s_all, 0.0),
+                         axis=2).reshape(b, hk, 1, s_b)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s_b), 3)
+        valid = kpos < jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
+        scores = jnp.where(valid, scores, jnp.asarray(-1e30, scores.dtype))
+        probs = jax.nn.softmax(scores, axis=-1)
+        p_m = jnp.where(sel[:, :, :, None, :],
+                        probs.reshape(bg, bw, 1, hk, s_b), 0.0)
+        ctx = jnp.einsum("gqkhs,gkhsd->gqhd", p_m.astype(v.dtype), v5,
+                         preferred_element_type=acc_t).reshape(b, hk, 1, d)
+        return ctx.astype(q.dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_blocks * t), 3)

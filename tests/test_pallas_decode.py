@@ -267,3 +267,46 @@ def test_fused_out_projection_float_dense():
                                rtol=2e-5, atol=2e-5)
 
 
+
+
+def test_beam_indirect_matches_gather_formulation():
+    """beam_indirect_decode_attention (masked cross-beam scores, no
+    materialised reorder) must match gathering the cache with
+    take_along_axis and running the plain op — int8 and f32 caches,
+    ragged lengths, left-pad start, with and without fresh KV."""
+    from eddie_wang_hackathon2023_tpu.ops.attention import (
+        beam_indirect_decode_attention, cached_decode_attention)
+    BG, BW = 2, 4
+    BB = BG * BW
+    rs = np.random.RandomState(17)
+    for dtype in (jnp.float32, jnp.int8):
+        cache = rs.randn(BB, 2, H, D, S).astype(np.float32)
+        if dtype == jnp.int8:
+            cache = np.clip(np.round(cache * 20), -127, 127).astype(np.int8)
+        cache = jnp.asarray(cache, dtype)
+        q = jnp.asarray(rs.randn(BB, H, 1, D).astype(np.float32))
+        fkv = rs.randn(2, BB, H, D, 1).astype(np.float32)
+        if dtype == jnp.int8:
+            fkv = np.clip(np.round(fkv * 20), -127, 127).astype(np.int8)
+        fk, fv = jnp.asarray(fkv[0], dtype), jnp.asarray(fkv[1], dtype)
+        seq = jnp.asarray(rs.randint(4, S, (BB,)), jnp.int32)
+        start = jnp.asarray(rs.randint(0, 3, (BB,)), jnp.int32)
+        ind = jnp.asarray(rs.randint(0, BW, (BG, BW, S)), jnp.int32)
+        kscale = 0.05 if dtype == jnp.int8 else None
+        scale = 1.0 / D ** 0.5
+        k, v = cache[:, 0], cache[:, 1]
+        idx = ind[:, :, None, None, :]
+        kk = jnp.take_along_axis(k.reshape(BG, BW, H, D, S), idx,
+                                 axis=1).reshape(BB, H, D, S)
+        vv = jnp.take_along_axis(v.reshape(BG, BW, H, D, S), idx,
+                                 axis=1).reshape(BB, H, D, S)
+        for fresh in (None, (fk, fv)):
+            ref = cached_decode_attention(
+                q, (kk, vv), seq, scale=scale, kv_quant_orig_scale=kscale,
+                start_index=start, fresh_kv=fresh)
+            got = beam_indirect_decode_attention(
+                q, (k, v), seq, ind, scale=scale,
+                kv_quant_orig_scale=kscale, start_index=start,
+                fresh_kv=fresh)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
