@@ -64,12 +64,13 @@ class ResidualAttentionBlock(Module):
 
     def forward(self, x, kv_cache=None, cross_kv=None, write_index=None,
                 sequence_length=None, valid_len=None,
-                use_cache: bool = False):
+                use_cache: bool = False, beam_indirection=None):
         attn_out = self.attn(self.attn_ln(x),
                              past_key_value=kv_cache,
                              sequence_length=sequence_length,
                              cache_write_index=write_index,
                              valid_len=valid_len,
+                             beam_indirection=beam_indirection,
                              use_cache=use_cache)
         if use_cache:
             attn_out, kv_cache = attn_out
@@ -288,7 +289,8 @@ class WhisperDecoder(Module):
 
     def forward(self, tokens, kv_cache, cross_kv, write_index,
                 sequence_length, kv_tail=None,
-                tail_len=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                tail_len=None,
+                beam_indirection=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tokens [B, L] int32; kv_cache [n_layer,B,2,H,S,hd] (donated =>
         in-place); cross_kv [n_layer,B,2,H,1500,hd]; write_index scalar
         int32; sequence_length [B] int32 (valid length incl. these tokens).
@@ -357,7 +359,8 @@ class WhisperDecoder(Module):
                 h, fresh = block.apply(
                     params, h, kv_cache=ca,
                     cross_kv=(cross_kv, l), write_index=write_index,
-                    sequence_length=sequence_length, use_cache=True)
+                    sequence_length=sequence_length,
+                    beam_indirection=beam_indirection, use_cache=True)
                 return h, fresh
 
             x, (k_new, v_new) = jax.lax.scan(step, x, (stacked, layer_ids),

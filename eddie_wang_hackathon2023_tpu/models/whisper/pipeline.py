@@ -31,7 +31,8 @@ from ...logger import logger
 from ...quantization import QuantMode
 from ..whisper.config import WhisperConfig
 from ..whisper.model import CrossAttnKV, WhisperDecoder, WhisperEncoder
-from ...runtime.sampling import beam_search_step, gather_beams
+from ...runtime.sampling import (beam_search_step, gather_beams,
+                                 update_indirection)
 from ...text.tokenizer import Tokenizer, get_tokenizer
 
 CHUNK_LENGTH = 30
@@ -283,8 +284,9 @@ class WhisperPipeline:
         With ``options.beam_size`` this runs REAL on-device beam search
         (ref openai BeamSearchDecoder, decoding.py:274+): rows come in
         groups of ``beam`` per audio, all beams of a group expand jointly
-        by cumulative logprob, carried state (tokens, KV cache, timestamp
-        filter state) is reordered by parent each step, finished beams
+        by cumulative logprob, carried state (tokens, timestamp filter
+        state) is reordered by parent each step while the KV cache stays
+        put behind a cache_indirection row map, finished beams
         propagate frozen EOS continuations, and the final group ranking is
         the shared MaximumLikelihoodRanker in post_process."""
         tok = self.tokenizer
@@ -295,19 +297,25 @@ class WhisperPipeline:
         ts_begin = tok.timestamp_begin
 
         # K-step deferred KV-store tail (ops.attention write_tail_kv):
-        # greedy/sampling only — the beam path reorders the cache by parent
-        # each step, which would also have to reorder the tail
+        # greedy/sampling only — the beam path reads history through the
+        # cache_indirection row map, which the tail read does not compose
+        # with
         from ...plugin import get_plugin_config
         kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
         # kt columns of slack so the once-per-K merge never clamps
         cache = self.decoder.new_kv_cache(
             b, self.config.n_text_ctx + kt if kt else None)
 
-        def dec(tokens, cache, widx, seqlen, tail=None, tail_len=None):
+        def dec(tokens, cache, widx, seqlen, tail=None, tail_len=None,
+                beam_ind=None):
             if tail is not None:
                 return self.decoder.apply(dec_params, tokens, cache,
                                           cross_kv, widx, seqlen,
                                           kv_tail=tail, tail_len=tail_len)
+            if beam_ind is not None:
+                return self.decoder.apply(dec_params, tokens, cache,
+                                          cross_kv, widx, seqlen,
+                                          beam_indirection=beam_ind)
             return self.decoder.apply(dec_params, tokens, cache, cross_kv,
                                       widx, seqlen)
 
@@ -345,6 +353,15 @@ class WhisperPipeline:
             assert b % beam == 0
             mask0 = (jnp.arange(b) % beam) != 0
             init_state["sum_logprobs"] = jnp.where(mask0, -1e9, 0.0)
+            # cache_indirection row map (ops/runtime update_indirection):
+            # the CACHE stays put; only this [ng, beam, S] map advances.
+            # (Physically re-gathering the whole stacked cache by parent
+            # each step — the round-2 formulation — over-committed v5e
+            # HBM with gather temporaries and crashed the axon worker,
+            # the same failure mode as beam_bench's deleted gather mode.)
+            init_state["ind"] = jnp.broadcast_to(
+                jnp.arange(beam, dtype=jnp.int32)[None, :, None],
+                (b // beam, beam, self.config.n_text_ctx))
         ng = b // beam
 
         def cond(s):
@@ -366,20 +383,18 @@ class WhisperPipeline:
                     logprobs.reshape(ng, beam, -1),
                     s["sum_logprobs"].reshape(ng, beam),
                     s["finished"].reshape(ng, beam), beam, tok.eot)
-                cache_g = jnp.moveaxis(
-                    s["cache"].reshape(s["cache"].shape[0], ng, beam,
-                                       *s["cache"].shape[2:]), 0, 2)
+                # carried per-beam state follows the surviving beams; the
+                # KV cache does NOT move — the indirection row map does
                 reord = gather_beams(
                     dict(tokens=s["tokens"].reshape(ng, beam, -1),
                          last_ts=s["last_ts"].reshape(ng, beam),
-                         has_ts=s["has_ts"].reshape(ng, beam),
-                         cache=cache_g),
+                         has_ts=s["has_ts"].reshape(ng, beam)),
                     parent)
                 tokens = reord["tokens"].reshape(b, -1)
                 last_ts_p = reord["last_ts"].reshape(b)
                 has_ts_p = reord["has_ts"].reshape(b)
-                cache_in = jnp.moveaxis(reord["cache"], 2, 0).reshape(
-                    s["cache"].shape)
+                cache_in = s["cache"]
+                beam_ind = update_indirection(s["ind"], parent, cur)
                 next_tok = tok_b.reshape(b)
                 was_finished = jnp.take_along_axis(
                     s["finished"].reshape(ng, beam), parent, axis=1
@@ -432,11 +447,17 @@ class WhisperPipeline:
                             sum_logprobs=sum_lp, finished=finished,
                             last_ts=last_ts, has_ts=has_ts, rng=rng,
                             tail=tail, tail_len=s["tail_len"] + 1)
-            step_logits, cache = dec(next_tok[:, None], cache_in, cur, seqlen)
-            return dict(logits=step_logits[:, -1].astype(jnp.float32),
-                        tokens=tokens, cur_len=cur + 1, cache=cache,
-                        sum_logprobs=sum_lp, finished=finished,
-                        last_ts=last_ts, has_ts=has_ts, rng=rng)
+            step_logits, cache = dec(next_tok[:, None], cache_in, cur,
+                                     seqlen,
+                                     beam_ind=(beam_ind if beam > 1
+                                               else None))
+            out = dict(logits=step_logits[:, -1].astype(jnp.float32),
+                       tokens=tokens, cur_len=cur + 1, cache=cache,
+                       sum_logprobs=sum_lp, finished=finished,
+                       last_ts=last_ts, has_ts=has_ts, rng=rng)
+            if beam > 1:
+                out["ind"] = beam_ind
+            return out
 
         if kt:
             from ...ops.attention import merge_tail_kv
