@@ -62,7 +62,7 @@ run serve_spt8_sync  1200 python benchmarks/serve_bench.py --steps_per_tick 8
 # ---- beam serving (r3): dense + paged ---------------------------------------
 run serve_beam_dense 1400 python benchmarks/serve_bench.py --beam 4 --requests 16
 run serve_beam_paged 1400 python benchmarks/serve_bench.py --beam 4 --requests 16 --paged
-run serve_beam_mixed 1400 python benchmarks/serve_bench.py --beam 4 --requests 16 --mixed
+run serve_beam_mixed 2700 python benchmarks/serve_bench.py --beam 4 --requests 16 --mixed
 
 # ---- offline beam (indirection only; gather mode is a documented OOM) -------
 run beam_ind 1200 python benchmarks/beam_bench.py --modes indirection
