@@ -66,6 +66,10 @@ run serve_beam_mixed 2700 python benchmarks/serve_bench.py --beam 4 --requests 1
 
 # ---- offline beam (indirection only; gather mode is a documented OOM) -------
 run beam_ind 1200 python benchmarks/beam_bench.py --modes indirection
+# whisper pipeline beam=5 (the reference decoding recipe, on device)
+run whisper_beam5 1800 python benchmarks/whisper_beam_bench.py
+# decode-chunk sweep (re-validate the shape-aware default per toolchain)
+run chunk_sweep 1400 python benchmarks/decode_chunk_sweep.py
 
 # ---- mixed admission: dense vs paged (r3) -----------------------------------
 run serve_mixed_dense 1200 python benchmarks/serve_bench.py --mixed

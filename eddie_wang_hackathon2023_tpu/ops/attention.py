@@ -347,6 +347,31 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     return ctx.astype(q.dtype)
 
 
+def grouped_cross_attention(q, k, v, kv_quant_orig_scale, scale):
+    """Full-length unmasked cross attention where the KV batch DIVIDES
+    the query batch: beam/best_of rows share their audio's cross K/V
+    ([B_kv, H, D, S] seq-minor views), so the cache is read once per
+    GROUP instead of once per beam (a jnp.repeat'd cross cache cost
+    beam x the cross-KV HBM bytes every decode step — ~0.6 ms/step at
+    beam 5 on large-v2 int8).  Numerics match cached_decode_attention's
+    full-length path (fp32 scores/softmax, probs cast to the V dtype)."""
+    b, h, lq, d = q.shape
+    kb = k.shape[0]
+    assert b % kb == 0, (b, kb)
+    g = b // kb
+    if k.dtype in (jnp.int8, jnp.float8_e4m3fn):
+        k = dequantize_cache_values(k, kv_quant_orig_scale, q.dtype)
+        v = dequantize_cache_values(v, kv_quant_orig_scale, q.dtype)
+    acc_t = jnp.float32
+    qg = q.reshape(kb, g, h, lq, d)
+    s = jnp.einsum("bghld,bhds->bghls", qg, k,
+                   preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bghls,bhds->bghld", p.astype(v.dtype), v,
+                     preferred_element_type=acc_t)
+    return ctx.reshape(b, h, lq, d).astype(q.dtype)
+
+
 def beam_indirect_decode_attention(q, cache, seq_len, indirection,
                                    scale: Optional[float] = None,
                                    kv_quant_orig_scale=None,

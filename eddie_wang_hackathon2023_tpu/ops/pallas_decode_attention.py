@@ -271,10 +271,20 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     128-column tile would add ~20 MB/step of traffic for large-v2 —
     more than the store it replaces.
     """
-    L, B, _, H, D, S = full_cache.shape
+    L, B_kv, _, H, D, S = full_cache.shape
+    B = q.shape[0]
+    # group-shared cache: beam/best_of rows may SHARE one audio's cross
+    # KV — the cache batch divides the query batch and the index map
+    # folds each query row onto its group's physical rows (the cache is
+    # never replicated; a jnp.repeat'd cross cache cost beam x the
+    # cross-KV HBM read every step)
+    assert B % B_kv == 0, (B, B_kv)
+    kvg = B // B_kv
     quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
     with_fresh = fresh_kv is not None
     with_tail = tail_kv is not None
+    assert kvg == 1 or not (with_fresh or with_tail), \
+        "group-shared cache is cached-only (cross attention)"
     assert not (with_tail and not with_fresh), \
         "tail mode requires fresh K/V"
     if not interpret:
@@ -313,7 +323,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
         sl = sref[b] - (1 if with_fresh else 0) - \
             (tref[0] if with_tail else 0)
         n_need = jnp.maximum(jax.lax.div(sl + cs - 1, cs), 1)
-        return (lref[0], b, 0, 0, 0, jnp.minimum(c, n_need - 1))
+        return (lref[0], b // kvg, 0, 0, 0, jnp.minimum(c, n_need - 1))
 
     def q_map(b, c, lref, sref, stref, kref, tref):
         return (b, 0, 0, 0)

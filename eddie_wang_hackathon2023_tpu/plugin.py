@@ -168,10 +168,11 @@ class PluginConfig:
             return int(v)
         if self.decode_chunk:
             return self.decode_chunk
-        # device-traced sweep (benchmarks/decode_chunk_sweep.py, v5e):
-        # large caches (cross 1500-col int8) want 512-wide panels
-        # (9.17 vs 9.87 us/layer at 256); short-valid self caches want
-        # 128 (6.03 vs 6.96 us — less speculative DMA past seq_len).
+        # device-traced sweep (benchmarks/decode_chunk_sweep.py, v5e —
+        # re-confirmed round 3 on the current libtpu): large caches
+        # (cross 1500-col int8) want 512-wide panels (9.18 vs 9.87
+        # us/layer at 256); short-valid self caches want 128 (5.22 vs
+        # 6.16 us — less speculative DMA past seq_len).
         # (A fused fc1+act+fc2 Pallas MLP kernel was also tried here and
         # measured 3.13-3.29 ms/tok — XLA's two fused dequant-GEMM
         # dispatches beat the hand kernel, so it was removed.)
