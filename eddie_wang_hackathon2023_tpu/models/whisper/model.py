@@ -287,10 +287,38 @@ class WhisperDecoder(Module):
         per_layer = self.blocks.attn.new_kv_cache(batch, max_len)
         return jnp.zeros((c.n_text_layer,) + per_layer.shape, per_layer.dtype)
 
+    def megakernel_eligible(self) -> bool:
+        """Static structure check for the whole-decoder-layer megakernel
+        (ops/pallas_decoder_layer.py): batch-1 WOQ-int8 per-out-channel
+        weights everywhere, equal q/kv heads, lane-divisible shapes."""
+        from ...quantization.layers import (WeightOnlyQuantLinear,
+                                            WeightOnlyQuantQKVLinear)
+        b = self.blocks
+        c = self.config
+        if c.n_text_state % 128 or 128 % c.head_dim:
+            return False
+        qkv = getattr(b.attn, "qkv", None)
+        if not isinstance(qkv, WeightOnlyQuantQKVLinear) or qkv.bits != 8 \
+                or qkv.group_size:
+            return False
+        mods = [b.attn.dense, b.cross_attn.q_linear, b.cross_attn.dense,
+                b.mlp1, b.mlp2]
+        for m in mods:
+            if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
+                    or getattr(m, "group_size", 0) \
+                    or getattr(m, "tp_size", 1) != 1:
+                return False
+        if b.mlp1.out_features % c.n_text_state:
+            return False
+        if b.attn.use_fp8_kv_cache:
+            return False
+        return True
+
     def forward(self, tokens, kv_cache, cross_kv, write_index,
                 sequence_length, kv_tail=None,
                 tail_len=None,
-                beam_indirection=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                beam_indirection=None,
+                megakernel_blobs=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tokens [B, L] int32; kv_cache [n_layer,B,2,H,S,hd] (donated =>
         in-place); cross_kv [n_layer,B,2,H,1500,hd]; write_index scalar
         int32; sequence_length [B] int32 (valid length incl. these tokens).
@@ -321,6 +349,26 @@ class WhisperDecoder(Module):
         layer_ids = jnp.arange(c.n_text_layer, dtype=jnp.int32)
         from ...plugin import get_plugin_config
         unroll = get_plugin_config().get_scan_unroll()
+        if (megakernel_blobs is not None and tokens.shape == (1, 1)
+                and kv_tail is None and beam_indirection is None
+                and kv_cache.dtype != jnp.float8_e4m3fn
+                and get_plugin_config().use_decode_megakernel()
+                and self.megakernel_eligible()):
+            # whole-decoder-layer megakernel: every layer's LN / GEMV /
+            # attention / GELU / residual in ONE pallas_call (round-4;
+            # see ops/pallas_decoder_layer.py for the design record)
+            from ...ops.attention import write_fresh_kv
+            from ...ops.pallas_decoder_layer import fused_decoder_stack
+            cross, cscales = (cross_kv if isinstance(cross_kv, tuple)
+                              else (cross_kv, None))
+            hid, fresh = fused_decoder_stack(
+                x[:, 0, :], megakernel_blobs, kv_cache, sequence_length,
+                self.blocks.attn.scale, cross_cache=cross,
+                cross_scale=cscales, head_dim=c.head_dim)
+            new_kv = write_fresh_kv(kv_cache,
+                                    fresh[:, None, :, :, :, None],
+                                    write_index)
+            return self._logits(self.ln(hid[:, None, :])), new_kv
         if tokens.shape[1] == 1:
             tail_mode = kv_tail is not None
             cache_arg = ((kv_cache, None, "defer", kv_tail, tail_len)

@@ -172,6 +172,31 @@ class WhisperPipeline:
         self._params_enc = enc_state if enc_state is not None else self.encoder.state_dict()
         self._params_dec = dec_state if dec_state is not None else self.decoder.state_dict()
         self._params_ckv = ckv_state if ckv_state is not None else self.cross_kv.state_dict()
+        self._mk_blobs = None
+
+    def _megakernel_blobs(self):
+        """Packed weight image for the whole-decoder-layer megakernel
+        (ops/pallas_decoder_layer.py), built once per bound params and
+        passed as a jit arg so the decode loop streams it directly.  None
+        when the recipe/structure doesn't qualify."""
+        from ...plugin import get_plugin_config
+        if not get_plugin_config().use_decode_megakernel():
+            return None
+        if not self.decoder.megakernel_eligible():
+            return None
+        if getattr(self, "_mk_blobs", None) is None:
+            from ...ops.pallas_decoder_layer import pack_decoder_blobs
+            c = self.config
+            state = {k[len("blocks."):]: v
+                     for k, v in self._params_dec.items()
+                     if k.startswith("blocks.")}
+            pack = partial(pack_decoder_blobs, n_layer=c.n_text_layer,
+                           hidden=c.n_text_state, n_head=c.n_text_head,
+                           head_dim=c.head_dim,
+                           ffn=self.decoder.blocks.mlp1.out_features,
+                           with_cross=True)
+            self._mk_blobs = jax.jit(pack)(state)
+        return self._mk_blobs
 
     def _ensure_params(self):
         if self._params_dec is None:
@@ -277,7 +302,7 @@ class WhisperPipeline:
     # -- the generate program (one jit) -----------------------------------
 
     def _generate_impl(self, dec_params, init_tokens, cross_kv, rng,
-                       prompt_len: int, max_new: int):
+                       prompt_len: int, max_new: int, mk_blobs=None):
         """init_tokens [B, prompt_len] int32 -> (tokens [B, max_total],
         lengths [B], sum_logprobs [B], no_speech_probs [B]).
 
@@ -302,6 +327,11 @@ class WhisperPipeline:
         # with
         from ...plugin import get_plugin_config
         kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
+        if mk_blobs is not None:
+            # the megakernel path writes one batched fresh-KV slab per
+            # step (its fresh output is already stacked); the K-step tail
+            # read is not plumbed through it yet
+            kt = 0
         # kt columns of slack so the once-per-K merge never clamps
         cache = self.decoder.new_kv_cache(
             b, self.config.n_text_ctx + kt if kt else None)
@@ -317,7 +347,8 @@ class WhisperPipeline:
                                           cross_kv, widx, seqlen,
                                           beam_indirection=beam_ind)
             return self.decoder.apply(dec_params, tokens, cache, cross_kv,
-                                      widx, seqlen)
+                                      widx, seqlen,
+                                      megakernel_blobs=mk_blobs)
 
         # prefill
         seqlen0 = jnp.full((b,), prompt_len, jnp.int32)
@@ -482,7 +513,7 @@ class WhisperPipeline:
                 no_speech_probs)
 
     def _e2e_impl(self, enc_params, ckv_params, dec_params, mel, init_tokens,
-                  rng, prompt_len: int, max_new: int):
+                  rng, prompt_len: int, max_new: int, mk_blobs=None):
         """encode -> cross-KV warping -> full generate, one program."""
         xa = self.encoder.apply(enc_params, mel)
         cross_kv = self.cross_kv.apply(ckv_params, xa)
@@ -493,7 +524,7 @@ class WhisperPipeline:
             else:
                 cross_kv = jnp.repeat(cross_kv, self.n_group, axis=1)
         out = self._generate_impl(dec_params, init_tokens, cross_kv, rng,
-                                  prompt_len, max_new)
+                                  prompt_len, max_new, mk_blobs=mk_blobs)
         return out + (xa,)
 
     def _detect_impl(self, dec_params, cross_kv):
@@ -579,7 +610,7 @@ class WhisperPipeline:
         tokens, lengths, sum_lp, ns_probs = jax.device_get(self._generate_fn(
             self._params_dec, jnp.asarray(init), cross_kv,
             jax.random.PRNGKey(seed), prompt_len=len(self.initial_tokens),
-            max_new=self.sample_len))
+            max_new=self.sample_len, mk_blobs=self._megakernel_blobs()))
         lengths = np.full((tokens.shape[0],), int(lengths),
                           np.int32)                     # shared loop counter
         return tokens, lengths, sum_lp, ns_probs
@@ -744,7 +775,8 @@ class WhisperPipeline:
                                self._params_dec, mel_j, jnp.asarray(init),
                                jax.random.PRNGKey(seed),
                                prompt_len=len(self.initial_tokens),
-                               max_new=self.sample_len)
+                               max_new=self.sample_len,
+                               mk_blobs=self._megakernel_blobs())
             tokens, cur_len, sum_lp, ns = jax.device_get(out[:4])
             xa = out[4]
             lengths = np.full((tokens.shape[0],), int(cur_len), np.int32)

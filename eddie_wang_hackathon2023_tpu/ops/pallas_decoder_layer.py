@@ -1,0 +1,643 @@
+"""Whole-decoder-layer megakernel for single-token decode (Pallas).
+
+Round-4 evolution of the fused decode-attention kernel
+(``pallas_decode_attention.py``): ONE ``pallas_call`` whose grid is
+``(n_layer, n_stages)`` executes the ENTIRE transformer stack of a
+single decode step — every LayerNorm, the QKV / out / cross-q /
+cross-out / fc1 / fc2 weight-only-int8 GEMVs, both attentions (online-
+softmax over streamed cache panels), GELU and the residual adds — with
+the hidden state living in VMEM scratch across all layers.  Per step,
+XLA dispatches ONE kernel for the whole block stack instead of ~30
+fusions x 32 layers.
+
+Why this shape (see benchmarks/megakernel_probe*.py, v5e device data):
+
+* a streamed flat [K, N] int8 dequant-GEMV chain inside one kernel runs
+  at ~746 GB/s (91% of v5e HBM bw) — faster than XLA's own dequant-GEMV
+  stream at the same shapes (6.17 us/panel through XLA's per-op
+  dispatch vs 2.20 in-kernel).  The round-1..3 "hand GEMV loses to XLA"
+  results were per-op kernels that paid one launch per GEMV; amortising
+  the launch over the whole layer stack inverts the outcome.
+* head-major [H, K, D] panels are MXU-hostile (~120 GB/s — the same
+  pathology that killed round 3's fused cross-q prologue), so every
+  GEMV here is flat [K, N] producing a lane-major [1, N] row, and
+* attention consumes q through the lane-native fp32 reshape
+  ``[1, H*D] -> [H*D//128, 128]`` (supported; the direct
+  ``[1,HD] -> [H,1,D]`` cast is rejected by Mosaic layout inference).
+  With head_dim 64 each 128-lane row holds a PAIR of heads; scores/
+  probabilities are computed per sub-head with lane masks and the KV
+  cache's pair view ``[H, D, S] -> [H//2, 128, S]`` is a free
+  reinterpretation of the same bytes (row-major [h][d][s]).
+
+Weight layout: all six per-layer matrices decompose into uniform
+``[d, d]`` int8 K-major panels (QKV = 3, out-proj = 1, cross-q = 1,
+cross-out = 1, fc1 = ffn/d, fc2 = ffn/d), packed once at load time into
+``wblob [L, n_panels, d, d]`` (:func:`pack_decoder_blobs`).  The grid's
+stage axis walks the panels; Pallas double-buffers each ~1.6 MB panel
+DMA against the previous stage's ~2 us of compute.  Attention stages
+hold their BlockSpec index at the *next* weight panel so its DMA gets
+extra slack, and the cache index maps clamp panels past the valid
+length so their DMA is elided (the round-2 chunk-skipping trick).
+
+Reference counterpart: this subsumes what TensorRT does with a fully
+fused engine execution — the decoderMaskedMultiheadAttention kernels
+(``C/tensorrt_llm/kernels/decoderMaskedMultiheadAttention/``), the
+weightOnlyQuantMatmul plugin GEMVs and TRT's own layer fusion, executed
+as one enqueue per step (``C/tensorrt_llm/runtime/gptSession.cpp:782``).
+
+Scope (fallbacks handle the rest): batch 1, single fresh token,
+weight-only int8 (per-out-channel scales), equal q/kv heads,
+head_dim in {32, 64, 128}, d % 128 == 0, ffn % d == 0, no RoPE/ALiBi
+(learned-absolute positions are added outside), optional cross
+attention, bf16/f32 activations, self cache bf16 or int8 (+scales),
+cross cache bf16 or int8 (+per-layer scales), no beam indirection.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+# weight-panel slots (wblob axis 1) and aux-row slots, with cross:
+#   panels: 0..2 q/k/v, 3 dense, 4 cross_q, 5 cross_dense,
+#           6..6+nf-1 fc1, 6+nf..6+2nf-1 fc2
+# without cross: 0..2 q/k/v, 3 dense, 4..4+nf-1 fc1, then fc2.
+# pair-aux (scale/bias in [HP, DL] layout) slots: 0 q, 1 k, 2 v
+# (, 3 cross_q); flat-aux slots: 0 dense (, 1 cross_dense), then fc1
+# slices, then one fc2 slot.  LN rows: 2 per norm in block order.
+
+
+class MegakernelBlobs(NamedTuple):
+    """Packed per-layer weights/params for :func:`fused_decoder_stack`."""
+    wblob: jax.Array        # [L, NPAN, d, d] int8
+    pair_scale: jax.Array   # [L, NQ, HP, DL] f32
+    pair_bias: jax.Array    # [L, NQ, HP, DL] f32
+    flat_scale: jax.Array   # [L, NF, d] f32
+    flat_bias: jax.Array    # [L, NF, d] f32
+    ln_par: jax.Array       # [L, 2*n_ln, d] f32
+    kv_oq: jax.Array        # [L] f32 (self-KV quantize scale; ones if float)
+    kv_qo: jax.Array        # [L] f32 (self-KV dequantize scale)
+
+
+def _stages(nf: int, ncs: int, ncc: int, with_cross: bool):
+    st = [("q",), ("k",), ("v",)]
+    st += [("selfattn", c) for c in range(ncs)]
+    st += [("dense",)]
+    if with_cross:
+        st += [("crossq",)]
+        st += [("crossattn", c) for c in range(ncc)]
+        st += [("crossdense",)]
+    st += [("fc1", j) for j in range(nf)]
+    st += [("fc2", j) for j in range(nf)]
+    return st
+
+
+def _panel_of(stage, nf: int, with_cross: bool) -> Optional[int]:
+    kind = stage[0]
+    if kind == "q":
+        return 0
+    if kind == "k":
+        return 1
+    if kind == "v":
+        return 2
+    if kind == "dense":
+        return 3
+    base = 4
+    if with_cross:
+        if kind == "crossq":
+            return 4
+        if kind == "crossdense":
+            return 5
+        base = 6
+    if kind == "fc1":
+        return base + stage[1]
+    if kind == "fc2":
+        return base + nf + stage[1]
+    return None  # attention stages consume no weight panel
+
+
+def _stage_lookup(s, values):
+    """values[s] for a static python list, expressed as scalar step-function
+    arithmetic (index maps may not capture constant arrays)."""
+    out = jnp.asarray(values[0], jnp.int32)
+    for i in range(1, len(values)):
+        dlt = values[i] - values[i - 1]
+        if dlt:
+            out = out + dlt * (s >= i).astype(jnp.int32)
+    return out
+
+
+def _hold_next(values):
+    """Fill None entries with the next non-None value (so attention
+    stages prefetch the upcoming weight panel); trailing Nones get the
+    last panel (held, no DMA)."""
+    out = list(values)
+    nxt = None
+    for i in reversed(range(len(out))):
+        if out[i] is None:
+            out[i] = nxt if nxt is not None else 0
+        else:
+            nxt = out[i]
+    return out
+
+
+def _kernel(slen_ref, start_ref, kvoq_ref, kvqo_ref, cscale_ref,
+            # inputs
+            x_ref, w_ref, ps_ref, pb_ref, fs_ref, fb_ref, ln_ref,
+            selfc_ref, *rest,
+            stages, nf: int, ncs: int, ncc: int, with_cross: bool,
+            d: int, hp: int, dl: int, hd: int, nsub: int,
+            cs_s: int, cs_c: int, s_self: int, s_cross: int,
+            scale: float, self_quant: bool, cross_quant: bool,
+            adt, eps: float):
+    if with_cross:
+        crossc_ref = rest[0]
+        rest = rest[1:]
+    hid_ref, fresh_ref = rest[0], rest[1]
+    (x_scr, ln_scr, q_scr, kf_scr, vf_scr, m_scr, d_scr, ctx_scr,
+     h_scr, acc_scr) = rest[2:]
+
+    l = pl.program_id(0)
+    s = pl.program_id(1)
+    f32 = jnp.float32
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hp, dl), 1)
+    sub_masks = [(lane // hd) == u for u in range(nsub)]
+    # 3-D mask twins for the [HP, 1, DL] query — built by iota, never by
+    # reshaping the 2-D mask (packed-vector shape casts are what Mosaic
+    # rejects; see module docstring)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, dl), 2)
+    sub_masks3 = [(lane3 // hd) == u for u in range(nsub)]
+
+    def ln_to_scr(row: int):
+        xf = x_scr[...].astype(f32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        y = y * ln_ref[0, 2 * row:2 * row + 1, :] \
+            + ln_ref[0, 2 * row + 1:2 * row + 2, :]
+        ln_scr[...] = y.astype(adt)
+
+    def gemv(lhs):
+        w = w_ref[0, 0].astype(adt)                      # [d, d]
+        return jax.lax.dot(lhs, w, preferred_element_type=f32)
+
+    def qkv_stage(slot: int):
+        """q/k/v/cross-q projection: flat GEMV -> pair layout -> scale,
+        bias (matching WeightOnlyQuant*Linear numerics: fp32 acc * scale
+        -> activation dtype -> + bias)."""
+        acc = gemv(ln_scr[...])                          # [1, d] f32
+        accp = acc.reshape(hp, dl)                       # lane-native
+        val = (accp * ps_ref[0, slot]).astype(adt) \
+            + pb_ref[0, slot].astype(adt)                # [HP, DL]
+        return val
+
+    def store_fresh(slot: int, val):
+        """Quantize exactly as ops.attention.cast_kv_for_cache and keep
+        the stored values (f32) for the in-kernel fresh contribution."""
+        tgt = kf_scr if slot == 0 else vf_scr
+        if self_quant:
+            scaled = val.astype(f32) * kvoq_ref[l]
+            q = jnp.clip(jnp.trunc(scaled + jnp.where(scaled >= 0, .5, -.5)),
+                         -128, 127)
+            fresh_ref[0, slot] = q.astype(fresh_ref.dtype)
+            tgt[...] = q
+        else:
+            fresh_ref[0, slot] = val.astype(fresh_ref.dtype)
+            tgt[...] = val.astype(f32)
+
+    def attn_chunk(c: int, is_cross: bool):
+        cache = (crossc_ref if is_cross else selfc_ref)[0, 0]  # [2,HP,DL,cs]
+        cs = cs_c if is_cross else cs_s
+        smax = s_cross if is_cross else s_self
+        nch = ncc if is_cross else ncs
+        if is_cross:
+            kscale = cscale_ref[l] if cross_quant else 1.0
+            cache_len = smax                      # cross attends all cols
+            start = 0
+        else:
+            kscale = kvqo_ref[l] if self_quant else 1.0
+            cache_len = slen_ref[0] - 1           # fresh token not in cache
+            start = start_ref[0]
+
+        if c == 0:
+            m_scr[...] = jnp.full(m_scr.shape, NEG, f32)
+            d_scr[...] = jnp.zeros(d_scr.shape, f32)
+            ctx_scr[...] = jnp.zeros(ctx_scr.shape, f32)
+
+        n_need = jnp.maximum(jax.lax.div(cache_len + cs - 1, cs), 1)
+
+        @pl.when(c < n_need)
+        def _compute():
+            k = cache[0].astype(adt)                     # [HP, DL, cs]
+            v = cache[1].astype(adt)
+            if smax % cs:
+                col = c * cs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
+                v = jnp.where(col < smax, v, 0)
+            pos = c * cs + jax.lax.broadcasted_iota(jnp.int32, (hp, 1, cs), 2)
+            valid = jnp.logical_and(pos < cache_len, pos >= start)
+            qv = q_scr[...]                              # [HP, 1, DL]
+            for u in range(nsub):
+                qs = jnp.where(sub_masks3[u], qv, 0)
+                sc = jax.lax.dot_general(
+                    qs, k,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32)          # [HP, 1, cs]
+                sc = jnp.where(valid, sc * (scale * kscale), NEG)
+                m_prev = m_scr[:, u:u + 1]
+                m_new = jnp.maximum(m_prev, jnp.max(sc, axis=2))
+                p = jnp.where(valid, jnp.exp(sc - m_new[:, :, None]), 0.0)
+                alpha = jnp.exp(m_prev - m_new)          # [HP, 1]
+                d_scr[:, u:u + 1] = d_scr[:, u:u + 1] * alpha \
+                    + jnp.sum(p, axis=2)
+                pv = jax.lax.dot_general(
+                    v, p.astype(adt),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32)[:, :, 0]  # [HP, DL]
+                ctx_scr[...] = jnp.where(
+                    sub_masks[u], ctx_scr[...] * alpha + pv, ctx_scr[...])
+                m_scr[:, u:u + 1] = m_new
+
+        if c == nch - 1:
+            # finalize — always runs on the last (static) chunk stage
+            if is_cross:
+                for u in range(nsub):
+                    du = d_scr[:, u:u + 1]                # [HP, 1]
+                    ctx_scr[...] = jnp.where(
+                        sub_masks[u], ctx_scr[...] * (kscale / du),
+                        ctx_scr[...])
+            else:
+                # fresh-token contribution (the deferred-write decode
+                # contract of pallas_decode_attention with_fresh)
+                qf = q_scr[:, 0, :].astype(f32)           # [HP, DL]
+                pk = qf * kf_scr[...]                     # [HP, DL]
+                pvf = vf_scr[...]
+                for u in range(nsub):
+                    sf = jnp.sum(jnp.where(sub_masks[u], pk, 0.0),
+                                 axis=1, keepdims=True) * (scale * kscale)
+                    m = m_scr[:, u:u + 1]
+                    du = d_scr[:, u:u + 1]
+                    m_fin = jnp.maximum(m, sf)
+                    alpha = jnp.exp(m - m_fin)
+                    pf = jnp.exp(sf - m_fin)              # [HP, 1]
+                    denom = du * alpha + pf
+                    ctx_new = (ctx_scr[...] * alpha * kscale
+                               + pvf * (kscale * pf)) / denom
+                    ctx_scr[...] = jnp.where(sub_masks[u], ctx_new,
+                                             ctx_scr[...])
+
+    def proj_stage(flat_slot: int, ln_next: Optional[int]):
+        """Attention out-projection from the pair-layout context: per-pair
+        [1, DL] x [DL, d] dots (the proven fused-epilogue pattern), then
+        scale/bias/residual, then the next LayerNorm."""
+        wbf = w_ref[0, 0].astype(adt)                    # [d, d]
+        ctx = ctx_scr[...].astype(adt)                   # [HP, DL]
+        acc = None
+        for p in range(hp):
+            part = jax.lax.dot(ctx[p:p + 1, :], wbf[p * dl:(p + 1) * dl, :],
+                               preferred_element_type=f32)
+            acc = part if acc is None else acc + part
+        out = (acc * fs_ref[0, flat_slot:flat_slot + 1, :]).astype(adt) \
+            + fb_ref[0, flat_slot:flat_slot + 1, :].astype(adt)
+        x_scr[...] = x_scr[...] + out
+        if ln_next is not None:
+            ln_to_scr(ln_next)
+
+    def fc1_stage(j: int, flat_slot: int):
+        acc = gemv(ln_scr[...])
+        hv = (acc * fs_ref[0, flat_slot:flat_slot + 1, :]).astype(adt) \
+            + fb_ref[0, flat_slot:flat_slot + 1, :].astype(adt)
+        h_scr[:, j * d:(j + 1) * d] = jax.nn.gelu(hv, approximate=True)
+
+    def fc2_stage(j: int, flat_slot: int, last: bool):
+        part = gemv(h_scr[:, j * d:(j + 1) * d])
+        if j == 0:
+            acc_scr[...] = part
+        else:
+            acc_scr[...] = acc_scr[...] + part
+        if last:
+            out = (acc_scr[...]
+                   * fs_ref[0, flat_slot:flat_slot + 1, :]).astype(adt) \
+                + fb_ref[0, flat_slot:flat_slot + 1, :].astype(adt)
+            x_new = x_scr[...] + out
+            x_scr[...] = x_new
+            hid_ref[...] = x_new
+
+    fc1_flat = 2 if with_cross else 1
+    fc2_flat = fc1_flat + nf
+
+    for i, stage in enumerate(stages):
+        kind = stage[0]
+
+        def body(stage=stage, kind=kind):
+            if kind == "q":
+                @pl.when(l == 0)
+                def _():
+                    x_scr[...] = x_ref[...]
+                ln_to_scr(0)
+                q_scr[:, 0, :] = qkv_stage(0)
+            elif kind == "k":
+                store_fresh(0, qkv_stage(1))
+            elif kind == "v":
+                store_fresh(1, qkv_stage(2))
+            elif kind == "selfattn":
+                attn_chunk(stage[1], is_cross=False)
+            elif kind == "dense":
+                proj_stage(0, 1)                       # next LN row
+            elif kind == "crossq":
+                q_scr[:, 0, :] = qkv_stage(3)
+            elif kind == "crossattn":
+                attn_chunk(stage[1], is_cross=True)
+            elif kind == "crossdense":
+                proj_stage(1, 2)
+            elif kind == "fc1":
+                fc1_stage(stage[1], fc1_flat + stage[1])
+            elif kind == "fc2":
+                fc2_stage(stage[1], fc2_flat, stage[1] == nf - 1)
+
+        pl.when(s == i)(body)
+
+
+def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
+                        scale: float,
+                        cross_cache=None, cross_scale=None,
+                        start_index=None,
+                        head_dim: int = 64,
+                        cs_self: Optional[int] = None,
+                        cs_cross: Optional[int] = None,
+                        interpret: bool = False):
+    """Run every decoder layer of one decode step in ONE kernel.
+
+    x [1, d] activation dtype (embedded token + position, pre-blocks);
+    self_cache [L, 1, 2, H, D, S] (bf16/int8 seq-minor stacked, the
+    ops.attention layout — the fresh token must NOT be written yet);
+    seq_len [1] int32 INCLUDING the fresh token; cross_cache
+    [L, 1, 2, H, D, Sc] with optional per-layer ``cross_scale`` [L]
+    (int8); ``start_index`` [1] int32 masks self-attention keys below it.
+
+    Returns (hidden [1, d] — pre-final-LN, fresh_kv [L, 2, H, D] in
+    cache dtype, seq-minor values for ops.attention.write_fresh_kv).
+    """
+    L, b_kv, _, H, D, S = self_cache.shape
+    assert b_kv == 1 and x.shape[0] == 1, "megakernel is batch-1 only"
+    assert D == head_dim
+    d = x.shape[1]
+    assert H * D == d and d % 128 == 0 and 128 % D == 0
+    nsub = 128 // D
+    hp, dl = (H * D) // 128, 128
+    with_cross = cross_cache is not None
+
+    npan = blobs.wblob.shape[1]
+    nf = (npan - (6 if with_cross else 4)) // 2
+    ffn = nf * d
+
+    from ..plugin import get_plugin_config
+    cfg = get_plugin_config()
+    cs_s = min(cs_self or cfg.get_decode_chunk(S) or 256, S)
+    cs_s = max(cs_s, 128) if S >= 128 else S
+    ncs = -(-S // cs_s)
+    if with_cross:
+        Sc = cross_cache.shape[5]
+        cs_c = min(cs_cross or cfg.get_decode_chunk(Sc) or 512, Sc)
+        cs_c = max(cs_c, 128) if Sc >= 128 else Sc
+        ncc = -(-Sc // cs_c)
+    else:
+        Sc, cs_c, ncc = 0, 1, 0
+
+    stages = _stages(nf, ncs, ncc, with_cross)
+    wpan = _hold_next([_panel_of(st, nf, with_cross) for st in stages])
+    first_self = 3
+    self_cmap = []
+    for i, st in enumerate(stages):
+        if st[0] == "selfattn":
+            self_cmap.append(st[1])
+        elif i < first_self:
+            self_cmap.append(-1)
+        else:
+            self_cmap.append(ncs - 1)
+    cross_cmap = []
+    seen_cross = False
+    for st in stages:
+        if st[0] == "crossattn":
+            cross_cmap.append(st[1])
+            seen_cross = True
+        else:
+            cross_cmap.append(ncc - 1 if seen_cross else -1)
+
+    if not interpret:
+        from .._utils import runtime_platform
+        interpret = runtime_platform() != "tpu"
+
+    adt = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
+    self_quant = self_cache.dtype == jnp.int8
+    cross_quant = with_cross and cross_cache.dtype == jnp.int8
+
+    # pair views of the caches — free reinterpretations (same bytes)
+    selfc = self_cache.reshape(L, 1, 2, hp, dl, S)
+    if with_cross:
+        crossc = cross_cache.reshape(L, 1, 2, hp, dl, Sc)
+
+    seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)[:1]
+    start_arr = (jnp.zeros((1,), jnp.int32) if start_index is None
+                 else jnp.asarray(start_index, jnp.int32).reshape(-1)[:1])
+    ones_l = jnp.ones((L,), jnp.float32)
+    kvoq = blobs.kv_oq if self_quant else ones_l
+    kvqo = blobs.kv_qo if self_quant else ones_l
+    cscale = (jnp.asarray(cross_scale, jnp.float32).reshape(-1)
+              if cross_quant and cross_scale is not None else ones_l)
+
+    def x_map(l, s, *refs):
+        return (0, 0)
+
+    def w_map(l, s, *refs):
+        return (l, _stage_lookup(s, wpan), 0, 0)
+
+    def aux4_map(l, s, *refs):
+        return (l, 0, 0, 0)
+
+    def aux3_map(l, s, *refs):
+        return (l, 0, 0)
+
+    def self_map(l, s, slen, st, koq, kqo, csc):
+        cm = _stage_lookup(s, self_cmap)
+        cache_len = slen[0] - 1
+        n_need = jnp.maximum(jax.lax.div(cache_len + cs_s - 1, cs_s), 1)
+        before = cm < 0
+        l_eff = jnp.where(before, jnp.maximum(l - 1, 0), l)
+        c_eff = jnp.minimum(jnp.where(before, ncs - 1, cm), n_need - 1)
+        return (l_eff, 0, 0, 0, 0, c_eff)
+
+    def cross_map(l, s, slen, st, koq, kqo, csc):
+        cm = _stage_lookup(s, cross_cmap)
+        before = cm < 0
+        l_eff = jnp.where(before, jnp.maximum(l - 1, 0), l)
+        c_eff = jnp.where(before, ncc - 1, cm)
+        return (l_eff, 0, 0, 0, 0, c_eff)
+
+    def fresh_map(l, s, *refs):
+        return (l, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, d), x_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d, d), w_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + blobs.pair_scale.shape[1:], aux4_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + blobs.pair_bias.shape[1:], aux4_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + blobs.flat_scale.shape[1:], aux3_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + blobs.flat_bias.shape[1:], aux3_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + blobs.ln_par.shape[1:], aux3_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 2, hp, dl, cs_s), self_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x.astype(adt), blobs.wblob, blobs.pair_scale, blobs.pair_bias,
+            blobs.flat_scale, blobs.flat_bias, blobs.ln_par, selfc]
+    if with_cross:
+        in_specs.append(pl.BlockSpec((1, 1, 2, hp, dl, cs_c), cross_map,
+                                     memory_space=pltpu.VMEM))
+        args.append(crossc)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, d), adt),
+        jax.ShapeDtypeStruct((L, 2, hp, dl), self_cache.dtype),
+    )
+    out_specs = (
+        pl.BlockSpec((1, d), x_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, hp, dl), fresh_map, memory_space=pltpu.VMEM),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(L, len(stages)),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((1, d), adt),          # x (residual stream)
+            pltpu.VMEM((1, d), adt),          # current LN output
+            pltpu.VMEM((hp, 1, dl), adt),     # q (pair layout, [HP,1,DL])
+            pltpu.VMEM((hp, dl), jnp.float32),  # fresh k (stored values)
+            pltpu.VMEM((hp, dl), jnp.float32),  # fresh v
+            pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running max
+            pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running denom
+            pltpu.VMEM((hp, dl), jnp.float32),    # context accumulator
+            pltpu.VMEM((1, ffn), adt),        # fc1 activations
+            pltpu.VMEM((1, d), jnp.float32),  # fc2 accumulator
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, stages=stages, nf=nf, ncs=ncs, ncc=ncc,
+        with_cross=with_cross, d=d, hp=hp, dl=dl, hd=D, nsub=nsub,
+        cs_s=cs_s, cs_c=cs_c, s_self=S, s_cross=Sc, scale=float(scale),
+        self_quant=self_quant, cross_quant=cross_quant, adt=adt, eps=1e-5)
+    weight_bytes = L * npan * d * d
+    cache_bytes = (L * 2 * d * S * self_cache.dtype.itemsize
+                   + (L * 2 * d * Sc * cross_cache.dtype.itemsize
+                      if with_cross else 0))
+    hid, fresh = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * weight_bytes + 4 * L * d * (S + Sc),
+            bytes_accessed=weight_bytes + cache_bytes,
+            transcendentals=L * (ffn + H * (S + Sc))),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seqlen_arr, start_arr, kvoq, kvqo, cscale, *args)
+    return hid, fresh.reshape(L, 2, H, D)
+
+
+def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
+                       n_head: int, head_dim: int, ffn: int,
+                       with_cross: bool) -> MegakernelBlobs:
+    """Build the megakernel blobs from a stacked WOQ-int8 block state
+    dict (keys as produced by ``stack_parameter_shapes`` + surgery:
+    ``attn.qkv.qweight`` [L, d, 3d], ``attn.dense.qweight`` [L, d, d],
+    ``mlp1.qweight`` [L, d, ffn], ``mlp2.qweight`` [L, ffn, d], LN
+    params, per-channel scales and biases).  Pure jnp — jit it once at
+    session setup; the result is the deploy-time weight image the
+    decode loop streams.
+
+    The per-panel decomposition is a pure relayout of the offline
+    quantizer's K-major [in, out] tensors (the thop
+    symmetric_quantize_last_axis_of_batched_matrix equivalent,
+    ops/quant_matmul.py): QKV/fc1 split along out-columns, fc2 along
+    in-rows — per-output-channel fp32 accumulations are unchanged.
+    """
+    L, d = n_layer, hidden
+    hp, dl = d // 128, 128
+    nf = ffn // d
+    f32 = jnp.float32
+
+    def g(key):
+        return jnp.asarray(state[key])
+
+    def zeros_like_or(key, shape):
+        if key in state:
+            return jnp.asarray(state[key], f32)
+        return jnp.zeros(shape, f32)
+
+    qkv_w = g("attn.qkv.qweight")                       # [L, d, 3d]
+    panels = [qkv_w[:, :, 0:d], qkv_w[:, :, d:2 * d], qkv_w[:, :, 2 * d:],
+              g("attn.dense.qweight")]
+    if with_cross:
+        panels += [g("cross_attn.q_linear.qweight"),
+                   g("cross_attn.dense.qweight")]
+    fc1 = g("mlp1.qweight")                             # [L, d, ffn]
+    panels += [fc1[:, :, j * d:(j + 1) * d] for j in range(nf)]
+    fc2 = g("mlp2.qweight")                             # [L, ffn, d]
+    panels += [fc2[:, j * d:(j + 1) * d, :] for j in range(nf)]
+    wblob = jnp.stack(panels, axis=1)
+
+    qkv_s = g("attn.qkv.per_channel_scale").astype(f32)  # [L, 3d]
+    qkv_b = zeros_like_or("attn.qkv.bias", (L, 3, n_head, head_dim)) \
+        .reshape(L, 3 * d)
+    pair_s = [qkv_s[:, 0:d], qkv_s[:, d:2 * d], qkv_s[:, 2 * d:]]
+    pair_b = [qkv_b[:, 0:d], qkv_b[:, d:2 * d], qkv_b[:, 2 * d:]]
+    if with_cross:
+        pair_s.append(g("cross_attn.q_linear.per_channel_scale").astype(f32))
+        pair_b.append(zeros_like_or("cross_attn.q_linear.bias", (L, d)))
+    pair_scale = jnp.stack([p.reshape(L, hp, dl) for p in pair_s], axis=1)
+    pair_bias = jnp.stack([p.reshape(L, hp, dl) for p in pair_b], axis=1)
+
+    flat_s = [g("attn.dense.per_channel_scale").astype(f32)]
+    flat_b = [zeros_like_or("attn.dense.bias", (L, d))]
+    if with_cross:
+        flat_s.append(g("cross_attn.dense.per_channel_scale").astype(f32))
+        flat_b.append(zeros_like_or("cross_attn.dense.bias", (L, d)))
+    fc1_s = g("mlp1.per_channel_scale").astype(f32)      # [L, ffn]
+    fc1_b = zeros_like_or("mlp1.bias", (L, ffn))
+    flat_s += [fc1_s[:, j * d:(j + 1) * d] for j in range(nf)]
+    flat_b += [fc1_b[:, j * d:(j + 1) * d] for j in range(nf)]
+    flat_s.append(g("mlp2.per_channel_scale").astype(f32))
+    flat_b.append(zeros_like_or("mlp2.bias", (L, d)))
+    flat_scale = jnp.stack(flat_s, axis=1)
+    flat_bias = jnp.stack(flat_b, axis=1)
+
+    ln_rows = [g("attn_ln.weight").astype(f32), g("attn_ln.bias").astype(f32)]
+    if with_cross:
+        ln_rows += [g("cross_attn_ln.weight").astype(f32),
+                    g("cross_attn_ln.bias").astype(f32)]
+    ln_rows += [g("mlp_ln.weight").astype(f32), g("mlp_ln.bias").astype(f32)]
+    ln_par = jnp.stack(ln_rows, axis=1)
+
+    if "attn.kv_orig_quant_scale" in state:
+        kv_oq = jnp.asarray(state["attn.kv_orig_quant_scale"],
+                            f32).reshape(L)
+        kv_qo = jnp.asarray(state["attn.kv_quant_orig_scale"],
+                            f32).reshape(L)
+    else:
+        kv_oq = kv_qo = jnp.ones((L,), f32)
+
+    return MegakernelBlobs(wblob, pair_scale, pair_bias, flat_scale,
+                           flat_bias, ln_par, kv_oq, kv_qo)

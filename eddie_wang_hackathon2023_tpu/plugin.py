@@ -77,6 +77,14 @@ class PluginConfig:
     # OOM), pre-LN-into-prologue (died with the prologue) and
     # residual-into-epilogue (155.3-155.8 vs 152.7 ms/utt).)
     fuse_decode_proj_bf16: Optional[bool] = None
+    # whole-decoder-layer megakernel (ops/pallas_decoder_layer.py): ONE
+    # pallas_call per decode step runs every layer's LN/GEMV/attention/
+    # GELU/residual with the hidden state resident in VMEM — removes the
+    # ~0.6 ms/step small-op dispatch floor the round-3 trace named.
+    # Applies to batch-1 single-token WOQ-int8 decode (whisper + GPT
+    # families), greedy/sampling (no beam indirection).  None = off
+    # (pending the round-4 device A/B; flip per adopt-or-delete)
+    decode_megakernel: Optional[bool] = None
     # materialise the fused QKV projection's flat [B,L,3*H*D] result
     # (optimization_barrier) before the head split in context/prefill
     # calls, so XLA emits the GEMM in a well-tiled N-minor layout instead
@@ -137,6 +145,12 @@ class PluginConfig:
         if self.fuse_decode_proj_bf16 is not None:
             return self.fuse_decode_proj_bf16
         return True
+
+    def use_decode_megakernel(self) -> bool:
+        v = os.environ.get("EWT_MEGAKERNEL")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        return bool(self.decode_megakernel)
 
     def use_qkv_flat_barrier(self) -> bool:
         v = os.environ.get("EWT_QKV_BARRIER")

@@ -1,0 +1,136 @@
+"""Whole-decoder-layer megakernel vs the scanned XLA decode path.
+
+The megakernel (ops/pallas_decoder_layer.py) must reproduce the existing
+deferred-write decode step — logits AND the cache write — for every
+cache-dtype recipe it claims.  CPU runs the kernel in interpret mode
+(same numerics contract as the other Pallas kernels' tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eddie_wang_hackathon2023_tpu.models.whisper import (CrossAttnKV,
+                                                         WhisperConfig,
+                                                         WhisperDecoder)
+from eddie_wang_hackathon2023_tpu.ops.pallas_decoder_layer import (
+    pack_decoder_blobs)
+from eddie_wang_hackathon2023_tpu.plugin import plugin_config
+from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+    weight_only_quantize_state)
+
+CFG = WhisperConfig(n_mels=16, n_vocab=160, n_audio_ctx=160,
+                    n_audio_state=256, n_audio_head=4, n_audio_layer=2,
+                    n_text_ctx=160, n_text_state=256, n_text_head=4,
+                    n_text_layer=3, dtype="float32")
+
+
+def _decoder(quant_mode):
+    dec = WhisperDecoder(CFG, quant_mode)
+    dec.random_init(jax.random.PRNGKey(3), 0.05)
+    sd = dec.state_dict()
+    if quant_mode.has_int8_kv_cache():
+        sd["blocks.attn.kv_orig_quant_scale"] = \
+            np.full((CFG.n_text_layer, 1), 9.5, np.float32)
+        sd["blocks.attn.kv_quant_orig_scale"] = \
+            np.full((CFG.n_text_layer, 1), 1 / 9.5, np.float32)
+    dec2 = WhisperDecoder(CFG, quant_mode)
+    dec2, sd = weight_only_quantize_state(dec2, sd, quant_mode)
+    dec2.load_state_dict(sd, strict=False)
+    return dec2, sd
+
+
+def _cross_kv(int8: bool):
+    rs = np.random.RandomState(5)
+    c = CFG
+    kv = rs.randn(c.n_text_layer, 1, 2, c.n_text_head, c.head_dim,
+                  c.n_audio_ctx).astype(np.float32) * 0.4
+    if not int8:
+        return jnp.asarray(kv)
+    scales = np.abs(kv).reshape(c.n_text_layer, -1).max(1) / 127.0
+    q = np.clip(np.round(kv / scales[:, None, None, None, None, None]),
+                -127, 127).astype(np.int8)
+    return (jnp.asarray(q), jnp.asarray(scales, jnp.float32))
+
+
+def _pack(dec, sd):
+    state = {k[len("blocks."):]: v for k, v in sd.items()
+             if k.startswith("blocks.")}
+    return pack_decoder_blobs(
+        state, n_layer=CFG.n_text_layer, hidden=CFG.n_text_state,
+        n_head=CFG.n_text_head, head_dim=CFG.head_dim,
+        ffn=4 * CFG.n_text_state, with_cross=True)
+
+
+@pytest.mark.parametrize("int8_kv,int8_cross", [(False, False),
+                                                (True, True),
+                                                (False, True)])
+def test_megakernel_matches_scan_step(int8_kv, int8_cross):
+    qm = QuantMode.use_weight_only()
+    if int8_kv:
+        qm = qm | QuantMode.INT8_KV_CACHE
+    dec, sd = _decoder(qm)
+    assert dec.megakernel_eligible()
+    cross = _cross_kv(int8_cross)
+    blobs = _pack(dec, sd)
+
+    prompt = jnp.asarray([[3, 7, 11, 2, 9]], jnp.int32)
+    plen = prompt.shape[1]
+    cache = dec.new_kv_cache(1)
+    logits_p, cache = dec(prompt, cache, cross, 0,
+                          jnp.asarray([plen], jnp.int32))
+    tok = jnp.argmax(logits_p[:, -1:], axis=-1).astype(jnp.int32)
+    seqlen = jnp.asarray([plen + 1], jnp.int32)
+
+    with plugin_config(decode_megakernel=False):
+        ref_logits, ref_cache = dec(tok, cache, cross, plen, seqlen)
+    with plugin_config(decode_megakernel=True):
+        mk_logits, mk_cache = dec(tok, cache, cross, plen, seqlen,
+                                  megakernel_blobs=blobs)
+
+    np.testing.assert_allclose(np.asarray(mk_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-3)
+    if int8_kv:
+        # int8 cache writes must be bit-exact (same quantize formula)
+        np.testing.assert_array_equal(np.asarray(mk_cache),
+                                      np.asarray(ref_cache))
+    else:
+        np.testing.assert_allclose(np.asarray(mk_cache),
+                                   np.asarray(ref_cache),
+                                   rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_multi_step_greedy_tokens():
+    """Five greedy steps through the megakernel == five through the scan
+    (token-exact; catches cross-step cache/state divergence)."""
+    qm = QuantMode.use_weight_only()
+    dec, sd = _decoder(qm)
+    cross = _cross_kv(True)
+    blobs = _pack(dec, sd)
+    prompt = jnp.asarray([[3, 7, 11]], jnp.int32)
+    plen = prompt.shape[1]
+
+    def run(blobs_or_none, flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = dec.new_kv_cache(1)
+            logits, cache = dec(prompt, cache, cross, 0,
+                                jnp.asarray([plen], jnp.int32))
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks = [int(tok[0, 0])]
+            for i in range(5):
+                seqlen = jnp.asarray([plen + 1 + i], jnp.int32)
+                logits, cache = dec(tok, cache, cross, plen + i, seqlen,
+                                    megakernel_blobs=blobs_or_none)
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                toks.append(int(tok[0, 0]))
+            return toks
+
+    assert run(None, False) == run(blobs, True)
+
+
+def test_megakernel_ineligible_falls_back():
+    """Un-quantised decoder must decline the megakernel and still run."""
+    dec = WhisperDecoder(CFG)
+    dec.random_init(jax.random.PRNGKey(0), 0.05)
+    assert not dec.megakernel_eligible()
