@@ -350,25 +350,32 @@ class WhisperDecoder(Module):
         from ...plugin import get_plugin_config
         unroll = get_plugin_config().get_scan_unroll()
         if (megakernel_blobs is not None and tokens.shape == (1, 1)
-                and kv_tail is None and beam_indirection is None
+                and beam_indirection is None
                 and kv_cache.dtype != jnp.float8_e4m3fn
                 and get_plugin_config().use_decode_megakernel()
                 and self.megakernel_eligible()):
             # whole-decoder-layer megakernel: every layer's LN / GEMV /
             # attention / GELU / residual in ONE pallas_call (round-4;
             # see ops/pallas_decoder_layer.py for the design record)
-            from ...ops.attention import write_fresh_kv
+            from ...ops.attention import write_fresh_kv, write_tail_kv
             from ...ops.pallas_decoder_layer import fused_decoder_stack
             cross, cscales = (cross_kv if isinstance(cross_kv, tuple)
                               else (cross_kv, None))
+            tail_mode = kv_tail is not None
             hid, fresh = fused_decoder_stack(
                 x[:, 0, :], megakernel_blobs, kv_cache, sequence_length,
                 self.blocks.attn.scale, cross_cache=cross,
-                cross_scale=cscales, head_dim=c.head_dim)
+                cross_scale=cscales,
+                tail_kv=((kv_tail, tail_len) if tail_mode else None),
+                head_dim=c.head_dim)
+            logits = self._logits(self.ln(hid[:, None, :]))
+            if tail_mode:
+                new_tail = write_tail_kv(kv_tail, fresh[:, None], tail_len)
+                return logits, kv_cache, new_tail
             new_kv = write_fresh_kv(kv_cache,
                                     fresh[:, None, :, :, :, None],
                                     write_index)
-            return self._logits(self.ln(hid[:, None, :])), new_kv
+            return logits, new_kv
         if tokens.shape[1] == 1:
             tail_mode = kv_tail is not None
             cache_arg = ((kv_cache, None, "defer", kv_tail, tail_len)

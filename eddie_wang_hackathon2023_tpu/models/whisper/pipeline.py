@@ -327,11 +327,6 @@ class WhisperPipeline:
         # with
         from ...plugin import get_plugin_config
         kt = get_plugin_config().get_decode_tail() if beam == 1 else 0
-        if mk_blobs is not None:
-            # the megakernel path writes one batched fresh-KV slab per
-            # step (its fresh output is already stacked); the K-step tail
-            # read is not plumbed through it yet
-            kt = 0
         # kt columns of slack so the once-per-K merge never clamps
         cache = self.decoder.new_kv_cache(
             b, self.config.n_text_ctx + kt if kt else None)
@@ -341,7 +336,8 @@ class WhisperPipeline:
             if tail is not None:
                 return self.decoder.apply(dec_params, tokens, cache,
                                           cross_kv, widx, seqlen,
-                                          kv_tail=tail, tail_len=tail_len)
+                                          kv_tail=tail, tail_len=tail_len,
+                                          megakernel_blobs=mk_blobs)
             if beam_ind is not None:
                 return self.decoder.apply(dec_params, tokens, cache,
                                           cross_kv, widx, seqlen,

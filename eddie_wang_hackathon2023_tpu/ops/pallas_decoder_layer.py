@@ -147,7 +147,7 @@ def _hold_next(values):
     return out
 
 
-def _kernel(slen_ref, start_ref, kvoq_ref, kvqo_ref, cscale_ref,
+def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             # inputs
             x_ref, w_ref, ps_ref, pb_ref, fs_ref, fb_ref, ln_ref,
             selfc_ref, *rest,
@@ -155,9 +155,12 @@ def _kernel(slen_ref, start_ref, kvoq_ref, kvqo_ref, cscale_ref,
             d: int, hp: int, dl: int, hd: int, nsub: int,
             cs_s: int, cs_c: int, s_self: int, s_cross: int,
             scale: float, self_quant: bool, cross_quant: bool,
-            adt, eps: float):
+            with_tail: bool, kmax: int, adt, eps: float):
     if with_cross:
         crossc_ref = rest[0]
+        rest = rest[1:]
+    if with_tail:
+        tail_ref = rest[0]
         rest = rest[1:]
     hid_ref, fresh_ref = rest[0], rest[1]
     (x_scr, ln_scr, q_scr, kf_scr, vf_scr, m_scr, d_scr, ctx_scr,
@@ -224,6 +227,8 @@ def _kernel(slen_ref, start_ref, kvoq_ref, kvqo_ref, cscale_ref,
         else:
             kscale = kvqo_ref[l] if self_quant else 1.0
             cache_len = slen_ref[0] - 1           # fresh token not in cache
+            if with_tail:
+                cache_len = cache_len - tlen_ref[0]
             start = start_ref[0]
 
         if c == 0:
@@ -274,21 +279,51 @@ def _kernel(slen_ref, start_ref, kvoq_ref, kvqo_ref, cscale_ref,
                         ctx_scr[...])
             else:
                 # fresh-token contribution (the deferred-write decode
-                # contract of pallas_decode_attention with_fresh)
+                # contract of pallas_decode_attention with_fresh), plus
+                # the K-step deferred tail when enabled (write_tail_kv)
                 qf = q_scr[:, 0, :].astype(f32)           # [HP, DL]
                 pk = qf * kf_scr[...]                     # [HP, DL]
                 pvf = vf_scr[...]
+                if with_tail:
+                    t = tail_ref[:, 0, 0]                 # [Kmax, 2, HP, DL]
+                    tk = jnp.transpose(t[:, 0], (1, 0, 2)).astype(adt)
+                    tv = jnp.transpose(t[:, 1], (1, 0, 2)).astype(adt)
+                    tpos = jax.lax.broadcasted_iota(
+                        jnp.int32, (hp, 1, kmax), 2)
+                    tmask = tpos < tlen_ref[0]
+                    qv = q_scr[...]                       # [HP, 1, DL]
                 for u in range(nsub):
                     sf = jnp.sum(jnp.where(sub_masks[u], pk, 0.0),
                                  axis=1, keepdims=True) * (scale * kscale)
                     m = m_scr[:, u:u + 1]
                     du = d_scr[:, u:u + 1]
-                    m_fin = jnp.maximum(m, sf)
-                    alpha = jnp.exp(m - m_fin)
-                    pf = jnp.exp(sf - m_fin)              # [HP, 1]
-                    denom = du * alpha + pf
-                    ctx_new = (ctx_scr[...] * alpha * kscale
-                               + pvf * (kscale * pf)) / denom
+                    if with_tail:
+                        qs = jnp.where(sub_masks3[u], qv, 0)
+                        st = jax.lax.dot_general(
+                            qs, tk,
+                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=f32)   # [HP, 1, Kmax]
+                        st = jnp.where(tmask, st * (scale * kscale), NEG)
+                        m_fin = jnp.maximum(
+                            jnp.maximum(m, jnp.max(st, axis=2)), sf)
+                        alpha = jnp.exp(m - m_fin)
+                        p_t = jnp.where(tmask,
+                                        jnp.exp(st - m_fin[:, :, None]), 0.0)
+                        pf = jnp.exp(sf - m_fin)
+                        denom = du * alpha + jnp.sum(p_t, axis=2) + pf
+                        ctx_t = jax.lax.dot_general(
+                            p_t.astype(adt), tv,
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=f32)[:, 0, :]  # [HP, DL]
+                        ctx_new = ((ctx_scr[...] * alpha + ctx_t) * kscale
+                                   + pvf * (kscale * pf)) / denom
+                    else:
+                        m_fin = jnp.maximum(m, sf)
+                        alpha = jnp.exp(m - m_fin)
+                        pf = jnp.exp(sf - m_fin)          # [HP, 1]
+                        denom = du * alpha + pf
+                        ctx_new = (ctx_scr[...] * alpha * kscale
+                                   + pvf * (kscale * pf)) / denom
                     ctx_scr[...] = jnp.where(sub_masks[u], ctx_new,
                                              ctx_scr[...])
 
@@ -367,7 +402,7 @@ def _kernel(slen_ref, start_ref, kvoq_ref, kvqo_ref, cscale_ref,
 def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                         scale: float,
                         cross_cache=None, cross_scale=None,
-                        start_index=None,
+                        start_index=None, tail_kv=None,
                         head_dim: int = 64,
                         cs_self: Optional[int] = None,
                         cs_cross: Optional[int] = None,
@@ -380,9 +415,15 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     seq_len [1] int32 INCLUDING the fresh token; cross_cache
     [L, 1, 2, H, D, Sc] with optional per-layer ``cross_scale`` [L]
     (int8); ``start_index`` [1] int32 masks self-attention keys below it.
+    ``tail_kv``: (tail [Kmax, L, 1, 2, H, D] cache-dtype, tail_len scalar
+    int32) — the K-step deferred-store tail (ops.attention
+    write_tail_kv): the last ``tail_len`` tokens live there instead of
+    the big cache; the caller appends this step's fresh output and
+    merges once per Kmax steps.
 
     Returns (hidden [1, d] — pre-final-LN, fresh_kv [L, 2, H, D] in
-    cache dtype, seq-minor values for ops.attention.write_fresh_kv).
+    cache dtype, seq-minor values for ops.attention.write_fresh_kv /
+    write_tail_kv).
     """
     L, b_kv, _, H, D, S = self_cache.shape
     assert b_kv == 1 and x.shape[0] == 1, "megakernel is batch-1 only"
@@ -446,6 +487,15 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)[:1]
     start_arr = (jnp.zeros((1,), jnp.int32) if start_index is None
                  else jnp.asarray(start_index, jnp.int32).reshape(-1)[:1])
+    with_tail = tail_kv is not None
+    if with_tail:
+        tail_arr, tail_len = tail_kv
+        kmax = tail_arr.shape[0]
+        tail_pair = tail_arr.reshape(kmax, L, 1, 2, hp, dl)
+        tlen_arr = jnp.reshape(jnp.asarray(tail_len, jnp.int32), (1,))
+    else:
+        kmax = 0
+        tlen_arr = jnp.zeros((1,), jnp.int32)
     ones_l = jnp.ones((L,), jnp.float32)
     kvoq = blobs.kv_oq if self_quant else ones_l
     kvqo = blobs.kv_qo if self_quant else ones_l
@@ -464,21 +514,24 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     def aux3_map(l, s, *refs):
         return (l, 0, 0)
 
-    def self_map(l, s, slen, st, koq, kqo, csc):
+    def self_map(l, s, slen, st, tln, koq, kqo, csc):
         cm = _stage_lookup(s, self_cmap)
-        cache_len = slen[0] - 1
+        cache_len = slen[0] - 1 - (tln[0] if with_tail else 0)
         n_need = jnp.maximum(jax.lax.div(cache_len + cs_s - 1, cs_s), 1)
         before = cm < 0
         l_eff = jnp.where(before, jnp.maximum(l - 1, 0), l)
         c_eff = jnp.minimum(jnp.where(before, ncs - 1, cm), n_need - 1)
         return (l_eff, 0, 0, 0, 0, c_eff)
 
-    def cross_map(l, s, slen, st, koq, kqo, csc):
+    def cross_map(l, s, slen, st, tln, koq, kqo, csc):
         cm = _stage_lookup(s, cross_cmap)
         before = cm < 0
         l_eff = jnp.where(before, jnp.maximum(l - 1, 0), l)
         c_eff = jnp.where(before, ncc - 1, cm)
         return (l_eff, 0, 0, 0, 0, c_eff)
+
+    def tail_map(l, s, *refs):
+        return (0, l, 0, 0, 0, 0)
 
     def fresh_map(l, s, *refs):
         return (l, 0, 0, 0)
@@ -505,6 +558,10 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         in_specs.append(pl.BlockSpec((1, 1, 2, hp, dl, cs_c), cross_map,
                                      memory_space=pltpu.VMEM))
         args.append(crossc)
+    if with_tail:
+        in_specs.append(pl.BlockSpec((kmax, 1, 1, 2, hp, dl), tail_map,
+                                     memory_space=pltpu.VMEM))
+        args.append(tail_pair)
 
     out_shapes = (
         jax.ShapeDtypeStruct((1, d), adt),
@@ -516,7 +573,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(L, len(stages)),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -537,7 +594,8 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         _kernel, stages=stages, nf=nf, ncs=ncs, ncc=ncc,
         with_cross=with_cross, d=d, hp=hp, dl=dl, hd=D, nsub=nsub,
         cs_s=cs_s, cs_c=cs_c, s_self=S, s_cross=Sc, scale=float(scale),
-        self_quant=self_quant, cross_quant=cross_quant, adt=adt, eps=1e-5)
+        self_quant=self_quant, cross_quant=cross_quant,
+        with_tail=with_tail, kmax=kmax, adt=adt, eps=1e-5)
     weight_bytes = L * npan * d * d
     cache_bytes = (L * 2 * d * S * self_cache.dtype.itemsize
                    + (L * 2 * d * Sc * cross_cache.dtype.itemsize
@@ -553,7 +611,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seqlen_arr, start_arr, kvoq, kvqo, cscale, *args)
+    )(seqlen_arr, start_arr, tlen_arr, kvoq, kvqo, cscale, *args)
     return hid, fresh.reshape(L, 2, H, D)
 
 

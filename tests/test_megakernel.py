@@ -129,6 +129,49 @@ def test_megakernel_multi_step_greedy_tokens():
     assert run(None, False) == run(blobs, True)
 
 
+@pytest.mark.parametrize("int8_kv", [False, True])
+def test_megakernel_tail_mode(int8_kv):
+    """K-step deferred tail: three tail steps through the megakernel ==
+    three through the scan path (logits close, tail bytes equal)."""
+    from eddie_wang_hackathon2023_tpu.ops.attention import new_tail_kv
+    qm = QuantMode.use_weight_only()
+    if int8_kv:
+        qm = qm | QuantMode.INT8_KV_CACHE
+    dec, sd = _decoder(qm)
+    cross = _cross_kv(True)
+    blobs = _pack(dec, sd)
+    prompt = jnp.asarray([[3, 7, 11, 2]], jnp.int32)
+    plen = prompt.shape[1]
+
+    def run(blobs_or_none, flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = dec.new_kv_cache(1)
+            logits, cache = dec(prompt, cache, cross, 0,
+                                jnp.asarray([plen], jnp.int32))
+            tail = new_tail_kv(cache, 4)
+            tlen = jnp.asarray(0, jnp.int32)
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            outs = []
+            for i in range(3):
+                seqlen = jnp.asarray([plen + 1 + i], jnp.int32)
+                logits, cache, tail = dec(
+                    tok, cache, cross, plen + i, seqlen, kv_tail=tail,
+                    tail_len=tlen, megakernel_blobs=blobs_or_none)
+                tlen = tlen + 1
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                outs.append(np.asarray(logits))
+            return outs, np.asarray(tail)
+
+    ref, ref_tail = run(None, False)
+    mk, mk_tail = run(blobs, True)
+    for a, b in zip(mk, ref):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3)
+    if int8_kv:
+        np.testing.assert_array_equal(mk_tail, ref_tail)
+    else:
+        np.testing.assert_allclose(mk_tail, ref_tail, rtol=2e-4, atol=2e-3)
+
+
 def test_megakernel_ineligible_falls_back():
     """Un-quantised decoder must decline the megakernel and still run."""
     dec = WhisperDecoder(CFG)
