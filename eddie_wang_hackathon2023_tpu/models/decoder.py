@@ -199,10 +199,61 @@ class DecoderLMHead(Module):
         T/runtime/generation.py:1021-1035)."""
         return self.config.position_embedding == "glm_rope"
 
+    def megakernel_eligible(self) -> bool:
+        """Static structure check for the whole-decoder-layer megakernel
+        (ops/pallas_decoder_layer.py).  Covers the standard pre-LN
+        residual topology with WOQ-int8 per-out-channel weights (GPT-2/
+        OPT-class); RoPE/ALiBi/GLM positions, MQA/GQA, gated MLPs,
+        rmsnorm, parallel-attn and deepnorm residuals take the scan."""
+        from ..quantization.layers import (WeightOnlyQuantLinear,
+                                           WeightOnlyQuantQKVLinear)
+        c = self.config
+        if c.position_embedding not in ("learned", "none"):
+            return False
+        if c.parallel_attn or c.deepnorm_alpha is not None or c.gated_mlp:
+            return False
+        if c.norm != "layernorm" or c.bidirectional_context:
+            return False
+        if c.hidden_act not in ("gelu", "relu", "gelu_exact"):
+            return False
+        if c.num_kv_heads != c.num_heads:
+            return False
+        if c.hidden_size % 128 or 128 % c.head_dim:
+            return False
+        if c.ffn_hidden_size % c.hidden_size:
+            return False
+        b = self.blocks
+        qkv = getattr(b.attention, "qkv", None)
+        if not isinstance(qkv, WeightOnlyQuantQKVLinear) or qkv.bits != 8 \
+                or qkv.group_size:
+            return False
+        for m in (b.attention.dense, b.mlp.fc, b.mlp.proj):
+            if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
+                    or getattr(m, "group_size", 0) \
+                    or getattr(m, "tp_size", 1) != 1:
+                return False
+        if b.attention.use_fp8_kv_cache:
+            return False
+        return True
+
+    def megakernel_blobs(self, params):
+        """Pack the megakernel weight image from this model's state dict
+        (run under jit once at session setup)."""
+        from ..ops.pallas_decoder_layer import DECODER_KEYS, \
+            pack_decoder_blobs
+        c = self.config
+        state = {k[len("blocks."):]: v for k, v in params.items()
+                 if k.startswith("blocks.")}
+        return pack_decoder_blobs(
+            state, n_layer=c.num_layers, hidden=c.hidden_size,
+            n_head=c.num_heads, head_dim=c.head_dim,
+            ffn=c.ffn_hidden_size, with_cross=False, keys=DECODER_KEYS)
+
     def forward(self, tokens, kv_cache, write_index, sequence_length,
                 attention_start=None, context_lengths=None,
                 beam_indirection=None, kv_tail=None,
-                tail_len=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                tail_len=None,
+                megakernel_blobs=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tokens [B, L] int32 (left-padded prompts use attention_start);
         ``context_lengths`` [B]: true prompt lengths (glm_rope only);
         returns (logits [B, L, V] fp32, new stacked cache).
@@ -279,6 +330,35 @@ class DecoderLMHead(Module):
             if tail_mode:
                 assert beam_indirection is None and \
                     getattr(write_index, "ndim", 0) == 0
+            from ..plugin import get_plugin_config
+            if (megakernel_blobs is not None and tokens.shape == (1, 1)
+                    and beam_indirection is None
+                    and kv_cache.dtype != jnp.float8_e4m3fn
+                    and get_plugin_config().use_decode_megakernel()
+                    and self.megakernel_eligible()):
+                # whole-decoder-layer megakernel (see the whisper decoder
+                # and ops/pallas_decoder_layer.py for the design record)
+                from ..ops.attention import write_fresh_kv, write_tail_kv
+                from ..ops.pallas_decoder_layer import fused_decoder_stack
+                hid, fresh = fused_decoder_stack(
+                    x[:, 0, :], megakernel_blobs, kv_cache,
+                    sequence_length, block.attention.scale,
+                    start_index=attention_start,
+                    tail_kv=((kv_tail, tail_len) if tail_mode else None),
+                    head_dim=c.head_dim, eps=c.norm_eps, act=c.hidden_act)
+                if c.final_norm:
+                    hid = self.ln_f(hid[:, None, :])
+                else:
+                    hid = hid[:, None, :]
+                logits = self._logits(hid)
+                if tail_mode:
+                    new_tail = write_tail_kv(kv_tail, fresh[:, None],
+                                             tail_len)
+                    return logits, kv_cache, new_tail
+                new_kv = write_fresh_kv(kv_cache,
+                                        fresh[:, None, :, :, :, None],
+                                        write_index)
+                return logits, new_kv
 
             # hoist the out-proj qweight out of the scan xs for the fused
             # Pallas decode epilogue (stacked [L,K,N] bound whole; the

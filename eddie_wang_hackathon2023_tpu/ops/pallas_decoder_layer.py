@@ -155,7 +155,7 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             d: int, hp: int, dl: int, hd: int, nsub: int,
             cs_s: int, cs_c: int, s_self: int, s_cross: int,
             scale: float, self_quant: bool, cross_quant: bool,
-            with_tail: bool, kmax: int, adt, eps: float):
+            with_tail: bool, kmax: int, adt, eps: float, act: str):
     if with_cross:
         crossc_ref = rest[0]
         rest = rest[1:]
@@ -348,7 +348,13 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         acc = gemv(ln_scr[...])
         hv = (acc * fs_ref[0, flat_slot:flat_slot + 1, :]).astype(adt) \
             + fb_ref[0, flat_slot:flat_slot + 1, :].astype(adt)
-        h_scr[:, j * d:(j + 1) * d] = jax.nn.gelu(hv, approximate=True)
+        if act == "relu":
+            hv = jnp.maximum(hv, 0)
+        elif act == "gelu_exact":
+            hv = jax.nn.gelu(hv, approximate=False)
+        else:
+            hv = jax.nn.gelu(hv, approximate=True)
+        h_scr[:, j * d:(j + 1) * d] = hv
 
     def fc2_stage(j: int, flat_slot: int, last: bool):
         part = gemv(h_scr[:, j * d:(j + 1) * d])
@@ -406,6 +412,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                         head_dim: int = 64,
                         cs_self: Optional[int] = None,
                         cs_cross: Optional[int] = None,
+                        eps: float = 1e-5, act: str = "gelu",
                         interpret: bool = False):
     """Run every decoder layer of one decode step in ONE kernel.
 
@@ -595,7 +602,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         with_cross=with_cross, d=d, hp=hp, dl=dl, hd=D, nsub=nsub,
         cs_s=cs_s, cs_c=cs_c, s_self=S, s_cross=Sc, scale=float(scale),
         self_quant=self_quant, cross_quant=cross_quant,
-        with_tail=with_tail, kmax=kmax, adt=adt, eps=1e-5)
+        with_tail=with_tail, kmax=kmax, adt=adt, eps=float(eps), act=act)
     weight_bytes = L * npan * d * d
     cache_bytes = (L * 2 * d * S * self_cache.dtype.itemsize
                    + (L * 2 * d * Sc * cross_cache.dtype.itemsize
@@ -615,9 +622,24 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     return hid, fresh.reshape(L, 2, H, D)
 
 
+# state-dict key prefixes per block flavour (the packer is shared by the
+# Whisper ResidualAttentionBlock and the generic DecoderBlock)
+WHISPER_KEYS = dict(qkv="attn.qkv", dense="attn.dense",
+                    crossq="cross_attn.q_linear",
+                    crossdense="cross_attn.dense",
+                    fc1="mlp1", fc2="mlp2",
+                    ln=("attn_ln", "cross_attn_ln", "mlp_ln"),
+                    kv="attn")
+DECODER_KEYS = dict(qkv="attention.qkv", dense="attention.dense",
+                    fc1="mlp.fc", fc2="mlp.proj",
+                    ln=("input_layernorm", "post_layernorm"),
+                    kv="attention")
+
+
 def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
                        n_head: int, head_dim: int, ffn: int,
-                       with_cross: bool) -> MegakernelBlobs:
+                       with_cross: bool,
+                       keys: Optional[dict] = None) -> MegakernelBlobs:
     """Build the megakernel blobs from a stacked WOQ-int8 block state
     dict (keys as produced by ``stack_parameter_shapes`` + surgery:
     ``attn.qkv.qweight`` [L, d, 3d], ``attn.dense.qweight`` [L, d, d],
@@ -636,63 +658,63 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
     hp, dl = d // 128, 128
     nf = ffn // d
     f32 = jnp.float32
+    kk = keys or (WHISPER_KEYS if with_cross else DECODER_KEYS)
 
     def g(key):
         return jnp.asarray(state[key])
 
     def zeros_like_or(key, shape):
-        if key in state:
+        if key in state and state[key] is not None:
             return jnp.asarray(state[key], f32)
         return jnp.zeros(shape, f32)
 
-    qkv_w = g("attn.qkv.qweight")                       # [L, d, 3d]
+    qkv_w = g(kk["qkv"] + ".qweight")                   # [L, d, 3d]
     panels = [qkv_w[:, :, 0:d], qkv_w[:, :, d:2 * d], qkv_w[:, :, 2 * d:],
-              g("attn.dense.qweight")]
+              g(kk["dense"] + ".qweight")]
     if with_cross:
-        panels += [g("cross_attn.q_linear.qweight"),
-                   g("cross_attn.dense.qweight")]
-    fc1 = g("mlp1.qweight")                             # [L, d, ffn]
+        panels += [g(kk["crossq"] + ".qweight"),
+                   g(kk["crossdense"] + ".qweight")]
+    fc1 = g(kk["fc1"] + ".qweight")                     # [L, d, ffn]
     panels += [fc1[:, :, j * d:(j + 1) * d] for j in range(nf)]
-    fc2 = g("mlp2.qweight")                             # [L, ffn, d]
+    fc2 = g(kk["fc2"] + ".qweight")                     # [L, ffn, d]
     panels += [fc2[:, j * d:(j + 1) * d, :] for j in range(nf)]
     wblob = jnp.stack(panels, axis=1)
 
-    qkv_s = g("attn.qkv.per_channel_scale").astype(f32)  # [L, 3d]
-    qkv_b = zeros_like_or("attn.qkv.bias", (L, 3, n_head, head_dim)) \
-        .reshape(L, 3 * d)
+    qkv_s = g(kk["qkv"] + ".per_channel_scale").astype(f32)  # [L, 3d]
+    qkv_b = zeros_like_or(kk["qkv"] + ".bias",
+                          (L, 3, n_head, head_dim)).reshape(L, 3 * d)
     pair_s = [qkv_s[:, 0:d], qkv_s[:, d:2 * d], qkv_s[:, 2 * d:]]
     pair_b = [qkv_b[:, 0:d], qkv_b[:, d:2 * d], qkv_b[:, 2 * d:]]
     if with_cross:
-        pair_s.append(g("cross_attn.q_linear.per_channel_scale").astype(f32))
-        pair_b.append(zeros_like_or("cross_attn.q_linear.bias", (L, d)))
+        pair_s.append(g(kk["crossq"] + ".per_channel_scale").astype(f32))
+        pair_b.append(zeros_like_or(kk["crossq"] + ".bias", (L, d)))
     pair_scale = jnp.stack([p.reshape(L, hp, dl) for p in pair_s], axis=1)
     pair_bias = jnp.stack([p.reshape(L, hp, dl) for p in pair_b], axis=1)
 
-    flat_s = [g("attn.dense.per_channel_scale").astype(f32)]
-    flat_b = [zeros_like_or("attn.dense.bias", (L, d))]
+    flat_s = [g(kk["dense"] + ".per_channel_scale").astype(f32)]
+    flat_b = [zeros_like_or(kk["dense"] + ".bias", (L, d))]
     if with_cross:
-        flat_s.append(g("cross_attn.dense.per_channel_scale").astype(f32))
-        flat_b.append(zeros_like_or("cross_attn.dense.bias", (L, d)))
-    fc1_s = g("mlp1.per_channel_scale").astype(f32)      # [L, ffn]
-    fc1_b = zeros_like_or("mlp1.bias", (L, ffn))
+        flat_s.append(g(kk["crossdense"] + ".per_channel_scale").astype(f32))
+        flat_b.append(zeros_like_or(kk["crossdense"] + ".bias", (L, d)))
+    fc1_s = g(kk["fc1"] + ".per_channel_scale").astype(f32)  # [L, ffn]
+    fc1_b = zeros_like_or(kk["fc1"] + ".bias", (L, ffn))
     flat_s += [fc1_s[:, j * d:(j + 1) * d] for j in range(nf)]
     flat_b += [fc1_b[:, j * d:(j + 1) * d] for j in range(nf)]
-    flat_s.append(g("mlp2.per_channel_scale").astype(f32))
-    flat_b.append(zeros_like_or("mlp2.bias", (L, d)))
+    flat_s.append(g(kk["fc2"] + ".per_channel_scale").astype(f32))
+    flat_b.append(zeros_like_or(kk["fc2"] + ".bias", (L, d)))
     flat_scale = jnp.stack(flat_s, axis=1)
     flat_bias = jnp.stack(flat_b, axis=1)
 
-    ln_rows = [g("attn_ln.weight").astype(f32), g("attn_ln.bias").astype(f32)]
-    if with_cross:
-        ln_rows += [g("cross_attn_ln.weight").astype(f32),
-                    g("cross_attn_ln.bias").astype(f32)]
-    ln_rows += [g("mlp_ln.weight").astype(f32), g("mlp_ln.bias").astype(f32)]
+    ln_rows = []
+    for name in kk["ln"]:
+        ln_rows += [g(name + ".weight").astype(f32),
+                    zeros_like_or(name + ".bias", (L, d))]
     ln_par = jnp.stack(ln_rows, axis=1)
 
-    if "attn.kv_orig_quant_scale" in state:
-        kv_oq = jnp.asarray(state["attn.kv_orig_quant_scale"],
-                            f32).reshape(L)
-        kv_qo = jnp.asarray(state["attn.kv_quant_orig_scale"],
+    kv_key = kk["kv"] + ".kv_orig_quant_scale"
+    if kv_key in state and state[kv_key] is not None:
+        kv_oq = jnp.asarray(state[kv_key], f32).reshape(L)
+        kv_qo = jnp.asarray(state[kk["kv"] + ".kv_quant_orig_scale"],
                             f32).reshape(L)
     else:
         kv_oq = kv_qo = jnp.ones((L,), f32)

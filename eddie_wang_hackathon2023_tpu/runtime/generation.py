@@ -85,12 +85,22 @@ class GenerationSession:
     def setup(self, params=None) -> None:
         """Capture parameters (ref GenerationSession.setup buffer prep)."""
         self._params = params if params is not None else self.model.state_dict()
+        # packed weight image for the whole-decoder-layer megakernel
+        # (ops/pallas_decoder_layer.py) — built once here, rides the
+        # decode jit as an arg
+        self._mk_blobs = None
+        from ..plugin import get_plugin_config
+        if get_plugin_config().use_decode_megakernel() and \
+                getattr(self.model, "megakernel_eligible",
+                        lambda: False)():
+            self._mk_blobs = jax.jit(self.model.megakernel_blobs)(
+                self._params)
 
     # ------------------------------------------------------------------
 
     def _decode_impl(self, params, input_ids, input_lengths, rng,
                      dparams: DecodeParams, prompt_len: int,
-                     max_new_tokens: int, beam: int):
+                     max_new_tokens: int, beam: int, mk_blobs=None):
         """input_ids [B, prompt_len] left-padded int32;
         input_lengths [B] true prompt lengths.
         Returns (tokens [B, beam, total_len], seq_lengths [B, beam],
@@ -247,14 +257,16 @@ class GenerationSession:
                     params, next_tok[:, None], cache, cur,
                     jnp.full((bb,), cur + 1, jnp.int32),
                     attention_start=start, kv_tail=s["tail"],
-                    tail_len=s["tail_len"], **extra_step)
+                    tail_len=s["tail_len"],
+                    megakernel_blobs=mk_blobs, **extra_step)
                 out_state["tail"] = tail
                 out_state["tail_len"] = s["tail_len"] + 1
             else:
                 step_logits, cache = model.apply(
                     params, next_tok[:, None], cache, cur,
                     jnp.full((bb,), cur + 1, jnp.int32),
-                    attention_start=start, **extra_step)
+                    attention_start=start,
+                    megakernel_blobs=mk_blobs, **extra_step)
             return dict(logits=step_logits[:, -1].astype(jnp.float32),
                         tokens=tokens, cache=cache, cur=cur + 1,
                         finished=finished, cum_lp=cum_lp, counts=counts,
@@ -354,7 +366,8 @@ class GenerationSession:
             jnp.asarray(input_lengths, jnp.int32),
             jax.random.PRNGKey(seed or sc.random_seed),
             dparams, prompt_len=prompt_len,
-            max_new_tokens=max_new_tokens, beam=beam)
+            max_new_tokens=max_new_tokens, beam=beam,
+            mk_blobs=getattr(self, "_mk_blobs", None))
         # one batched fetch — per-array transfers each pay a device round
         # trip (severe over remote-device tunnels)
         tokens, lens, cum = jax.device_get((tokens, lens, cum))

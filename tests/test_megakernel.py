@@ -177,3 +177,73 @@ def test_megakernel_ineligible_falls_back():
     dec = WhisperDecoder(CFG)
     dec.random_init(jax.random.PRNGKey(0), 0.05)
     assert not dec.megakernel_eligible()
+
+
+def _gpt_model(act="gelu"):
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        weight_only_quantize)
+    cfg = DecoderConfig(vocab_size=160, hidden_size=256, num_layers=3,
+                        num_heads=4, max_position_embeddings=96,
+                        hidden_act=act, dtype="float32",
+                        quant_mode=QuantMode.use_weight_only())
+    model = DecoderLMHead(cfg)
+    model.random_init(jax.random.PRNGKey(4), 0.05)
+    sd = model.state_dict()
+    model2 = DecoderLMHead(cfg)
+    model2, sd = weight_only_quantize_state(model2, sd, cfg.quant_mode)
+    model2.load_state_dict(sd, strict=False)
+    return model2, sd
+
+
+@pytest.mark.parametrize("act", ["gelu", "relu"])
+def test_megakernel_gpt_decoder(act):
+    """The generic DecoderLMHead (GPT-2-class topology) through the
+    megakernel == the scanned path, multi-step greedy token-exact."""
+    model, sd = _gpt_model(act)
+    assert model.megakernel_eligible()
+    blobs = model.megakernel_blobs(sd)
+    prompt = jnp.asarray([[5, 9, 2, 14]], jnp.int32)
+    plen = prompt.shape[1]
+
+    def run(blobs_or_none, flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = model.new_kv_cache(1, 64)
+            logits, cache = model(prompt, cache, 0,
+                                  jnp.asarray([plen], jnp.int32))
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks = [int(tok[0, 0])]
+            for i in range(4):
+                seqlen = jnp.asarray([plen + 1 + i], jnp.int32)
+                logits, cache = model(tok, cache, plen + i, seqlen,
+                                      megakernel_blobs=blobs_or_none)
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                toks.append(int(tok[0, 0]))
+            return toks, np.asarray(logits)
+
+    ref_toks, ref_logits = run(None, False)
+    mk_toks, mk_logits = run(blobs, True)
+    assert mk_toks == ref_toks
+    np.testing.assert_allclose(mk_logits, ref_logits, rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_generation_session():
+    """GenerationSession end-to-end with the megakernel == without
+    (greedy, batch 1, left-padded prompt exercising attention_start)."""
+    from eddie_wang_hackathon2023_tpu.runtime.generation import (
+        GenerationSession, ModelConfig, SamplingConfig)
+    model, sd = _gpt_model()
+    mc = ModelConfig(vocab_size=160, num_layers=3, num_heads=4,
+                     hidden_size=256, max_seq_len=96)
+    ids = np.asarray([[5, 9, 2, 14, 7]], np.int32)
+    lens = np.asarray([5], np.int32)
+
+    outs = {}
+    for flag in (False, True):
+        with plugin_config(decode_megakernel=flag):
+            sess = GenerationSession(mc, model, SamplingConfig())
+            sess.setup(sd)
+            out_ids, _, _ = sess.decode(ids, lens, max_new_tokens=6)
+            outs[flag] = np.asarray(out_ids)
+    np.testing.assert_array_equal(outs[True], outs[False])
