@@ -82,8 +82,10 @@ class PluginConfig:
     # GELU/residual with the hidden state resident in VMEM — removes the
     # ~0.6 ms/step small-op dispatch floor the round-3 trace named.
     # Applies to batch-1 single-token WOQ-int8 decode (whisper + GPT
-    # families), greedy/sampling (no beam indirection).  None = off
-    # (pending the round-4 device A/B; flip per adopt-or-delete)
+    # families), greedy/sampling (no beam indirection).  None = ON on
+    # TPU: the round-4 device A/B measured whisper large-v2 woq8 decode
+    # 1.66 vs 2.17 ms/tok (7.44 vs 6.55 utt/s) on v5e; ineligible
+    # configs fall back to the scanned path automatically.
     decode_megakernel: Optional[bool] = None
     # materialise the fused QKV projection's flat [B,L,3*H*D] result
     # (optimization_barrier) before the head split in context/prefill
@@ -150,7 +152,9 @@ class PluginConfig:
         v = os.environ.get("EWT_MEGAKERNEL")
         if v is not None:
             return v not in ("0", "false", "off")
-        return bool(self.decode_megakernel)
+        if self.decode_megakernel is not None:
+            return self.decode_megakernel
+        return on_tpu()
 
     def use_qkv_flat_barrier(self) -> bool:
         v = os.environ.get("EWT_QKV_BARRIER")
