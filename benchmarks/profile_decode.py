@@ -158,7 +158,71 @@ def profile_crosskv():
         jax.block_until_ready(out)
 
 
+def profile_utt():
+    """Trace ONE full utterance (pipe.transcribe) in the bench recipe and
+    print per-program device totals + the wall time — the breakdown of
+    the bench's 'encode+cross-kv+prefill+host' residue."""
+    import numpy as np
+
+    from eddie_wang_hackathon2023_tpu.builder import enable_compile_cache
+    from eddie_wang_hackathon2023_tpu.models.whisper import (
+        CrossAttnKV, WhisperDecoder, WhisperEncoder, whisper_config)
+    from eddie_wang_hackathon2023_tpu.models.whisper.pipeline import (
+        DecodingOptions, WhisperPipeline)
+    from eddie_wang_hackathon2023_tpu.quantization import QuantMode
+    enable_compile_cache()
+    steps = int(os.environ.get("LOOP_STEPS", "40"))
+    config = whisper_config("large-v2", dtype="bfloat16")
+    parts = set(p for p in os.environ.get(
+        "BENCH_QUANT", "woq8+ckv8+lmq8").split("+") if p)
+    qmode = QuantMode(0)
+    if "woq8" in parts:
+        qmode = QuantMode.use_weight_only()
+    enc, dec, ckv = (WhisperEncoder(config, qmode),
+                     WhisperDecoder(config, qmode,
+                                    quantize_lm_head="lmq8" in parts),
+                     CrossAttnKV(config, int8_output="ckv8" in parts,
+                                 static_scale=True))
+    if qmode.is_weight_only():
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import \
+            weight_only_quantize
+        enc = weight_only_quantize(enc, qmode)
+        dec = weight_only_quantize(dec, qmode)
+    for m in (enc, dec, ckv):
+        m.zeros_init()
+    if "ckv8" in parts:
+        ckv.kv_scale.value = jnp.ones(ckv.kv_scale.value.shape, jnp.float32)
+    if "lmq8" in parts:
+        dec.lm_head_scale.value = jnp.ones(dec.lm_head_scale.value.shape,
+                                           jnp.float32)
+    pipe = WhisperPipeline(config, enc, dec, ckv,
+                           DecodingOptions(language="en", sample_len=steps),
+                           qmode)
+    pipe.bind_params()
+    mel = np.random.RandomState(0).randn(1, config.n_mels,
+                                         3000).astype(np.float32) * 0.1
+    pipe.transcribe(mel)   # compile
+    t0 = time.time()
+    pipe.transcribe(mel)
+    wall = (time.time() - t0) * 1e3
+    print(f"utterance wall: {wall:.1f} ms ({steps} decode steps)",
+          file=sys.stderr)
+    log_dir = os.environ.get("TRACE_DIR", "/tmp/ewt_trace_utt")
+    os.system(f"rm -rf {log_dir}")
+    with jax.profiler.trace(log_dir):
+        pipe.transcribe(mel)
+    from analyze_trace import device_total_ms
+    per = device_total_ms(log_dir)
+    total = per.pop("_total")
+    for name, ms in sorted(per.items(), key=lambda kv: -kv[1]):
+        print(f"  {ms:8.2f} ms  {name}", file=sys.stderr)
+    print(f"  {total:8.2f} ms  device total; host/dispatch gap "
+          f"{wall - total:.1f} ms", file=sys.stderr)
+
+
 def main():
+    if os.environ.get("PROFILE_TARGET") == "utt":
+        return profile_utt()
     if os.environ.get("PROFILE_TARGET") == "loop":
         return profile_loop()
     if os.environ.get("PROFILE_TARGET") == "encoder":

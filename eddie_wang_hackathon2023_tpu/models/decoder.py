@@ -202,9 +202,11 @@ class DecoderLMHead(Module):
     def megakernel_eligible(self) -> bool:
         """Static structure check for the whole-decoder-layer megakernel
         (ops/pallas_decoder_layer.py).  Covers the standard pre-LN
-        residual topology with WOQ-int8 per-out-channel weights (GPT-2/
-        OPT-class); RoPE/ALiBi/GLM positions, MQA/GQA, gated MLPs,
-        rmsnorm, parallel-attn and deepnorm residuals take the scan."""
+        residual topology (GPT-2/OPT-class) with uniformly WOQ-int8
+        per-out-channel weights OR uniformly plain float weights (the
+        kernel streams bf16 panels with unit scales); RoPE/ALiBi/GLM
+        positions, MQA/GQA, gated MLPs, rmsnorm, parallel-attn and
+        deepnorm residuals take the scan."""
         from ..quantization.layers import (WeightOnlyQuantLinear,
                                            WeightOnlyQuantQKVLinear)
         c = self.config
@@ -223,17 +225,30 @@ class DecoderLMHead(Module):
         if c.ffn_hidden_size % c.hidden_size:
             return False
         b = self.blocks
-        qkv = getattr(b.attention, "qkv", None)
-        if not isinstance(qkv, WeightOnlyQuantQKVLinear) or qkv.bits != 8 \
-                or qkv.group_size:
-            return False
-        for m in (b.attention.dense, b.mlp.fc, b.mlp.proj):
-            if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
-                    or getattr(m, "group_size", 0) \
-                    or getattr(m, "tp_size", 1) != 1:
-                return False
         if b.attention.use_fp8_kv_cache:
             return False
+        qkv = getattr(b.attention, "qkv", None)
+        mods = (b.attention.dense, b.mlp.fc, b.mlp.proj)
+        if isinstance(qkv, WeightOnlyQuantQKVLinear):
+            if qkv.bits != 8 or qkv.group_size:
+                return False
+            for m in mods:
+                if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
+                        or getattr(m, "group_size", 0) \
+                        or getattr(m, "tp_size", 1) != 1:
+                    return False
+            return True
+        # plain-float block (round 4): the kernel streams bf16 panels
+        # with unit scales — QKVLinear fused weight + Linear/RowLinear
+        from ..layers.attention import QKVLinear
+        from ..layers.linear import Linear, RowLinear
+        if not isinstance(qkv, QKVLinear) or \
+                qkv.num_kv_heads != qkv.num_heads:
+            return False
+        for m in mods:
+            if type(m) not in (Linear, RowLinear) \
+                    or getattr(m, "tp_size", 1) != 1:
+                return False
         return True
 
     def megakernel_blobs(self, params):

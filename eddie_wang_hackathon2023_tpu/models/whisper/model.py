@@ -289,29 +289,43 @@ class WhisperDecoder(Module):
 
     def megakernel_eligible(self) -> bool:
         """Static structure check for the whole-decoder-layer megakernel
-        (ops/pallas_decoder_layer.py): batch-1 WOQ-int8 per-out-channel
-        weights everywhere, equal q/kv heads, lane-divisible shapes."""
+        (ops/pallas_decoder_layer.py): batch-1, equal q/kv heads,
+        lane-divisible shapes, and uniformly WOQ-int8 per-out-channel
+        weights OR uniformly plain float weights (the kernel streams
+        bf16 panels with unit scales in the float case)."""
+        from ...layers.attention import QKVLinear
+        from ...layers.linear import Linear, RowLinear
         from ...quantization.layers import (WeightOnlyQuantLinear,
                                             WeightOnlyQuantQKVLinear)
         b = self.blocks
         c = self.config
         if c.n_text_state % 128 or 128 % c.head_dim:
             return False
-        qkv = getattr(b.attn, "qkv", None)
-        if not isinstance(qkv, WeightOnlyQuantQKVLinear) or qkv.bits != 8 \
-                or qkv.group_size:
-            return False
-        mods = [b.attn.dense, b.cross_attn.q_linear, b.cross_attn.dense,
-                b.mlp1, b.mlp2]
-        for m in mods:
-            if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
-                    or getattr(m, "group_size", 0) \
-                    or getattr(m, "tp_size", 1) != 1:
-                return False
         if b.mlp1.out_features % c.n_text_state:
             return False
         if b.attn.use_fp8_kv_cache:
             return False
+        qkv = getattr(b.attn, "qkv", None)
+        mods = [b.attn.dense, b.cross_attn.q_linear, b.cross_attn.dense,
+                b.mlp1, b.mlp2]
+        if isinstance(qkv, WeightOnlyQuantQKVLinear):
+            if qkv.bits != 8 or qkv.group_size:
+                return False
+            for m in mods:
+                if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
+                        or getattr(m, "group_size", 0) \
+                        or getattr(m, "tp_size", 1) != 1:
+                    return False
+            return True
+        # plain-float block: QKVLinear with fused (equal-heads) weight +
+        # Linear/RowLinear everywhere, tp=1
+        if not isinstance(qkv, QKVLinear) or \
+                qkv.num_kv_heads != qkv.num_heads:
+            return False
+        for m in mods:
+            if type(m) not in (Linear, RowLinear) \
+                    or getattr(m, "tp_size", 1) != 1:
+                return False
         return True
 
     def forward(self, tokens, kv_cache, cross_kv, write_index,

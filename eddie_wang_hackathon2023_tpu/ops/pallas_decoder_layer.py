@@ -640,8 +640,8 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
                        n_head: int, head_dim: int, ffn: int,
                        with_cross: bool,
                        keys: Optional[dict] = None) -> MegakernelBlobs:
-    """Build the megakernel blobs from a stacked WOQ-int8 block state
-    dict (keys as produced by ``stack_parameter_shapes`` + surgery:
+    """Build the megakernel blobs from a stacked block state dict (keys
+    as produced by ``stack_parameter_shapes``; WOQ-int8 after surgery:
     ``attn.qkv.qweight`` [L, d, 3d], ``attn.dense.qweight`` [L, d, d],
     ``mlp1.qweight`` [L, d, ffn], ``mlp2.qweight`` [L, ffn, d], LN
     params, per-channel scales and biases).  Pure jnp — jit it once at
@@ -653,12 +653,20 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
     symmetric_quantize_last_axis_of_batched_matrix equivalent,
     ops/quant_matmul.py): QKV/fc1 split along out-columns, fc2 along
     in-rows — per-output-channel fp32 accumulations are unchanged.
+
+    FLOAT fallback (round 4): when the block is un-quantised the packer
+    reads the plain ``.weight`` tensors instead — QKVLinear's head-major
+    [L, 3, H, D, d] and Linear's [L, out, in] are transposed to the same
+    K-major [in, out] panels, per-channel scales become ones, and the
+    kernel streams bf16 panels (2 bytes/weight) with the identical
+    stage program.
     """
     L, d = n_layer, hidden
     hp, dl = d // 128, 128
     nf = ffn // d
     f32 = jnp.float32
     kk = keys or (WHISPER_KEYS if with_cross else DECODER_KEYS)
+    quantized = (kk["qkv"] + ".qweight") in state
 
     def g(key):
         return jnp.asarray(state[key])
@@ -668,39 +676,64 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
             return jnp.asarray(state[key], f32)
         return jnp.zeros(shape, f32)
 
-    qkv_w = g(kk["qkv"] + ".qweight")                   # [L, d, 3d]
-    panels = [qkv_w[:, :, 0:d], qkv_w[:, :, d:2 * d], qkv_w[:, :, 2 * d:],
-              g(kk["dense"] + ".qweight")]
+    def km(key):
+        """K-major [L, in, out] view of a plain Linear weight [L, out, in]."""
+        return jnp.swapaxes(g(key + ".weight"), -1, -2)
+
+    def ones_or_scale(key, shape):
+        if quantized:
+            return g(key + ".per_channel_scale").astype(f32)
+        return jnp.ones(shape, f32)
+
+    if quantized:
+        qkv_w = g(kk["qkv"] + ".qweight")               # [L, d, 3d]
+        qkv_panels = [qkv_w[:, :, 0:d], qkv_w[:, :, d:2 * d],
+                      qkv_w[:, :, 2 * d:]]
+        dense_p = g(kk["dense"] + ".qweight")
+        fc1 = g(kk["fc1"] + ".qweight")                 # [L, d, ffn]
+        fc2 = g(kk["fc2"] + ".qweight")                 # [L, ffn, d]
+        if with_cross:
+            crossq_p = g(kk["crossq"] + ".qweight")
+            crossd_p = g(kk["crossdense"] + ".qweight")
+    else:
+        # head-major [L, 3, H, D, d] -> three K-major [L, d, d] panels
+        qkv_hm = g(kk["qkv"] + ".weight").reshape(L, 3, d, d)
+        qkv_panels = [jnp.swapaxes(qkv_hm[:, i], -1, -2) for i in range(3)]
+        dense_p = km(kk["dense"])
+        fc1 = km(kk["fc1"])                             # [L, d, ffn]
+        fc2 = km(kk["fc2"])                             # [L, ffn, d]
+        if with_cross:
+            crossq_p = km(kk["crossq"])
+            crossd_p = km(kk["crossdense"])
+
+    panels = qkv_panels + [dense_p]
     if with_cross:
-        panels += [g(kk["crossq"] + ".qweight"),
-                   g(kk["crossdense"] + ".qweight")]
-    fc1 = g(kk["fc1"] + ".qweight")                     # [L, d, ffn]
+        panels += [crossq_p, crossd_p]
     panels += [fc1[:, :, j * d:(j + 1) * d] for j in range(nf)]
-    fc2 = g(kk["fc2"] + ".qweight")                     # [L, ffn, d]
     panels += [fc2[:, j * d:(j + 1) * d, :] for j in range(nf)]
     wblob = jnp.stack(panels, axis=1)
 
-    qkv_s = g(kk["qkv"] + ".per_channel_scale").astype(f32)  # [L, 3d]
+    qkv_s = ones_or_scale(kk["qkv"], (L, 3 * d))        # [L, 3d]
     qkv_b = zeros_like_or(kk["qkv"] + ".bias",
                           (L, 3, n_head, head_dim)).reshape(L, 3 * d)
     pair_s = [qkv_s[:, 0:d], qkv_s[:, d:2 * d], qkv_s[:, 2 * d:]]
     pair_b = [qkv_b[:, 0:d], qkv_b[:, d:2 * d], qkv_b[:, 2 * d:]]
     if with_cross:
-        pair_s.append(g(kk["crossq"] + ".per_channel_scale").astype(f32))
+        pair_s.append(ones_or_scale(kk["crossq"], (L, d)))
         pair_b.append(zeros_like_or(kk["crossq"] + ".bias", (L, d)))
     pair_scale = jnp.stack([p.reshape(L, hp, dl) for p in pair_s], axis=1)
     pair_bias = jnp.stack([p.reshape(L, hp, dl) for p in pair_b], axis=1)
 
-    flat_s = [g(kk["dense"] + ".per_channel_scale").astype(f32)]
+    flat_s = [ones_or_scale(kk["dense"], (L, d))]
     flat_b = [zeros_like_or(kk["dense"] + ".bias", (L, d))]
     if with_cross:
-        flat_s.append(g(kk["crossdense"] + ".per_channel_scale").astype(f32))
+        flat_s.append(ones_or_scale(kk["crossdense"], (L, d)))
         flat_b.append(zeros_like_or(kk["crossdense"] + ".bias", (L, d)))
-    fc1_s = g(kk["fc1"] + ".per_channel_scale").astype(f32)  # [L, ffn]
+    fc1_s = ones_or_scale(kk["fc1"], (L, ffn))          # [L, ffn]
     fc1_b = zeros_like_or(kk["fc1"] + ".bias", (L, ffn))
     flat_s += [fc1_s[:, j * d:(j + 1) * d] for j in range(nf)]
     flat_b += [fc1_b[:, j * d:(j + 1) * d] for j in range(nf)]
-    flat_s.append(g(kk["fc2"] + ".per_channel_scale").astype(f32))
+    flat_s.append(ones_or_scale(kk["fc2"], (L, d)))
     flat_b.append(zeros_like_or(kk["fc2"] + ".bias", (L, d)))
     flat_scale = jnp.stack(flat_s, axis=1)
     flat_bias = jnp.stack(flat_b, axis=1)

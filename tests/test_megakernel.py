@@ -173,35 +173,99 @@ def test_megakernel_tail_mode(int8_kv):
 
 
 def test_megakernel_ineligible_falls_back():
-    """Un-quantised decoder must decline the megakernel and still run."""
-    dec = WhisperDecoder(CFG)
-    dec.random_init(jax.random.PRNGKey(0), 0.05)
+    """int4 group-wise quantisation must decline the megakernel (the
+    kernel streams int8/float [d, d] panels only)."""
+    qm = QuantMode.use_weight_only(use_int4_weights=True)
+    dec, _ = _decoder(qm)
     assert not dec.megakernel_eligible()
 
 
-def _gpt_model(act="gelu"):
+@pytest.mark.parametrize("int8_cross", [False, True])
+def test_megakernel_float_matches_scan_step(int8_cross):
+    """Plain-float (un-quantised) decoder through the megakernel: the
+    packer transposes the head-major/N-major weights to K-major panels
+    with unit scales (round 4)."""
+    dec = WhisperDecoder(CFG)
+    dec.random_init(jax.random.PRNGKey(3), 0.05)
+    sd = dec.state_dict()
+    assert dec.megakernel_eligible()
+    cross = _cross_kv(int8_cross)
+    blobs = _pack(dec, sd)
+    assert blobs.wblob.dtype == jnp.float32
+
+    prompt = jnp.asarray([[3, 7, 11, 2, 9]], jnp.int32)
+    plen = prompt.shape[1]
+    cache = dec.new_kv_cache(1)
+    logits_p, cache = dec(prompt, cache, cross, 0,
+                          jnp.asarray([plen], jnp.int32))
+    tok = jnp.argmax(logits_p[:, -1:], axis=-1).astype(jnp.int32)
+    seqlen = jnp.asarray([plen + 1], jnp.int32)
+
+    with plugin_config(decode_megakernel=False):
+        ref_logits, ref_cache = dec(tok, cache, cross, plen, seqlen)
+    with plugin_config(decode_megakernel=True):
+        mk_logits, mk_cache = dec(tok, cache, cross, plen, seqlen,
+                                  megakernel_blobs=blobs)
+    np.testing.assert_allclose(np.asarray(mk_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mk_cache),
+                               np.asarray(ref_cache),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_float_multi_step_greedy_tokens():
+    dec = WhisperDecoder(CFG)
+    dec.random_init(jax.random.PRNGKey(7), 0.05)
+    blobs = _pack(dec, dec.state_dict())
+    cross = _cross_kv(False)
+    prompt = jnp.asarray([[3, 7, 11]], jnp.int32)
+    plen = prompt.shape[1]
+
+    def run(blobs_or_none, flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = dec.new_kv_cache(1)
+            logits, cache = dec(prompt, cache, cross, 0,
+                                jnp.asarray([plen], jnp.int32))
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks = [int(tok[0, 0])]
+            for i in range(5):
+                seqlen = jnp.asarray([plen + 1 + i], jnp.int32)
+                logits, cache = dec(tok, cache, cross, plen + i, seqlen,
+                                    megakernel_blobs=blobs_or_none)
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                toks.append(int(tok[0, 0]))
+            return toks
+
+    assert run(None, False) == run(blobs, True)
+
+
+def _gpt_model(act="gelu", quant=True):
     from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
                                                              DecoderLMHead)
-    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
-        weight_only_quantize)
     cfg = DecoderConfig(vocab_size=160, hidden_size=256, num_layers=3,
                         num_heads=4, max_position_embeddings=96,
                         hidden_act=act, dtype="float32",
-                        quant_mode=QuantMode.use_weight_only())
+                        quant_mode=(QuantMode.use_weight_only() if quant
+                                    else QuantMode(0)))
     model = DecoderLMHead(cfg)
     model.random_init(jax.random.PRNGKey(4), 0.05)
     sd = model.state_dict()
+    if not quant:
+        return model, sd
     model2 = DecoderLMHead(cfg)
     model2, sd = weight_only_quantize_state(model2, sd, cfg.quant_mode)
     model2.load_state_dict(sd, strict=False)
     return model2, sd
 
 
-@pytest.mark.parametrize("act", ["gelu", "relu"])
-def test_megakernel_gpt_decoder(act):
+@pytest.mark.parametrize("act,quant", [("gelu", True), ("relu", True),
+                                       ("gelu", False)])
+def test_megakernel_gpt_decoder(act, quant):
     """The generic DecoderLMHead (GPT-2-class topology) through the
-    megakernel == the scanned path, multi-step greedy token-exact."""
-    model, sd = _gpt_model(act)
+    megakernel == the scanned path, multi-step greedy token-exact
+    (quant=False exercises the round-4 plain-float panel stream)."""
+    model, sd = _gpt_model(act, quant)
     assert model.megakernel_eligible()
     blobs = model.megakernel_blobs(sd)
     prompt = jnp.asarray([[5, 9, 2, 14]], jnp.int32)
