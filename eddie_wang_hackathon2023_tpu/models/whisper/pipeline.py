@@ -754,7 +754,12 @@ class WhisperPipeline:
         intermediate layouts for the cross-KV inside the single program
         (~+95 ms on large-v2); at a program boundary the cross tensor is
         materialised in the seq-minor layout the decode loop wants.
-        ``fused=None`` consults PluginConfig.fused_transcribe."""
+        Re-measured round 4 with the megakernel: fused 7.38 vs staged
+        7.48 utt/s — the staged path stays the default (the gap is now
+        small because the megakernel consumes the cross cache as a
+        kernel arg, but the layout penalty still exceeds the saved
+        dispatches).  ``fused=None`` consults PluginConfig.fused_transcribe
+        (env EWT_FUSED_E2E)."""
         self._ensure_params()
         if fused is None:
             from ...plugin import get_plugin_config

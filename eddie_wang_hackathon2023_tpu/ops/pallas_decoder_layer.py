@@ -155,7 +155,9 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             d: int, hp: int, dl: int, hd: int, nsub: int,
             cs_s: int, cs_c: int, s_self: int, s_cross: int,
             scale: float, self_quant: bool, cross_quant: bool,
-            with_tail: bool, kmax: int, adt, eps: float, act: str):
+            with_tail: bool, kmax: int, adt, eps: float, act: str,
+            manual: bool = False, nbuf: int = 0, npan: int = 0,
+            n_layer: int = 0):
     if with_cross:
         crossc_ref = rest[0]
         rest = rest[1:]
@@ -163,12 +165,43 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         tail_ref = rest[0]
         rest = rest[1:]
     hid_ref, fresh_ref = rest[0], rest[1]
+    if manual:
+        wbuf, wsem = rest[-2], rest[-1]
+        rest = rest[:-2]
     (x_scr, ln_scr, q_scr, kf_scr, vf_scr, m_scr, d_scr, ctx_scr,
      h_scr, acc_scr) = rest[2:]
 
     l = pl.program_id(0)
     s = pl.program_id(1)
     f32 = jnp.float32
+
+    # -- manual weight stream (round 4): the blob stays in HBM; panels
+    # ride a nbuf-slot circular VMEM buffer with explicit async copies
+    # started DEPTH = nbuf-1 consumptions ahead.  The BlockSpec pipeline
+    # can only prefetch ONE stage ahead, so during the 2-5 attention
+    # stages per layer the weight DMA engine idled; with the stream
+    # decoupled from the stage grid it runs back-to-back.
+    if manual:
+        depth = nbuf - 1
+
+        def _dma(dlay, c):
+            return pltpu.make_async_copy(
+                w_ref.at[l + dlay, c], wbuf.at[c % nbuf],
+                wsem.at[c % nbuf])
+
+        def _start_ahead(c):
+            nc = c + depth
+            if nc < npan:
+                _dma(0, nc).start()
+            else:
+                @pl.when(l + 1 < n_layer)
+                def _():
+                    _dma(1, nc - npan).start()
+
+        def _wait_panel(c):
+            # byte-count wait: the reconstructed copy has the same shape
+            # as the start (which may have used l+1 at a layer boundary)
+            _dma(0, c).wait()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (hp, dl), 1)
     sub_masks = [(lane // hd) == u for u in range(nsub)]
@@ -187,15 +220,21 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             + ln_ref[0, 2 * row + 1:2 * row + 2, :]
         ln_scr[...] = y.astype(adt)
 
-    def gemv(lhs):
-        w = w_ref[0, 0].astype(adt)                      # [d, d]
+    def _panel(c):
+        """The current stage's weight panel [d, d] (VMEM)."""
+        if manual:
+            return wbuf[c % nbuf]
+        return w_ref[0, 0]
+
+    def gemv(lhs, c):
+        w = _panel(c).astype(adt)                        # [d, d]
         return jax.lax.dot(lhs, w, preferred_element_type=f32)
 
-    def qkv_stage(slot: int):
+    def qkv_stage(slot: int, c: int):
         """q/k/v/cross-q projection: flat GEMV -> pair layout -> scale,
         bias (matching WeightOnlyQuant*Linear numerics: fp32 acc * scale
         -> activation dtype -> + bias)."""
-        acc = gemv(ln_scr[...])                          # [1, d] f32
+        acc = gemv(ln_scr[...], c)                       # [1, d] f32
         accp = acc.reshape(hp, dl)                       # lane-native
         val = (accp * ps_ref[0, slot]).astype(adt) \
             + pb_ref[0, slot].astype(adt)                # [HP, DL]
@@ -327,11 +366,11 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
                     ctx_scr[...] = jnp.where(sub_masks[u], ctx_new,
                                              ctx_scr[...])
 
-    def proj_stage(flat_slot: int, ln_next: Optional[int]):
+    def proj_stage(flat_slot: int, ln_next: Optional[int], c: int = 0):
         """Attention out-projection from the pair-layout context: per-pair
         [1, DL] x [DL, d] dots (the proven fused-epilogue pattern), then
         scale/bias/residual, then the next LayerNorm."""
-        wbf = w_ref[0, 0].astype(adt)                    # [d, d]
+        wbf = _panel(c).astype(adt)                      # [d, d]
         ctx = ctx_scr[...].astype(adt)                   # [HP, DL]
         acc = None
         for p in range(hp):
@@ -344,8 +383,8 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         if ln_next is not None:
             ln_to_scr(ln_next)
 
-    def fc1_stage(j: int, flat_slot: int):
-        acc = gemv(ln_scr[...])
+    def fc1_stage(j: int, flat_slot: int, c: int = 0):
+        acc = gemv(ln_scr[...], c)
         hv = (acc * fs_ref[0, flat_slot:flat_slot + 1, :]).astype(adt) \
             + fb_ref[0, flat_slot:flat_slot + 1, :].astype(adt)
         if act == "relu":
@@ -356,8 +395,8 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             hv = jax.nn.gelu(hv, approximate=True)
         h_scr[:, j * d:(j + 1) * d] = hv
 
-    def fc2_stage(j: int, flat_slot: int, last: bool):
-        part = gemv(h_scr[:, j * d:(j + 1) * d])
+    def fc2_stage(j: int, flat_slot: int, last: bool, c: int = 0):
+        part = gemv(h_scr[:, j * d:(j + 1) * d], c)
         if j == 0:
             acc_scr[...] = part
         else:
@@ -375,32 +414,42 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
 
     for i, stage in enumerate(stages):
         kind = stage[0]
+        cpan = _panel_of(stage, nf, with_cross)
 
-        def body(stage=stage, kind=kind):
+        def body(stage=stage, kind=kind, cpan=cpan, first=(i == 0)):
+            if manual and cpan is not None:
+                if first:
+                    # warm-up: nothing has started yet at (l=0, s=0)
+                    @pl.when(l == 0)
+                    def _():
+                        for c in range(depth):
+                            _dma(0, c).start()
+                _start_ahead(cpan)
+                _wait_panel(cpan)
             if kind == "q":
                 @pl.when(l == 0)
                 def _():
                     x_scr[...] = x_ref[...]
                 ln_to_scr(0)
-                q_scr[:, 0, :] = qkv_stage(0)
+                q_scr[:, 0, :] = qkv_stage(0, cpan)
             elif kind == "k":
-                store_fresh(0, qkv_stage(1))
+                store_fresh(0, qkv_stage(1, cpan))
             elif kind == "v":
-                store_fresh(1, qkv_stage(2))
+                store_fresh(1, qkv_stage(2, cpan))
             elif kind == "selfattn":
                 attn_chunk(stage[1], is_cross=False)
             elif kind == "dense":
-                proj_stage(0, 1)                       # next LN row
+                proj_stage(0, 1, cpan)                 # next LN row
             elif kind == "crossq":
-                q_scr[:, 0, :] = qkv_stage(3)
+                q_scr[:, 0, :] = qkv_stage(3, cpan)
             elif kind == "crossattn":
                 attn_chunk(stage[1], is_cross=True)
             elif kind == "crossdense":
-                proj_stage(1, 2)
+                proj_stage(1, 2, cpan)
             elif kind == "fc1":
-                fc1_stage(stage[1], fc1_flat + stage[1])
+                fc1_stage(stage[1], fc1_flat + stage[1], cpan)
             elif kind == "fc2":
-                fc2_stage(stage[1], fc2_flat, stage[1] == nf - 1)
+                fc2_stage(stage[1], fc2_flat, stage[1] == nf - 1, cpan)
 
         pl.when(s == i)(body)
 
@@ -413,7 +462,8 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                         cs_self: Optional[int] = None,
                         cs_cross: Optional[int] = None,
                         eps: float = 1e-5, act: str = "gelu",
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        wstream: Optional[str] = None):
     """Run every decoder layer of one decode step in ONE kernel.
 
     x [1, d] activation dtype (embedded token + position, pre-blocks);
@@ -457,6 +507,24 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         ncc = -(-Sc // cs_c)
     else:
         Sc, cs_c, ncc = 0, 1, 0
+
+    # weight-stream mode: "manual" decouples the panel DMAs from the
+    # stage grid (explicit async copies through a circular VMEM buffer —
+    # the BlockSpec pipeline can only run one stage ahead, idling the
+    # weight stream through attention stages); "pipeline" is the round-3
+    # BlockSpec formulation.  nbuf must divide npan so the slot mapping
+    # c % nbuf stays consistent across layer boundaries.
+    if wstream is None:
+        import os
+        # default "pipeline" (round-3 formulation, device-proven at 7.48
+        # utt/s) until the manual stream's device A/B lands — flip per
+        # adopt-or-delete
+        wstream = os.environ.get("EWT_MK_WSTREAM", "pipeline")
+    manual = wstream == "manual"
+    nbuf = 0
+    if manual:
+        nbuf = next((dv for dv in range(4, npan + 1) if npan % dv == 0),
+                    npan)
 
     stages = _stages(nf, ncs, ncc, with_cross)
     wpan = _hold_next([_panel_of(st, nf, with_cross) for st in stages])
@@ -545,7 +613,8 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
 
     in_specs = [
         pl.BlockSpec((1, d), x_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, d, d), w_map, memory_space=pltpu.VMEM),
+        (pl.BlockSpec(memory_space=pl.ANY) if manual else
+         pl.BlockSpec((1, 1, d, d), w_map, memory_space=pltpu.VMEM)),
         pl.BlockSpec((1,) + blobs.pair_scale.shape[1:], aux4_map,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + blobs.pair_bias.shape[1:], aux4_map,
@@ -579,30 +648,37 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         pl.BlockSpec((1, 2, hp, dl), fresh_map, memory_space=pltpu.VMEM),
     )
 
+    scratch_shapes = [
+        pltpu.VMEM((1, d), adt),          # x (residual stream)
+        pltpu.VMEM((1, d), adt),          # current LN output
+        pltpu.VMEM((hp, 1, dl), adt),     # q (pair layout, [HP,1,DL])
+        pltpu.VMEM((hp, dl), jnp.float32),  # fresh k (stored values)
+        pltpu.VMEM((hp, dl), jnp.float32),  # fresh v
+        pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running max
+        pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running denom
+        pltpu.VMEM((hp, dl), jnp.float32),    # context accumulator
+        pltpu.VMEM((1, ffn), adt),        # fc1 activations
+        pltpu.VMEM((1, d), jnp.float32),  # fc2 accumulator
+    ]
+    if manual:
+        scratch_shapes += [
+            pltpu.VMEM((nbuf, d, d), blobs.wblob.dtype),  # panel ring
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(L, len(stages)),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((1, d), adt),          # x (residual stream)
-            pltpu.VMEM((1, d), adt),          # current LN output
-            pltpu.VMEM((hp, 1, dl), adt),     # q (pair layout, [HP,1,DL])
-            pltpu.VMEM((hp, dl), jnp.float32),  # fresh k (stored values)
-            pltpu.VMEM((hp, dl), jnp.float32),  # fresh v
-            pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running max
-            pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running denom
-            pltpu.VMEM((hp, dl), jnp.float32),    # context accumulator
-            pltpu.VMEM((1, ffn), adt),        # fc1 activations
-            pltpu.VMEM((1, d), jnp.float32),  # fc2 accumulator
-        ],
+        scratch_shapes=scratch_shapes,
     )
     kernel = functools.partial(
         _kernel, stages=stages, nf=nf, ncs=ncs, ncc=ncc,
         with_cross=with_cross, d=d, hp=hp, dl=dl, hd=D, nsub=nsub,
         cs_s=cs_s, cs_c=cs_c, s_self=S, s_cross=Sc, scale=float(scale),
         self_quant=self_quant, cross_quant=cross_quant,
-        with_tail=with_tail, kmax=kmax, adt=adt, eps=float(eps), act=act)
+        with_tail=with_tail, kmax=kmax, adt=adt, eps=float(eps), act=act,
+        manual=manual, nbuf=nbuf, npan=npan, n_layer=L)
     weight_bytes = L * npan * d * d
     cache_bytes = (L * 2 * d * S * self_cache.dtype.itemsize
                    + (L * 2 * d * Sc * cross_cache.dtype.itemsize

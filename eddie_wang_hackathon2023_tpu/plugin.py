@@ -130,6 +130,9 @@ class PluginConfig:
         return (512, 1536, 512)
 
     def use_fused_transcribe(self) -> bool:
+        v = os.environ.get("EWT_FUSED_E2E")
+        if v is not None:
+            return v not in ("0", "false", "off")
         return bool(self.fused_transcribe)
 
     def use_fuse_decode_proj(self) -> bool:

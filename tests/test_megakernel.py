@@ -311,3 +311,40 @@ def test_megakernel_generation_session():
             out_ids, _, _ = sess.decode(ids, lens, max_new_tokens=6)
             outs[flag] = np.asarray(out_ids)
     np.testing.assert_array_equal(outs[True], outs[False])
+
+
+@pytest.mark.parametrize("int8_kv", [False, True])
+def test_megakernel_manual_wstream_matches_pipeline(int8_kv):
+    """The manual async-DMA weight stream (round 4: panels ride a
+    circular VMEM buffer, decoupled from the stage grid) must be
+    bit-identical to the BlockSpec pipeline — same panels, same compute
+    order, only the transport differs."""
+    from eddie_wang_hackathon2023_tpu.ops.pallas_decoder_layer import (
+        fused_decoder_stack)
+    qm = QuantMode.use_weight_only()
+    if int8_kv:
+        qm = qm | QuantMode.INT8_KV_CACHE
+    dec, sd = _decoder(qm)
+    cross = _cross_kv(True)
+    blobs = _pack(dec, sd)
+    c = CFG
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(1, c.n_text_state) * 0.2, jnp.float32)
+    cache = dec.new_kv_cache(1)
+    # put some history in the cache so attention reads real panels
+    hist = jnp.asarray(
+        rs.randn(*((c.n_text_layer, 1, 2, c.n_text_head, c.head_dim, 7)))
+        * (20.0 if int8_kv else 0.3), cache.dtype)
+    cache = jax.lax.dynamic_update_slice(
+        cache, hist, (0,) * 5 + (0,))
+    seqlen = jnp.asarray([8], jnp.int32)
+    kwargs = dict(scale=dec.blocks.attn.scale,
+                  cross_cache=cross[0] if isinstance(cross, tuple) else cross,
+                  cross_scale=cross[1] if isinstance(cross, tuple) else None,
+                  head_dim=c.head_dim)
+    hid_p, fresh_p = fused_decoder_stack(x, blobs, cache, seqlen,
+                                         wstream="pipeline", **kwargs)
+    hid_m, fresh_m = fused_decoder_stack(x, blobs, cache, seqlen,
+                                         wstream="manual", **kwargs)
+    np.testing.assert_array_equal(np.asarray(hid_m), np.asarray(hid_p))
+    np.testing.assert_array_equal(np.asarray(fresh_m), np.asarray(fresh_p))
