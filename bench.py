@@ -71,7 +71,10 @@ def main():
         qmode = QuantMode.use_weight_only(use_int4_weights="woq4" in parts)
     if "kv8" in parts:
         qmode = qmode.set_int8_kv_cache()
-    enc = WhisperEncoder(config, qmode)
+    # "sqenc": SmoothQuant W8A8 the ENCODER only — it is compute-bound
+    # (~75% MXU at bf16), so int8 MXU (2x peak) is its lever, unlike the
+    # HBM-bound decoder where weight-only already wins
+    enc = WhisperEncoder(config, QuantMode(0) if "sqenc" in parts else qmode)
     dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in parts)
     # static calibrated cross-KV scales = the deployment recipe (matches
     # the reference's static int8-KV calibration model); the dynamic
@@ -82,8 +85,15 @@ def main():
     if qmode.is_weight_only():
         from eddie_wang_hackathon2023_tpu.quantization.surgery import \
             weight_only_quantize
-        enc = weight_only_quantize(enc, qmode)
+        if "sqenc" not in parts:
+            enc = weight_only_quantize(enc, qmode)
         dec = weight_only_quantize(dec, qmode)
+    if "sqenc" in parts:
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import \
+            smooth_quantize
+        enc = smooth_quantize(
+            enc, QuantMode.use_smooth_quant(per_token=True,
+                                            per_channel=True))
     for m in (enc, dec, ckv):
         m.zeros_init()
     if ckv8 and ckv.static_scale:

@@ -186,3 +186,43 @@ def test_per_layer_smoothing_scales():
                                atol=np.abs(sm0["gemm_weight"]).max() / 100)
     np.testing.assert_allclose(deq[1], sm1["gemm_weight"],
                                atol=np.abs(sm1["gemm_weight"]).max() / 100)
+
+
+def test_smooth_quantize_whisper_encoder():
+    """SmoothQuant W8A8 the whisper ENCODER (round 4: the encoder is MXU
+    compute-bound, so int8 MXU is its lever).  Surgery must swap every
+    block linear, keep the conv stem float, and track the float encoder
+    within quantisation noise on random weights."""
+    import jax
+
+    from eddie_wang_hackathon2023_tpu.models.whisper import (WhisperConfig,
+                                                             WhisperEncoder)
+    from eddie_wang_hackathon2023_tpu.quantization.smoothquant_layers import (
+        SmoothQuantLinear, SmoothQuantQKVLinear)
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        smooth_quantize, smooth_quantize_state_dict)
+
+    cfg = WhisperConfig(n_mels=16, n_vocab=160, n_audio_ctx=96,
+                        n_audio_state=256, n_audio_head=4, n_audio_layer=2,
+                        n_text_ctx=32, n_text_state=256, n_text_head=4,
+                        n_text_layer=1, dtype="float32")
+    enc = WhisperEncoder(cfg)
+    enc.random_init(jax.random.PRNGKey(0), 0.08)
+    state = enc.state_dict()
+    mel = np.asarray(np.random.RandomState(1).randn(1, cfg.n_mels,
+                                                    2 * cfg.n_audio_ctx),
+                     np.float32) * 0.3
+    ref = np.asarray(enc.apply(state, jnp.asarray(mel)))
+
+    qm = QuantMode.use_smooth_quant(per_token=True, per_channel=True)
+    enc_q = smooth_quantize(WhisperEncoder(cfg), qm)
+    kinds = {type(m).__name__
+             for _, m in enc_q.named_modules()}
+    assert "SmoothQuantQKVLinear" in kinds and "SmoothQuantLinear" in kinds
+    assert "Conv1d" in kinds            # stem stays float
+    qstate = smooth_quantize_state_dict(enc_q, state, qm)
+    enc_q.load_state_dict(qstate, strict=False)
+    got = np.asarray(enc_q.apply(qstate, jnp.asarray(mel)))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.08, rel
