@@ -17,8 +17,16 @@ MODELS = {
     # name: (layers, hidden, heads, vocab)
     "gpt_350m": (24, 1024, 16, 51200),
     "gpt_125m": (12, 768, 12, 50257),
-    "llama_7b_shape": (32, 4096, 32, 32000),
+    "llama_7b_shape": (32, 4096, 32, 32000),   # GPT topology at 7B shape
+    # true LLaMA topology (RoPE + rmsnorm + SwiGLU, no biases) — the
+    # round-4 megakernel family extension's A/B targets
+    "llama_7b": (32, 4096, 32, 32000),
+    "llama_1b": (16, 2048, 16, 32000),
 }
+LLAMA_FFN = {4096: 11008, 2048: 5504}
+LLAMA_KW = dict(position_embedding="rope", norm="rmsnorm", norm_eps=1e-6,
+                hidden_act="silu", gated_mlp=True, attn_bias=False,
+                mlp_bias=False, tie_word_embeddings=False)
 
 
 def main():
@@ -54,10 +62,13 @@ def main():
 
     layers, hidden, heads, vocab = MODELS[args.model]
     max_len = max(sum(map(int, io.split(","))) for io in args.input_output_len)
+    fam_kw = {}
+    if args.model.startswith("llama_") and args.model != "llama_7b_shape":
+        fam_kw = dict(LLAMA_KW, ffn_hidden_size=LLAMA_FFN[hidden])
     config = DecoderConfig(vocab_size=vocab, hidden_size=hidden,
                            num_layers=layers, num_heads=heads,
                            max_position_embeddings=max(2048, max_len),
-                           dtype=args.dtype)
+                           dtype=args.dtype, **fam_kw)
     model = DecoderLMHead(config)
     model.zeros_init()
     if args.quant in ("woq8", "woq4"):

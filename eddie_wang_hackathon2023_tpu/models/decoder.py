@@ -201,34 +201,39 @@ class DecoderLMHead(Module):
 
     def megakernel_eligible(self) -> bool:
         """Static structure check for the whole-decoder-layer megakernel
-        (ops/pallas_decoder_layer.py).  Covers the standard pre-LN
-        residual topology (GPT-2/OPT-class) with uniformly WOQ-int8
-        per-out-channel weights OR uniformly plain float weights (the
-        kernel streams bf16 panels with unit scales); RoPE/ALiBi/GLM
-        positions, MQA/GQA, gated MLPs, rmsnorm, parallel-attn and
-        deepnorm residuals take the scan."""
+        (ops/pallas_decoder_layer.py).  Round 4 widened the family
+        coverage: pre-LN residual topology (GPT-2/OPT-class), RoPE
+        (neox + GPT-J interleaved, partial rotary_dim), rmsnorm, gated
+        MLPs and parallel-attn residuals (LLaMA/GPT-J/NeoX-class) —
+        with uniformly WOQ-int8 per-out-channel weights OR uniformly
+        plain float weights (bf16 panel stream with unit scales).
+        ALiBi/GLM positions, MQA/GQA, deepnorm residuals and fp8 still
+        take the scan."""
         from ..quantization.layers import (WeightOnlyQuantLinear,
                                            WeightOnlyQuantQKVLinear)
         c = self.config
-        if c.position_embedding not in ("learned", "none"):
+        if c.position_embedding not in ("learned", "none", "rope"):
             return False
-        if c.parallel_attn or c.deepnorm_alpha is not None or c.gated_mlp:
+        if c.position_embedding == "rope" and \
+                int(c.head_dim * c.rotary_pct) % 2:
             return False
-        if c.norm != "layernorm" or c.bidirectional_context:
+        if c.deepnorm_alpha is not None or c.bidirectional_context:
             return False
-        if c.hidden_act not in ("gelu", "relu", "gelu_exact"):
+        if c.norm not in ("layernorm", "rmsnorm"):
+            return False
+        if c.hidden_act not in ("gelu", "relu", "gelu_exact", "silu"):
             return False
         if c.num_kv_heads != c.num_heads:
             return False
         if c.hidden_size % 128 or 128 % c.head_dim:
             return False
-        if c.ffn_hidden_size % c.hidden_size:
-            return False
         b = self.blocks
         if b.attention.use_fp8_kv_cache:
             return False
         qkv = getattr(b.attention, "qkv", None)
-        mods = (b.attention.dense, b.mlp.fc, b.mlp.proj)
+        mods = [b.attention.dense, b.mlp.fc, b.mlp.proj]
+        if c.gated_mlp:
+            mods.append(b.mlp.gate)
         if isinstance(qkv, WeightOnlyQuantQKVLinear):
             if qkv.bits != 8 or qkv.group_size:
                 return False
@@ -259,10 +264,14 @@ class DecoderLMHead(Module):
         c = self.config
         state = {k[len("blocks."):]: v for k, v in params.items()
                  if k.startswith("blocks.")}
+        keys = dict(DECODER_KEYS)
+        if c.parallel_attn:
+            keys["ln"] = ("input_layernorm",)   # MLP shares the input LN
         return pack_decoder_blobs(
             state, n_layer=c.num_layers, hidden=c.hidden_size,
             n_head=c.num_heads, head_dim=c.head_dim,
-            ffn=c.ffn_hidden_size, with_cross=False, keys=DECODER_KEYS)
+            ffn=c.ffn_hidden_size, with_cross=False,
+            gated=c.gated_mlp, keys=keys)
 
     def forward(self, tokens, kv_cache, write_index, sequence_length,
                 attention_start=None, context_lengths=None,
@@ -354,13 +363,23 @@ class DecoderLMHead(Module):
                 # whole-decoder-layer megakernel (see the whisper decoder
                 # and ops/pallas_decoder_layer.py for the design record)
                 from ..ops.attention import write_fresh_kv, write_tail_kv
-                from ..ops.pallas_decoder_layer import fused_decoder_stack
+                from ..ops.pallas_decoder_layer import (fused_decoder_stack,
+                                                        make_rope_matrix)
+                rope_mat = None
+                if c.position_embedding == "rope":
+                    rope_mat = make_rope_matrix(
+                        position_ids[0, 0], c.head_dim,
+                        block.attention.rotary_embedding_dim,
+                        c.rotary_base, c.neox_rotary_style,
+                        128 // c.head_dim)
                 hid, fresh = fused_decoder_stack(
                     x[:, 0, :], megakernel_blobs, kv_cache,
                     sequence_length, block.attention.scale,
                     start_index=attention_start,
                     tail_kv=((kv_tail, tail_len) if tail_mode else None),
-                    head_dim=c.head_dim, eps=c.norm_eps, act=c.hidden_act)
+                    head_dim=c.head_dim, eps=c.norm_eps, act=c.hidden_act,
+                    norm=c.norm, gated=c.gated_mlp,
+                    parallel=c.parallel_attn, rope_mat=rope_mat)
                 if c.final_norm:
                     hid = self.ln_f(hid[:, None, :])
                 else:

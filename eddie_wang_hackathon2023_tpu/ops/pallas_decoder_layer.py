@@ -46,11 +46,30 @@ weightOnlyQuantMatmul plugin GEMVs and TRT's own layer fusion, executed
 as one enqueue per step (``C/tensorrt_llm/runtime/gptSession.cpp:782``).
 
 Scope (fallbacks handle the rest): batch 1, single fresh token,
-weight-only int8 (per-out-channel scales), equal q/kv heads,
-head_dim in {32, 64, 128}, d % 128 == 0, ffn % d == 0, no RoPE/ALiBi
-(learned-absolute positions are added outside), optional cross
-attention, bf16/f32 activations, self cache bf16 or int8 (+scales),
-cross cache bf16 or int8 (+per-layer scales), no beam indirection.
+weight-only int8 (per-out-channel scales) or plain float, equal q/kv
+heads, head_dim in {32, 64, 128}, d % 128 == 0 (ffn is zero-padded to
+the next multiple of d by the packer), optional cross attention,
+bf16/f32 activations, self cache bf16 or int8 (+scales), cross cache
+bf16 or int8 (+per-layer scales), no beam indirection.
+
+Round-4 family extensions (LLaMA/GPT-J/NeoX-class decoders):
+
+* **RoPE** rides the kernel as ONE [128, 128] rotation matrix input
+  built per step from the decode position (:func:`make_rope_matrix`):
+  because every head shares the same per-dim frequencies, the
+  block-diagonal per-head rotation is identical for both heads of a
+  lane row, so q and the fresh k each rotate with a single
+  [HP, DL] x [DL, DL] MXU dot — no lane shuffles, which Mosaic would
+  reject on packed vectors.  Covers neox-paired and GPT-J-interleaved
+  styles and partial rotary_dim (identity tail block).
+* **RMSNorm** (no mean subtraction, no bias) as a norm flavour.
+* **Gated MLP** (LLaMA SwiGLU): a third per-layer panel family "fcg"
+  multiplies the activated fc1 slices in VMEM (h = act(fc1(x)) *
+  gate(x), the layers.GatedMLP contract).
+* **Parallel-attention residual** (GPT-J/NeoX): the MLP reads the SAME
+  input LayerNorm (held in VMEM scratch through the dense stage) and
+  there is a single residual add — expressed as: the dense stage skips
+  the post-LN refresh.
 """
 from __future__ import annotations
 
@@ -85,7 +104,8 @@ class MegakernelBlobs(NamedTuple):
     kv_qo: jax.Array        # [L] f32 (self-KV dequantize scale)
 
 
-def _stages(nf: int, ncs: int, ncc: int, with_cross: bool):
+def _stages(nf: int, ncs: int, ncc: int, with_cross: bool,
+            gated: bool = False):
     st = [("q",), ("k",), ("v",)]
     st += [("selfattn", c) for c in range(ncs)]
     st += [("dense",)]
@@ -94,11 +114,14 @@ def _stages(nf: int, ncs: int, ncc: int, with_cross: bool):
         st += [("crossattn", c) for c in range(ncc)]
         st += [("crossdense",)]
     st += [("fc1", j) for j in range(nf)]
+    if gated:
+        st += [("fcg", j) for j in range(nf)]
     st += [("fc2", j) for j in range(nf)]
     return st
 
 
-def _panel_of(stage, nf: int, with_cross: bool) -> Optional[int]:
+def _panel_of(stage, nf: int, with_cross: bool,
+              gated: bool = False) -> Optional[int]:
     kind = stage[0]
     if kind == "q":
         return 0
@@ -117,9 +140,40 @@ def _panel_of(stage, nf: int, with_cross: bool) -> Optional[int]:
         base = 6
     if kind == "fc1":
         return base + stage[1]
-    if kind == "fc2":
+    if kind == "fcg":
         return base + nf + stage[1]
+    if kind == "fc2":
+        return base + (2 * nf if gated else nf) + stage[1]
     return None  # attention stages consume no weight panel
+
+
+def make_rope_matrix(position, head_dim: int, rotary_dim: int,
+                     theta: float, neox_style: bool, nsub: int):
+    """[nsub*head_dim, nsub*head_dim] f32 rotation matrix R such that
+    ``row @ R`` applies :func:`functional.rope` at ``position`` to every
+    head packed in a 128-lane row (nsub = 128 // head_dim identical
+    per-head blocks).  Pure jnp on a traced position scalar — built
+    outside the kernel each decode step (~128x128, negligible)."""
+    D, rd = head_dim, rotary_dim
+    half = rd // 2
+    f32 = jnp.float32
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=f32) / half))
+    ang = jnp.asarray(position, f32) * freqs                 # [half]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    i = jnp.arange(half)
+    r = jnp.zeros((D, D), f32)
+    if neox_style:
+        r = r.at[i, i].set(cos).at[i + half, i + half].set(cos)
+        r = r.at[i, i + half].set(sin).at[i + half, i].set(-sin)
+    else:  # GPT-J interleaved pairs (2i, 2i+1)
+        r = r.at[2 * i, 2 * i].set(cos).at[2 * i + 1, 2 * i + 1].set(cos)
+        r = r.at[2 * i, 2 * i + 1].set(sin).at[2 * i + 1, 2 * i].set(-sin)
+    if rd < D:
+        j = jnp.arange(rd, D)
+        r = r.at[j, j].set(1.0)
+    if nsub == 1:
+        return r
+    return jnp.kron(jnp.eye(nsub, dtype=f32), r)
 
 
 def _stage_lookup(s, values):
@@ -156,6 +210,8 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             cs_s: int, cs_c: int, s_self: int, s_cross: int,
             scale: float, self_quant: bool, cross_quant: bool,
             with_tail: bool, kmax: int, adt, eps: float, act: str,
+            norm: str = "layernorm", gated: bool = False,
+            parallel: bool = False, with_rope: bool = False,
             manual: bool = False, nbuf: int = 0, npan: int = 0,
             n_layer: int = 0):
     if with_cross:
@@ -163,6 +219,9 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         rest = rest[1:]
     if with_tail:
         tail_ref = rest[0]
+        rest = rest[1:]
+    if with_rope:
+        rope_ref = rest[0]
         rest = rest[1:]
     hid_ref, fresh_ref = rest[0], rest[1]
     if manual:
@@ -213,12 +272,23 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
 
     def ln_to_scr(row: int):
         xf = x_scr[...].astype(f32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        if norm == "rmsnorm":
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            y = xf * jax.lax.rsqrt(var + eps)
+        else:
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + eps)
         y = y * ln_ref[0, 2 * row:2 * row + 1, :] \
             + ln_ref[0, 2 * row + 1:2 * row + 2, :]
         ln_scr[...] = y.astype(adt)
+
+    def rope_rotate(val):
+        """Apply the per-step rotation matrix to a pair-layout [HP, DL]
+        projection (q or fresh k) — fp32 rotate, cast back, matching
+        functional.rope's dtype contract."""
+        return jax.lax.dot(val.astype(f32), rope_ref[...],
+                           preferred_element_type=f32).astype(adt)
 
     def _panel(c):
         """The current stage's weight panel [d, d] (VMEM)."""
@@ -391,9 +461,19 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             hv = jnp.maximum(hv, 0)
         elif act == "gelu_exact":
             hv = jax.nn.gelu(hv, approximate=False)
+        elif act == "silu":
+            hv = jax.nn.silu(hv)
         else:
             hv = jax.nn.gelu(hv, approximate=True)
         h_scr[:, j * d:(j + 1) * d] = hv
+
+    def fcg_stage(j: int, flat_slot: int, c: int = 0):
+        """Gated-MLP gate slice: h_j *= gate_j(ln_x) (layers.GatedMLP:
+        act(fc(x)) * gate(x) — activation on fc only)."""
+        acc = gemv(ln_scr[...], c)
+        gv = (acc * fs_ref[0, flat_slot:flat_slot + 1, :]).astype(adt) \
+            + fb_ref[0, flat_slot:flat_slot + 1, :].astype(adt)
+        h_scr[:, j * d:(j + 1) * d] = h_scr[:, j * d:(j + 1) * d] * gv
 
     def fc2_stage(j: int, flat_slot: int, last: bool, c: int = 0):
         part = gemv(h_scr[:, j * d:(j + 1) * d], c)
@@ -410,11 +490,12 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             hid_ref[...] = x_new
 
     fc1_flat = 2 if with_cross else 1
-    fc2_flat = fc1_flat + nf
+    fcg_flat = fc1_flat + nf
+    fc2_flat = fc1_flat + (2 * nf if gated else nf)
 
     for i, stage in enumerate(stages):
         kind = stage[0]
-        cpan = _panel_of(stage, nf, with_cross)
+        cpan = _panel_of(stage, nf, with_cross, gated)
 
         def body(stage=stage, kind=kind, cpan=cpan, first=(i == 0)):
             if manual and cpan is not None:
@@ -431,15 +512,19 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
                 def _():
                     x_scr[...] = x_ref[...]
                 ln_to_scr(0)
-                q_scr[:, 0, :] = qkv_stage(0, cpan)
+                qv = qkv_stage(0, cpan)
+                q_scr[:, 0, :] = rope_rotate(qv) if with_rope else qv
             elif kind == "k":
-                store_fresh(0, qkv_stage(1, cpan))
+                kv = qkv_stage(1, cpan)
+                store_fresh(0, rope_rotate(kv) if with_rope else kv)
             elif kind == "v":
                 store_fresh(1, qkv_stage(2, cpan))
             elif kind == "selfattn":
                 attn_chunk(stage[1], is_cross=False)
             elif kind == "dense":
-                proj_stage(0, 1, cpan)                 # next LN row
+                # parallel-attn topology: the MLP reads the SAME input
+                # LN (still in ln_scr) — skip the post-LN refresh
+                proj_stage(0, None if parallel else 1, cpan)
             elif kind == "crossq":
                 q_scr[:, 0, :] = qkv_stage(3, cpan)
             elif kind == "crossattn":
@@ -448,6 +533,8 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
                 proj_stage(1, 2, cpan)
             elif kind == "fc1":
                 fc1_stage(stage[1], fc1_flat + stage[1], cpan)
+            elif kind == "fcg":
+                fcg_stage(stage[1], fcg_flat + stage[1], cpan)
             elif kind == "fc2":
                 fc2_stage(stage[1], fc2_flat, stage[1] == nf - 1, cpan)
 
@@ -462,6 +549,8 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                         cs_self: Optional[int] = None,
                         cs_cross: Optional[int] = None,
                         eps: float = 1e-5, act: str = "gelu",
+                        norm: str = "layernorm", gated: bool = False,
+                        parallel: bool = False, rope_mat=None,
                         interpret: bool = False,
                         wstream: Optional[str] = None):
     """Run every decoder layer of one decode step in ONE kernel.
@@ -491,9 +580,11 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     hp, dl = (H * D) // 128, 128
     with_cross = cross_cache is not None
 
+    assert not (with_cross and gated), "no gated cross-attn decoder exists"
     npan = blobs.wblob.shape[1]
-    nf = (npan - (6 if with_cross else 4)) // 2
+    nf = (npan - (6 if with_cross else 4)) // (3 if gated else 2)
     ffn = nf * d
+    with_rope = rope_mat is not None
 
     from ..plugin import get_plugin_config
     cfg = get_plugin_config()
@@ -526,8 +617,9 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         nbuf = next((dv for dv in range(4, npan + 1) if npan % dv == 0),
                     npan)
 
-    stages = _stages(nf, ncs, ncc, with_cross)
-    wpan = _hold_next([_panel_of(st, nf, with_cross) for st in stages])
+    stages = _stages(nf, ncs, ncc, with_cross, gated)
+    wpan = _hold_next([_panel_of(st, nf, with_cross, gated)
+                       for st in stages])
     first_self = 3
     self_cmap = []
     for i, st in enumerate(stages):
@@ -638,6 +730,10 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         in_specs.append(pl.BlockSpec((kmax, 1, 1, 2, hp, dl), tail_map,
                                      memory_space=pltpu.VMEM))
         args.append(tail_pair)
+    if with_rope:
+        in_specs.append(pl.BlockSpec((dl, dl), x_map,
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(rope_mat, jnp.float32))
 
     out_shapes = (
         jax.ShapeDtypeStruct((1, d), adt),
@@ -678,6 +774,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         cs_s=cs_s, cs_c=cs_c, s_self=S, s_cross=Sc, scale=float(scale),
         self_quant=self_quant, cross_quant=cross_quant,
         with_tail=with_tail, kmax=kmax, adt=adt, eps=float(eps), act=act,
+        norm=norm, gated=gated, parallel=parallel, with_rope=with_rope,
         manual=manual, nbuf=nbuf, npan=npan, n_layer=L)
     weight_bytes = L * npan * d * d
     cache_bytes = (L * 2 * d * S * self_cache.dtype.itemsize
@@ -707,14 +804,14 @@ WHISPER_KEYS = dict(qkv="attn.qkv", dense="attn.dense",
                     ln=("attn_ln", "cross_attn_ln", "mlp_ln"),
                     kv="attn")
 DECODER_KEYS = dict(qkv="attention.qkv", dense="attention.dense",
-                    fc1="mlp.fc", fc2="mlp.proj",
+                    fc1="mlp.fc", fc2="mlp.proj", gate="mlp.gate",
                     ln=("input_layernorm", "post_layernorm"),
                     kv="attention")
 
 
 def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
                        n_head: int, head_dim: int, ffn: int,
-                       with_cross: bool,
+                       with_cross: bool, gated: bool = False,
                        keys: Optional[dict] = None) -> MegakernelBlobs:
     """Build the megakernel blobs from a stacked block state dict (keys
     as produced by ``stack_parameter_shapes``; WOQ-int8 after surgery:
@@ -739,10 +836,28 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
     """
     L, d = n_layer, hidden
     hp, dl = d // 128, 128
-    nf = ffn // d
+    # ffn is zero-padded up to the next multiple of d (LLaMA's 11008 on
+    # d=4096 etc.) — numerically exact: act(0)=0 for gelu/relu/silu,
+    # gated 0*0=0, and padded fc2 in-rows contribute nothing
+    nf = -(-ffn // d)
+    pffn = nf * d
     f32 = jnp.float32
     kk = keys or (WHISPER_KEYS if with_cross else DECODER_KEYS)
     quantized = (kk["qkv"] + ".qweight") in state
+
+    def pad_cols(w):  # fc1/gate [L, d, ffn] -> [L, d, pffn]
+        return w if pffn == ffn else jnp.pad(
+            w, ((0, 0), (0, 0), (0, pffn - ffn)))
+
+    def pad_rows(w):  # fc2 [L, ffn, d] -> [L, pffn, d]
+        return w if pffn == ffn else jnp.pad(
+            w, ((0, 0), (0, pffn - ffn), (0, 0)))
+
+    def pad_flat(v, fill):  # per-ffn-channel scale/bias [L, ffn]
+        if pffn == ffn:
+            return v
+        extra = jnp.full((L, pffn - ffn), fill, v.dtype)
+        return jnp.concatenate([v, extra], axis=1)
 
     def g(key):
         return jnp.asarray(state[key])
@@ -766,8 +881,10 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
         qkv_panels = [qkv_w[:, :, 0:d], qkv_w[:, :, d:2 * d],
                       qkv_w[:, :, 2 * d:]]
         dense_p = g(kk["dense"] + ".qweight")
-        fc1 = g(kk["fc1"] + ".qweight")                 # [L, d, ffn]
-        fc2 = g(kk["fc2"] + ".qweight")                 # [L, ffn, d]
+        fc1 = pad_cols(g(kk["fc1"] + ".qweight"))       # [L, d, pffn]
+        fc2 = pad_rows(g(kk["fc2"] + ".qweight"))       # [L, pffn, d]
+        if gated:
+            gate = pad_cols(g(kk["gate"] + ".qweight"))
         if with_cross:
             crossq_p = g(kk["crossq"] + ".qweight")
             crossd_p = g(kk["crossdense"] + ".qweight")
@@ -776,8 +893,10 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
         qkv_hm = g(kk["qkv"] + ".weight").reshape(L, 3, d, d)
         qkv_panels = [jnp.swapaxes(qkv_hm[:, i], -1, -2) for i in range(3)]
         dense_p = km(kk["dense"])
-        fc1 = km(kk["fc1"])                             # [L, d, ffn]
-        fc2 = km(kk["fc2"])                             # [L, ffn, d]
+        fc1 = pad_cols(km(kk["fc1"]))                   # [L, d, pffn]
+        fc2 = pad_rows(km(kk["fc2"]))                   # [L, pffn, d]
+        if gated:
+            gate = pad_cols(km(kk["gate"]))
         if with_cross:
             crossq_p = km(kk["crossq"])
             crossd_p = km(kk["crossdense"])
@@ -786,6 +905,8 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
     if with_cross:
         panels += [crossq_p, crossd_p]
     panels += [fc1[:, :, j * d:(j + 1) * d] for j in range(nf)]
+    if gated:
+        panels += [gate[:, :, j * d:(j + 1) * d] for j in range(nf)]
     panels += [fc2[:, j * d:(j + 1) * d, :] for j in range(nf)]
     wblob = jnp.stack(panels, axis=1)
 
@@ -805,10 +926,15 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
     if with_cross:
         flat_s.append(ones_or_scale(kk["crossdense"], (L, d)))
         flat_b.append(zeros_like_or(kk["crossdense"] + ".bias", (L, d)))
-    fc1_s = ones_or_scale(kk["fc1"], (L, ffn))          # [L, ffn]
-    fc1_b = zeros_like_or(kk["fc1"] + ".bias", (L, ffn))
+    fc1_s = pad_flat(ones_or_scale(kk["fc1"], (L, ffn)), 1.0)  # [L, pffn]
+    fc1_b = pad_flat(zeros_like_or(kk["fc1"] + ".bias", (L, ffn)), 0.0)
     flat_s += [fc1_s[:, j * d:(j + 1) * d] for j in range(nf)]
     flat_b += [fc1_b[:, j * d:(j + 1) * d] for j in range(nf)]
+    if gated:
+        g_s = pad_flat(ones_or_scale(kk["gate"], (L, ffn)), 1.0)
+        g_b = pad_flat(zeros_like_or(kk["gate"] + ".bias", (L, ffn)), 0.0)
+        flat_s += [g_s[:, j * d:(j + 1) * d] for j in range(nf)]
+        flat_b += [g_b[:, j * d:(j + 1) * d] for j in range(nf)]
     flat_s.append(ones_or_scale(kk["fc2"], (L, d)))
     flat_b.append(zeros_like_or(kk["fc2"] + ".bias", (L, d)))
     flat_scale = jnp.stack(flat_s, axis=1)

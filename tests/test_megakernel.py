@@ -313,6 +313,119 @@ def test_megakernel_generation_session():
     np.testing.assert_array_equal(outs[True], outs[False])
 
 
+def _family_model(quant=True, **cfg_kw):
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    kw = dict(vocab_size=160, hidden_size=256, num_layers=3, num_heads=4,
+              max_position_embeddings=96, dtype="float32",
+              quant_mode=(QuantMode.use_weight_only() if quant
+                          else QuantMode(0)))
+    kw.update(cfg_kw)
+    cfg = DecoderConfig(**kw)
+    model = DecoderLMHead(cfg)
+    model.random_init(jax.random.PRNGKey(4), 0.05)
+    sd = model.state_dict()
+    if not quant:
+        return model, sd
+    model2 = DecoderLMHead(cfg)
+    model2, sd = weight_only_quantize_state(model2, sd, cfg.quant_mode)
+    model2.load_state_dict(sd, strict=False)
+    return model2, sd
+
+
+def _greedy_ab(model, sd, steps=4):
+    """(scan tokens+logits, megakernel tokens+logits) multi-step greedy."""
+    blobs = model.megakernel_blobs(sd)
+    prompt = jnp.asarray([[5, 9, 2, 14]], jnp.int32)
+    plen = prompt.shape[1]
+
+    def run(blobs_or_none, flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = model.new_kv_cache(1, 64)
+            logits, cache = model(prompt, cache, 0,
+                                  jnp.asarray([plen], jnp.int32))
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks = [int(tok[0, 0])]
+            for i in range(steps):
+                seqlen = jnp.asarray([plen + 1 + i], jnp.int32)
+                logits, cache = model(tok, cache, plen + i, seqlen,
+                                      megakernel_blobs=blobs_or_none)
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                toks.append(int(tok[0, 0]))
+            return toks, np.asarray(logits)
+
+    return run(None, False), run(blobs, True)
+
+
+@pytest.mark.parametrize("neox,pct", [(True, 1.0), (True, 0.5),
+                                      (False, 1.0), (False, 0.25)])
+def test_rope_matrix_matches_functional_rope(neox, pct):
+    """row @ make_rope_matrix(pos) == functional.rope for both rotary
+    styles and partial rotary_dim, for every head packed in a lane row."""
+    from eddie_wang_hackathon2023_tpu.functional import rope
+    from eddie_wang_hackathon2023_tpu.ops.pallas_decoder_layer import (
+        make_rope_matrix)
+    D, nsub, pos = 64, 2, 17
+    rd = int(D * pct)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 1, nsub, D), jnp.float32)  # [b, seq, H, D]
+    want = rope(x, jnp.asarray([[pos]]), 10000.0, rd, neox)
+    r = make_rope_matrix(jnp.asarray(pos), D, rd, 10000.0, neox, nsub)
+    got = (x.reshape(1, nsub * D) @ r).reshape(want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("quant,int8_kv", [(True, False), (True, True),
+                                           (False, False)])
+def test_megakernel_llama_decoder(quant, int8_kv):
+    """LLaMA-class topology through the megakernel: RoPE (neox), rmsnorm,
+    SwiGLU gated MLP, no biases, and a non-multiple-of-d ffn (the packer
+    zero-pads to the next multiple) — multi-step greedy token-exact vs
+    the scanned path."""
+    qm = QuantMode.use_weight_only() if quant else QuantMode(0)
+    if int8_kv:
+        qm = qm | QuantMode.INT8_KV_CACHE
+    model, sd = _family_model(
+        quant=quant, position_embedding="rope", norm="rmsnorm",
+        norm_eps=1e-6, hidden_act="silu", gated_mlp=True,
+        attn_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        ffn_hidden_size=640, quant_mode=qm)
+    if int8_kv:
+        sd["blocks.attention.kv_orig_quant_scale"] = \
+            np.full((3, 1), 7.0, np.float32)
+        sd["blocks.attention.kv_quant_orig_scale"] = \
+            np.full((3, 1), 1 / 7.0, np.float32)
+        model.load_state_dict(sd, strict=False)
+    assert model.megakernel_eligible()
+    (ref_toks, ref_logits), (mk_toks, mk_logits) = _greedy_ab(model, sd)
+    assert mk_toks == ref_toks
+    np.testing.assert_allclose(mk_logits, ref_logits, rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_megakernel_gptj_decoder(quant):
+    """GPT-J-class topology: parallel-attention residual (the MLP reads
+    the same input LN; no post-LN), interleaved GPT-J rotary on half the
+    head dim."""
+    model, sd = _family_model(
+        quant=quant, position_embedding="rope", rotary_pct=0.5,
+        neox_rotary_style=False, parallel_attn=True, hidden_act="gelu",
+        attn_bias=False, mlp_bias=True, tie_word_embeddings=False)
+    assert model.megakernel_eligible()
+    (ref_toks, ref_logits), (mk_toks, mk_logits) = _greedy_ab(model, sd)
+    assert mk_toks == ref_toks
+    np.testing.assert_allclose(mk_logits, ref_logits, rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_family_ineligibility():
+    """MQA and ALiBi still decline the megakernel and take the scan."""
+    mqa, _ = _family_model(quant=False, num_kv_heads=1)
+    assert not mqa.megakernel_eligible()
+    alibi, _ = _family_model(quant=True, position_embedding="alibi")
+    assert not alibi.megakernel_eligible()
+
+
 @pytest.mark.parametrize("int8_kv", [False, True])
 def test_megakernel_manual_wstream_matches_pipeline(int8_kv):
     """The manual async-DMA weight stream (round 4: panels ride a
