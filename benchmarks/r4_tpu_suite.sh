@@ -24,29 +24,38 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 # ---- headline: megakernel A/B + weight-stream A/B ---------------------------
-run bench_mk 1800 python bench.py
-EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_nomk 1400 python bench.py
-EWT_MK_WSTREAM=manual BENCH_STAGES=0 run bench_mk_manual 1800 python bench.py
+# (first row owns the cold compile — give it the big budget)
+run bench_mk 3600 python bench.py
+EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_nomk 2000 python bench.py
+EWT_MK_WSTREAM=manual BENCH_STAGES=0 run bench_mk_manual 2400 python bench.py
 # bf16 megakernel (float panel stream)
-BENCH_QUANT=bf16 BENCH_STAGES=0 run bench_bf16_mk 1800 python bench.py
-BENCH_QUANT=bf16 EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_bf16_nomk 1400 python bench.py
+BENCH_QUANT=bf16 BENCH_STAGES=0 run bench_bf16_mk 2400 python bench.py
+BENCH_QUANT=bf16 EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_bf16_nomk 2000 python bench.py
 # SmoothQuant W8A8 encoder on the speed recipe
-BENCH_QUANT="woq8+ckv8+lmq8+sqenc" BENCH_STAGES=0 run bench_sqenc 1800 python bench.py
-# batch-8 throughput mode (scanned path; megakernel is batch-1)
-BENCH_BATCH=8 BENCH_STAGES=0 run bench_b8 1400 python bench.py
+BENCH_QUANT="woq8+ckv8+lmq8+sqenc" BENCH_STAGES=0 run bench_sqenc 2400 python bench.py
+# batch-8 throughput mode A/B (round 4: the megakernel runs batch<=8
+# with per-batch scratch row-blocks; nomk is the r3 scanned path)
+BENCH_BATCH=8 BENCH_STAGES=0 run bench_b8_mk 2400 python bench.py
+BENCH_BATCH=8 EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_b8_nomk 2000 python bench.py
 
 # ---- whole-utterance trace (README breakdown) -------------------------------
-PROFILE_TARGET=utt run prof_utt 1800 python benchmarks/profile_decode.py
+PROFILE_TARGET=utt run prof_utt 2400 python benchmarks/profile_decode.py
 EWT_MK_WSTREAM=manual PROFILE_TARGET=utt TRACE_DIR=/tmp/ewt_trace_utt_man \
-    run prof_utt_manual 1800 python benchmarks/profile_decode.py
+    run prof_utt_manual 2400 python benchmarks/profile_decode.py
 
 # ---- GPT-350M grid: megakernel x quant --------------------------------------
-run gpt_woq8_mk 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1,8
-EWT_MEGAKERNEL=0 run gpt_woq8_nomk 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1
-run gpt_bf16_mk 1200 python benchmarks/benchmark.py --quant none --batch_size 1,8
+run gpt_woq8_mk 1600 python benchmarks/benchmark.py --quant woq8 --batch_size 1,8
+EWT_MEGAKERNEL=0 run gpt_woq8_nomk 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1,8
+run gpt_bf16_mk 1600 python benchmarks/benchmark.py --quant none --batch_size 1,8
 EWT_MEGAKERNEL=0 run gpt_bf16_nomk 1200 python benchmarks/benchmark.py --quant none --batch_size 1
 EWT_MK_WSTREAM=manual run gpt_woq8_manual 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1
 run gpt_sq 1200 python benchmarks/benchmark.py --quant sq --batch_size 1,8
+
+# ---- LLaMA-class topology (round-4 megakernel family extension) -------------
+run llama1b_woq8_mk 1600 python benchmarks/benchmark.py -m llama_1b --quant woq8 --batch_size 1
+EWT_MEGAKERNEL=0 run llama1b_woq8_nomk 1400 python benchmarks/benchmark.py -m llama_1b --quant woq8 --batch_size 1
+run llama7b_woq8_mk 2400 python benchmarks/benchmark.py -m llama_7b --quant woq8 --batch_size 1 --num_runs 2
+EWT_MEGAKERNEL=0 run llama7b_woq8_nomk 2400 python benchmarks/benchmark.py -m llama_7b --quant woq8 --batch_size 1 --num_runs 2
 
 # ---- regression rows (unchanged subsystems, spot checks) --------------------
 run bert_base 1200 python benchmarks/bert_bench.py -m bert_base --batch_size 1,8 --input_len 128,512

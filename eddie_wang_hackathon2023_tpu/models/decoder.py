@@ -355,7 +355,9 @@ class DecoderLMHead(Module):
                 assert beam_indirection is None and \
                     getattr(write_index, "ndim", 0) == 0
             from ..plugin import get_plugin_config
-            if (megakernel_blobs is not None and tokens.shape == (1, 1)
+            if (megakernel_blobs is not None and tokens.shape[1] == 1
+                    and tokens.shape[0] <= 8
+                    and getattr(write_index, "ndim", 0) == 0
                     and beam_indirection is None
                     and kv_cache.dtype != jnp.float8_e4m3fn
                     and get_plugin_config().use_decode_megakernel()
@@ -367,11 +369,13 @@ class DecoderLMHead(Module):
                                                         make_rope_matrix)
                 rope_mat = None
                 if c.position_embedding == "rope":
-                    rope_mat = make_rope_matrix(
-                        position_ids[0, 0], c.head_dim,
+                    # per-row rotation matrices — positions can differ
+                    # across the batch under left-padding
+                    rope_mat = jax.vmap(lambda p: make_rope_matrix(
+                        p, c.head_dim,
                         block.attention.rotary_embedding_dim,
                         c.rotary_base, c.neox_rotary_style,
-                        128 // c.head_dim)
+                        128 // c.head_dim))(position_ids[:, 0])
                 hid, fresh = fused_decoder_stack(
                     x[:, 0, :], megakernel_blobs, kv_cache,
                     sequence_length, block.attention.scale,
@@ -385,12 +389,12 @@ class DecoderLMHead(Module):
                 else:
                     hid = hid[:, None, :]
                 logits = self._logits(hid)
+                if b == 1:      # fresh [L, 2, H, D] -> [L, B=1, 2, H, D]
+                    fresh = fresh[:, None]
                 if tail_mode:
-                    new_tail = write_tail_kv(kv_tail, fresh[:, None],
-                                             tail_len)
+                    new_tail = write_tail_kv(kv_tail, fresh, tail_len)
                     return logits, kv_cache, new_tail
-                new_kv = write_fresh_kv(kv_cache,
-                                        fresh[:, None, :, :, :, None],
+                new_kv = write_fresh_kv(kv_cache, fresh[..., None],
                                         write_index)
                 return logits, new_kv
 

@@ -363,14 +363,18 @@ class WhisperDecoder(Module):
         layer_ids = jnp.arange(c.n_text_layer, dtype=jnp.int32)
         from ...plugin import get_plugin_config
         unroll = get_plugin_config().get_scan_unroll()
-        if (megakernel_blobs is not None and tokens.shape == (1, 1)
+        if (megakernel_blobs is not None and tokens.shape[1] == 1
+                and tokens.shape[0] <= 8
+                and getattr(write_index, "ndim", 0) == 0
                 and beam_indirection is None
                 and kv_cache.dtype != jnp.float8_e4m3fn
                 and get_plugin_config().use_decode_megakernel()
                 and self.megakernel_eligible()):
             # whole-decoder-layer megakernel: every layer's LN / GEMV /
             # attention / GELU / residual in ONE pallas_call (round-4;
-            # see ops/pallas_decoder_layer.py for the design record)
+            # see ops/pallas_decoder_layer.py for the design record).
+            # batch>1 rides the same kernel with per-batch scratch
+            # row-blocks (one cross/self cache panel per utterance).
             from ...ops.attention import write_fresh_kv, write_tail_kv
             from ...ops.pallas_decoder_layer import fused_decoder_stack
             cross, cscales = (cross_kv if isinstance(cross_kv, tuple)
@@ -383,11 +387,12 @@ class WhisperDecoder(Module):
                 tail_kv=((kv_tail, tail_len) if tail_mode else None),
                 head_dim=c.head_dim)
             logits = self._logits(self.ln(hid[:, None, :]))
+            if tokens.shape[0] == 1:
+                fresh = fresh[:, None]   # [L, 2, H, D] -> [L, 1, 2, H, D]
             if tail_mode:
-                new_tail = write_tail_kv(kv_tail, fresh[:, None], tail_len)
+                new_tail = write_tail_kv(kv_tail, fresh, tail_len)
                 return logits, kv_cache, new_tail
-            new_kv = write_fresh_kv(kv_cache,
-                                    fresh[:, None, :, :, :, None],
+            new_kv = write_fresh_kv(kv_cache, fresh[..., None],
                                     write_index)
             return logits, new_kv
         if tokens.shape[1] == 1:

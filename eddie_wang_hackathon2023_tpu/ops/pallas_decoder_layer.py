@@ -45,12 +45,14 @@ fused engine execution — the decoderMaskedMultiheadAttention kernels
 weightOnlyQuantMatmul plugin GEMVs and TRT's own layer fusion, executed
 as one enqueue per step (``C/tensorrt_llm/runtime/gptSession.cpp:782``).
 
-Scope (fallbacks handle the rest): batch 1, single fresh token,
-weight-only int8 (per-out-channel scales) or plain float, equal q/kv
-heads, head_dim in {32, 64, 128}, d % 128 == 0 (ffn is zero-padded to
-the next multiple of d by the packer), optional cross attention,
-bf16/f32 activations, self cache bf16 or int8 (+scales), cross cache
-bf16 or int8 (+per-layer scales), no beam indirection.
+Scope (fallbacks handle the rest): batch <= 8 (one fresh token per
+row, rows advance together; per-batch VMEM scratch row-blocks — see
+``fused_decoder_stack``), weight-only int8 (per-out-channel scales) or
+plain float, equal q/kv heads, head_dim in {32, 64, 128}, d % 128 == 0
+(ffn is zero-padded to the next multiple of d by the packer), optional
+cross attention, bf16/f32 activations, self cache bf16 or int8
+(+scales), cross cache bf16 or int8 (+per-layer scales), no beam
+indirection.
 
 Round-4 family extensions (LLaMA/GPT-J/NeoX-class decoders):
 
@@ -206,7 +208,7 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             x_ref, w_ref, ps_ref, pb_ref, fs_ref, fb_ref, ln_ref,
             selfc_ref, *rest,
             stages, nf: int, ncs: int, ncc: int, with_cross: bool,
-            d: int, hp: int, dl: int, hd: int, nsub: int,
+            d: int, hp: int, dl: int, hd: int, nsub: int, nb: int,
             cs_s: int, cs_c: int, s_self: int, s_cross: int,
             scale: float, self_quant: bool, cross_quant: bool,
             with_tail: bool, kmax: int, adt, eps: float, act: str,
@@ -270,6 +272,17 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, dl), 2)
     sub_masks3 = [(lane3 // hd) == u for u in range(nsub)]
 
+    # batch>1 (round 4): every per-token scratch keeps the batch as
+    # leading row-blocks ([NB*HP, ...]) so per-batch work is a sublane
+    # slice — no in-kernel transposes, and nb=1 emits exactly the
+    # original program.  GEMVs become [NB, d] GEMMs for free.
+    def tile_rows(a):
+        """[HP, DL] per-pair aux -> [NB*HP, DL] (repeat per batch)."""
+        if nb == 1:
+            return a
+        return jnp.broadcast_to(a[None], (nb,) + a.shape).reshape(
+            nb * a.shape[0], a.shape[1])
+
     def ln_to_scr(row: int):
         xf = x_scr[...].astype(f32)
         if norm == "rmsnorm":
@@ -284,11 +297,17 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         ln_scr[...] = y.astype(adt)
 
     def rope_rotate(val):
-        """Apply the per-step rotation matrix to a pair-layout [HP, DL]
-        projection (q or fresh k) — fp32 rotate, cast back, matching
-        functional.rope's dtype contract."""
-        return jax.lax.dot(val.astype(f32), rope_ref[...],
-                           preferred_element_type=f32).astype(adt)
+        """Apply the per-row rotation matrix ([NB, DL, DL] — positions
+        can differ per batch row under left-padding) to a pair-layout
+        [NB*HP, DL] projection (q or fresh k) — fp32 rotate, cast back,
+        matching functional.rope's dtype contract."""
+        rows = []
+        for b in range(nb):
+            rows.append(jax.lax.dot(
+                val[b * hp:(b + 1) * hp].astype(f32), rope_ref[b],
+                preferred_element_type=f32))
+        r = rows[0] if nb == 1 else jnp.concatenate(rows, axis=0)
+        return r.astype(adt)
 
     def _panel(c):
         """The current stage's weight panel [d, d] (VMEM)."""
@@ -304,10 +323,10 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         """q/k/v/cross-q projection: flat GEMV -> pair layout -> scale,
         bias (matching WeightOnlyQuant*Linear numerics: fp32 acc * scale
         -> activation dtype -> + bias)."""
-        acc = gemv(ln_scr[...], c)                       # [1, d] f32
-        accp = acc.reshape(hp, dl)                       # lane-native
-        val = (accp * ps_ref[0, slot]).astype(adt) \
-            + pb_ref[0, slot].astype(adt)                # [HP, DL]
+        acc = gemv(ln_scr[...], c)                       # [NB, d] f32
+        accp = acc.reshape(nb * hp, dl)                  # lane-native
+        val = (accp * tile_rows(ps_ref[0, slot])).astype(adt) \
+            + tile_rows(pb_ref[0, slot]).astype(adt)     # [NB*HP, DL]
         return val
 
     def store_fresh(slot: int, val):
@@ -325,20 +344,18 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             tgt[...] = val.astype(f32)
 
     def attn_chunk(c: int, is_cross: bool):
-        cache = (crossc_ref if is_cross else selfc_ref)[0, 0]  # [2,HP,DL,cs]
+        cache = (crossc_ref if is_cross else selfc_ref)[0]  # [NB,2,HP,DL,cs]
         cs = cs_c if is_cross else cs_s
         smax = s_cross if is_cross else s_self
         nch = ncc if is_cross else ncs
         if is_cross:
             kscale = cscale_ref[l] if cross_quant else 1.0
             cache_len = smax                      # cross attends all cols
-            start = 0
         else:
             kscale = kvqo_ref[l] if self_quant else 1.0
             cache_len = slen_ref[0] - 1           # fresh token not in cache
             if with_tail:
                 cache_len = cache_len - tlen_ref[0]
-            start = start_ref[0]
 
         if c == 0:
             m_scr[...] = jnp.full(m_scr.shape, NEG, f32)
@@ -349,104 +366,119 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
 
         @pl.when(c < n_need)
         def _compute():
-            k = cache[0].astype(adt)                     # [HP, DL, cs]
-            v = cache[1].astype(adt)
+            col = None
             if smax % cs:
-                col = c * cs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
-                v = jnp.where(col < smax, v, 0)
+                col = c * cs + jax.lax.broadcasted_iota(
+                    jnp.int32, (hp, dl, cs), 2)
             pos = c * cs + jax.lax.broadcasted_iota(jnp.int32, (hp, 1, cs), 2)
-            valid = jnp.logical_and(pos < cache_len, pos >= start)
-            qv = q_scr[...]                              # [HP, 1, DL]
-            for u in range(nsub):
-                qs = jnp.where(sub_masks3[u], qv, 0)
-                sc = jax.lax.dot_general(
-                    qs, k,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=f32)          # [HP, 1, cs]
-                sc = jnp.where(valid, sc * (scale * kscale), NEG)
-                m_prev = m_scr[:, u:u + 1]
-                m_new = jnp.maximum(m_prev, jnp.max(sc, axis=2))
-                p = jnp.where(valid, jnp.exp(sc - m_new[:, :, None]), 0.0)
-                alpha = jnp.exp(m_prev - m_new)          # [HP, 1]
-                d_scr[:, u:u + 1] = d_scr[:, u:u + 1] * alpha \
-                    + jnp.sum(p, axis=2)
-                pv = jax.lax.dot_general(
-                    v, p.astype(adt),
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=f32)[:, :, 0]  # [HP, DL]
-                ctx_scr[...] = jnp.where(
-                    sub_masks[u], ctx_scr[...] * alpha + pv, ctx_scr[...])
-                m_scr[:, u:u + 1] = m_new
+            for b in range(nb):
+                o = b * hp
+                k = cache[b, 0].astype(adt)              # [HP, DL, cs]
+                v = cache[b, 1].astype(adt)
+                if col is not None:
+                    v = jnp.where(col < smax, v, 0)
+                start = 0 if is_cross else start_ref[b]
+                valid = jnp.logical_and(pos < cache_len, pos >= start)
+                qv = q_scr[o:o + hp]                     # [HP, 1, DL]
+                for u in range(nsub):
+                    qs = jnp.where(sub_masks3[u], qv, 0)
+                    sc = jax.lax.dot_general(
+                        qs, k,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=f32)      # [HP, 1, cs]
+                    sc = jnp.where(valid, sc * (scale * kscale), NEG)
+                    m_prev = m_scr[o:o + hp, u:u + 1]
+                    m_new = jnp.maximum(m_prev, jnp.max(sc, axis=2))
+                    p = jnp.where(valid, jnp.exp(sc - m_new[:, :, None]), 0.0)
+                    alpha = jnp.exp(m_prev - m_new)      # [HP, 1]
+                    d_scr[o:o + hp, u:u + 1] = \
+                        d_scr[o:o + hp, u:u + 1] * alpha + jnp.sum(p, axis=2)
+                    pv = jax.lax.dot_general(
+                        v, p.astype(adt),
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=f32)[:, :, 0]  # [HP, DL]
+                    ctx_scr[o:o + hp] = jnp.where(
+                        sub_masks[u], ctx_scr[o:o + hp] * alpha + pv,
+                        ctx_scr[o:o + hp])
+                    m_scr[o:o + hp, u:u + 1] = m_new
 
         if c == nch - 1:
             # finalize — always runs on the last (static) chunk stage
             if is_cross:
                 for u in range(nsub):
-                    du = d_scr[:, u:u + 1]                # [HP, 1]
+                    du = d_scr[:, u:u + 1]             # [NB*HP, 1]
                     ctx_scr[...] = jnp.where(
-                        sub_masks[u], ctx_scr[...] * (kscale / du),
-                        ctx_scr[...])
+                        tile_rows(sub_masks[u]),
+                        ctx_scr[...] * (kscale / du), ctx_scr[...])
             else:
                 # fresh-token contribution (the deferred-write decode
                 # contract of pallas_decode_attention with_fresh), plus
                 # the K-step deferred tail when enabled (write_tail_kv)
-                qf = q_scr[:, 0, :].astype(f32)           # [HP, DL]
-                pk = qf * kf_scr[...]                     # [HP, DL]
-                pvf = vf_scr[...]
-                if with_tail:
-                    t = tail_ref[:, 0, 0]                 # [Kmax, 2, HP, DL]
-                    tk = jnp.transpose(t[:, 0], (1, 0, 2)).astype(adt)
-                    tv = jnp.transpose(t[:, 1], (1, 0, 2)).astype(adt)
-                    tpos = jax.lax.broadcasted_iota(
-                        jnp.int32, (hp, 1, kmax), 2)
-                    tmask = tpos < tlen_ref[0]
-                    qv = q_scr[...]                       # [HP, 1, DL]
-                for u in range(nsub):
-                    sf = jnp.sum(jnp.where(sub_masks[u], pk, 0.0),
-                                 axis=1, keepdims=True) * (scale * kscale)
-                    m = m_scr[:, u:u + 1]
-                    du = d_scr[:, u:u + 1]
+                for b in range(nb):
+                    o = b * hp
+                    qf = q_scr[o:o + hp, 0, :].astype(f32)    # [HP, DL]
+                    pk = qf * kf_scr[o:o + hp]                # [HP, DL]
+                    pvf = vf_scr[o:o + hp]
                     if with_tail:
-                        qs = jnp.where(sub_masks3[u], qv, 0)
-                        st = jax.lax.dot_general(
-                            qs, tk,
-                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=f32)   # [HP, 1, Kmax]
-                        st = jnp.where(tmask, st * (scale * kscale), NEG)
-                        m_fin = jnp.maximum(
-                            jnp.maximum(m, jnp.max(st, axis=2)), sf)
-                        alpha = jnp.exp(m - m_fin)
-                        p_t = jnp.where(tmask,
-                                        jnp.exp(st - m_fin[:, :, None]), 0.0)
-                        pf = jnp.exp(sf - m_fin)
-                        denom = du * alpha + jnp.sum(p_t, axis=2) + pf
-                        ctx_t = jax.lax.dot_general(
-                            p_t.astype(adt), tv,
-                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=f32)[:, 0, :]  # [HP, DL]
-                        ctx_new = ((ctx_scr[...] * alpha + ctx_t) * kscale
-                                   + pvf * (kscale * pf)) / denom
-                    else:
-                        m_fin = jnp.maximum(m, sf)
-                        alpha = jnp.exp(m - m_fin)
-                        pf = jnp.exp(sf - m_fin)          # [HP, 1]
-                        denom = du * alpha + pf
-                        ctx_new = (ctx_scr[...] * alpha * kscale
-                                   + pvf * (kscale * pf)) / denom
-                    ctx_scr[...] = jnp.where(sub_masks[u], ctx_new,
-                                             ctx_scr[...])
+                        t = tail_ref[:, 0, b]          # [Kmax, 2, HP, DL]
+                        tk = jnp.transpose(t[:, 0], (1, 0, 2)).astype(adt)
+                        tv = jnp.transpose(t[:, 1], (1, 0, 2)).astype(adt)
+                        tpos = jax.lax.broadcasted_iota(
+                            jnp.int32, (hp, 1, kmax), 2)
+                        tmask = tpos < tlen_ref[0]
+                        qv = q_scr[o:o + hp]           # [HP, 1, DL]
+                    for u in range(nsub):
+                        sf = jnp.sum(jnp.where(sub_masks[u], pk, 0.0),
+                                     axis=1, keepdims=True) * (scale * kscale)
+                        m = m_scr[o:o + hp, u:u + 1]
+                        du = d_scr[o:o + hp, u:u + 1]
+                        if with_tail:
+                            qs = jnp.where(sub_masks3[u], qv, 0)
+                            st = jax.lax.dot_general(
+                                qs, tk,
+                                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=f32)   # [HP, 1, Kmax]
+                            st = jnp.where(tmask, st * (scale * kscale), NEG)
+                            m_fin = jnp.maximum(
+                                jnp.maximum(m, jnp.max(st, axis=2)), sf)
+                            alpha = jnp.exp(m - m_fin)
+                            p_t = jnp.where(
+                                tmask, jnp.exp(st - m_fin[:, :, None]), 0.0)
+                            pf = jnp.exp(sf - m_fin)
+                            denom = du * alpha + jnp.sum(p_t, axis=2) + pf
+                            ctx_t = jax.lax.dot_general(
+                                p_t.astype(adt), tv,
+                                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=f32)[:, 0, :]
+                            ctx_new = ((ctx_scr[o:o + hp] * alpha + ctx_t)
+                                       * kscale + pvf * (kscale * pf)) / denom
+                        else:
+                            m_fin = jnp.maximum(m, sf)
+                            alpha = jnp.exp(m - m_fin)
+                            pf = jnp.exp(sf - m_fin)          # [HP, 1]
+                            denom = du * alpha + pf
+                            ctx_new = (ctx_scr[o:o + hp] * alpha * kscale
+                                       + pvf * (kscale * pf)) / denom
+                        ctx_scr[o:o + hp] = jnp.where(
+                            sub_masks[u], ctx_new, ctx_scr[o:o + hp])
 
     def proj_stage(flat_slot: int, ln_next: Optional[int], c: int = 0):
         """Attention out-projection from the pair-layout context: per-pair
         [1, DL] x [DL, d] dots (the proven fused-epilogue pattern), then
         scale/bias/residual, then the next LayerNorm."""
         wbf = _panel(c).astype(adt)                      # [d, d]
-        ctx = ctx_scr[...].astype(adt)                   # [HP, DL]
-        acc = None
-        for p in range(hp):
-            part = jax.lax.dot(ctx[p:p + 1, :], wbf[p * dl:(p + 1) * dl, :],
-                               preferred_element_type=f32)
-            acc = part if acc is None else acc + part
+        ctx = ctx_scr[...].astype(adt)                   # [NB*HP, DL]
+        rows = []
+        for b in range(nb):
+            acc = None
+            for p in range(hp):
+                r = b * hp + p
+                part = jax.lax.dot(ctx[r:r + 1, :],
+                                   wbf[p * dl:(p + 1) * dl, :],
+                                   preferred_element_type=f32)
+                acc = part if acc is None else acc + part
+            rows.append(acc)
+        acc = rows[0] if nb == 1 else jnp.concatenate(rows, axis=0)
         out = (acc * fs_ref[0, flat_slot:flat_slot + 1, :]).astype(adt) \
             + fb_ref[0, flat_slot:flat_slot + 1, :].astype(adt)
         x_scr[...] = x_scr[...] + out
@@ -555,24 +587,30 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                         wstream: Optional[str] = None):
     """Run every decoder layer of one decode step in ONE kernel.
 
-    x [1, d] activation dtype (embedded token + position, pre-blocks);
-    self_cache [L, 1, 2, H, D, S] (bf16/int8 seq-minor stacked, the
-    ops.attention layout — the fresh token must NOT be written yet);
-    seq_len [1] int32 INCLUDING the fresh token; cross_cache
-    [L, 1, 2, H, D, Sc] with optional per-layer ``cross_scale`` [L]
-    (int8); ``start_index`` [1] int32 masks self-attention keys below it.
-    ``tail_kv``: (tail [Kmax, L, 1, 2, H, D] cache-dtype, tail_len scalar
-    int32) — the K-step deferred-store tail (ops.attention
-    write_tail_kv): the last ``tail_len`` tokens live there instead of
-    the big cache; the caller appends this step's fresh output and
-    merges once per Kmax steps.
+    x [NB, d] activation dtype (embedded tokens + positions, pre-blocks;
+    NB = batch, one fresh token per row — round 4 generalised the kernel
+    to batch>1: scratches keep the batch as leading sublane row-blocks so
+    per-batch attention is a slice, GEMVs become [NB, d] GEMMs, and nb=1
+    emits the original program); self_cache [L, NB, 2, H, D, S] (bf16/
+    int8 seq-minor stacked, the ops.attention layout — the fresh tokens
+    must NOT be written yet); seq_len [1] int32 INCLUDING the fresh
+    token (batch rows advance together — the offline decode contract;
+    per-row left-padding rides start_index); cross_cache
+    [L, NB, 2, H, D, Sc] with optional per-layer ``cross_scale`` [L]
+    (int8); ``start_index`` [NB] int32 masks self-attention keys below
+    it per row.  ``tail_kv``: (tail [Kmax, L, NB, 2, H, D] cache-dtype,
+    tail_len scalar int32) — the K-step deferred-store tail
+    (ops.attention write_tail_kv): the last ``tail_len`` tokens live
+    there instead of the big cache; the caller appends this step's fresh
+    output and merges once per Kmax steps.
 
-    Returns (hidden [1, d] — pre-final-LN, fresh_kv [L, 2, H, D] in
-    cache dtype, seq-minor values for ops.attention.write_fresh_kv /
-    write_tail_kv).
+    Returns (hidden [NB, d] — pre-final-LN, fresh_kv in cache dtype:
+    [L, 2, H, D] when NB==1 else [L, NB, 2, H, D] — seq-minor values for
+    ops.attention.write_fresh_kv / write_tail_kv).
     """
     L, b_kv, _, H, D, S = self_cache.shape
-    assert b_kv == 1 and x.shape[0] == 1, "megakernel is batch-1 only"
+    nb = x.shape[0]
+    assert b_kv == nb, "cache batch must match the token batch"
     assert D == head_dim
     d = x.shape[1]
     assert H * D == d and d % 128 == 0 and 128 % D == 0
@@ -647,18 +685,24 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     cross_quant = with_cross and cross_cache.dtype == jnp.int8
 
     # pair views of the caches — free reinterpretations (same bytes)
-    selfc = self_cache.reshape(L, 1, 2, hp, dl, S)
+    selfc = self_cache.reshape(L, nb, 2, hp, dl, S)
     if with_cross:
-        crossc = cross_cache.reshape(L, 1, 2, hp, dl, Sc)
+        crossc = cross_cache.reshape(L, nb, 2, hp, dl, Sc)
 
+    # batch rows share seq_len (the offline decode contract: all slots
+    # advance together; per-row left-padding rides start_index [NB])
     seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)[:1]
-    start_arr = (jnp.zeros((1,), jnp.int32) if start_index is None
-                 else jnp.asarray(start_index, jnp.int32).reshape(-1)[:1])
+    if start_index is None:
+        start_arr = jnp.zeros((nb,), jnp.int32)
+    else:
+        start_arr = jnp.asarray(start_index, jnp.int32).reshape(-1)
+        if start_arr.shape[0] != nb:
+            start_arr = jnp.broadcast_to(start_arr[:1], (nb,))
     with_tail = tail_kv is not None
     if with_tail:
         tail_arr, tail_len = tail_kv
         kmax = tail_arr.shape[0]
-        tail_pair = tail_arr.reshape(kmax, L, 1, 2, hp, dl)
+        tail_pair = tail_arr.reshape(kmax, L, nb, 2, hp, dl)
         tlen_arr = jnp.reshape(jnp.asarray(tail_len, jnp.int32), (1,))
     else:
         kmax = 0
@@ -704,7 +748,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         return (l, 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, d), x_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, d), x_map, memory_space=pltpu.VMEM),
         (pl.BlockSpec(memory_space=pl.ANY) if manual else
          pl.BlockSpec((1, 1, d, d), w_map, memory_space=pltpu.VMEM)),
         pl.BlockSpec((1,) + blobs.pair_scale.shape[1:], aux4_map,
@@ -717,44 +761,51 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + blobs.ln_par.shape[1:], aux3_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 2, hp, dl, cs_s), self_map,
+        pl.BlockSpec((1, nb, 2, hp, dl, cs_s), self_map,
                      memory_space=pltpu.VMEM),
     ]
     args = [x.astype(adt), blobs.wblob, blobs.pair_scale, blobs.pair_bias,
             blobs.flat_scale, blobs.flat_bias, blobs.ln_par, selfc]
     if with_cross:
-        in_specs.append(pl.BlockSpec((1, 1, 2, hp, dl, cs_c), cross_map,
+        in_specs.append(pl.BlockSpec((1, nb, 2, hp, dl, cs_c), cross_map,
                                      memory_space=pltpu.VMEM))
         args.append(crossc)
     if with_tail:
-        in_specs.append(pl.BlockSpec((kmax, 1, 1, 2, hp, dl), tail_map,
+        in_specs.append(pl.BlockSpec((kmax, 1, nb, 2, hp, dl), tail_map,
                                      memory_space=pltpu.VMEM))
         args.append(tail_pair)
     if with_rope:
-        in_specs.append(pl.BlockSpec((dl, dl), x_map,
+        rope_arr = jnp.asarray(rope_mat, jnp.float32)
+        if rope_arr.ndim == 2:
+            rope_arr = rope_arr[None]
+        if rope_arr.shape[0] != nb:
+            rope_arr = jnp.broadcast_to(rope_arr[:1], (nb, dl, dl))
+        in_specs.append(pl.BlockSpec((nb, dl, dl),
+                                     lambda l, s, *refs: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(rope_mat, jnp.float32))
+        args.append(rope_arr)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((1, d), adt),
-        jax.ShapeDtypeStruct((L, 2, hp, dl), self_cache.dtype),
+        jax.ShapeDtypeStruct((nb, d), adt),
+        jax.ShapeDtypeStruct((L, 2, nb * hp, dl), self_cache.dtype),
     )
     out_specs = (
-        pl.BlockSpec((1, d), x_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, hp, dl), fresh_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, d), x_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, nb * hp, dl), fresh_map,
+                     memory_space=pltpu.VMEM),
     )
 
     scratch_shapes = [
-        pltpu.VMEM((1, d), adt),          # x (residual stream)
-        pltpu.VMEM((1, d), adt),          # current LN output
-        pltpu.VMEM((hp, 1, dl), adt),     # q (pair layout, [HP,1,DL])
-        pltpu.VMEM((hp, dl), jnp.float32),  # fresh k (stored values)
-        pltpu.VMEM((hp, dl), jnp.float32),  # fresh v
-        pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running max
-        pltpu.VMEM((hp, nsub), jnp.float32),  # softmax running denom
-        pltpu.VMEM((hp, dl), jnp.float32),    # context accumulator
-        pltpu.VMEM((1, ffn), adt),        # fc1 activations
-        pltpu.VMEM((1, d), jnp.float32),  # fc2 accumulator
+        pltpu.VMEM((nb, d), adt),         # x (residual stream)
+        pltpu.VMEM((nb, d), adt),         # current LN output
+        pltpu.VMEM((nb * hp, 1, dl), adt),  # q (pair layout, per-b blocks)
+        pltpu.VMEM((nb * hp, dl), jnp.float32),  # fresh k (stored values)
+        pltpu.VMEM((nb * hp, dl), jnp.float32),  # fresh v
+        pltpu.VMEM((nb * hp, nsub), jnp.float32),  # softmax running max
+        pltpu.VMEM((nb * hp, nsub), jnp.float32),  # softmax running denom
+        pltpu.VMEM((nb * hp, dl), jnp.float32),    # context accumulator
+        pltpu.VMEM((nb, ffn), adt),       # fc1 activations
+        pltpu.VMEM((nb, d), jnp.float32),  # fc2 accumulator
     ]
     if manual:
         scratch_shapes += [
@@ -770,29 +821,35 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     )
     kernel = functools.partial(
         _kernel, stages=stages, nf=nf, ncs=ncs, ncc=ncc,
-        with_cross=with_cross, d=d, hp=hp, dl=dl, hd=D, nsub=nsub,
+        with_cross=with_cross, d=d, hp=hp, dl=dl, hd=D, nsub=nsub, nb=nb,
         cs_s=cs_s, cs_c=cs_c, s_self=S, s_cross=Sc, scale=float(scale),
         self_quant=self_quant, cross_quant=cross_quant,
         with_tail=with_tail, kmax=kmax, adt=adt, eps=float(eps), act=act,
         norm=norm, gated=gated, parallel=parallel, with_rope=with_rope,
         manual=manual, nbuf=nbuf, npan=npan, n_layer=L)
     weight_bytes = L * npan * d * d
-    cache_bytes = (L * 2 * d * S * self_cache.dtype.itemsize
-                   + (L * 2 * d * Sc * cross_cache.dtype.itemsize
-                      if with_cross else 0))
+    cache_bytes = nb * (L * 2 * d * S * self_cache.dtype.itemsize
+                        + (L * 2 * d * Sc * cross_cache.dtype.itemsize
+                           if with_cross else 0))
     hid, fresh = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=2 * weight_bytes + 4 * L * d * (S + Sc),
+            flops=2 * weight_bytes * max(nb // 4, 1)
+            + 4 * nb * L * d * (S + Sc),
             bytes_accessed=weight_bytes + cache_bytes,
-            transcendentals=L * (ffn + H * (S + Sc))),
+            transcendentals=nb * L * (ffn + H * (S + Sc))),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seqlen_arr, start_arr, tlen_arr, kvoq, kvqo, cscale, *args)
-    return hid, fresh.reshape(L, 2, H, D)
+    fresh = fresh.reshape(L, 2, nb, H, D)
+    if nb == 1:
+        return hid, fresh[:, :, 0]
+    # [L, NB, 2, H, D] — the per-batch seq-minor fresh kv contract of
+    # ops.attention.write_fresh_kv
+    return hid, jnp.swapaxes(fresh, 1, 2)
 
 
 # state-dict key prefixes per block flavour (the packer is shared by the

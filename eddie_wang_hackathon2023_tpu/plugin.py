@@ -81,11 +81,14 @@ class PluginConfig:
     # pallas_call per decode step runs every layer's LN/GEMV/attention/
     # GELU/residual with the hidden state resident in VMEM — removes the
     # ~0.6 ms/step small-op dispatch floor the round-3 trace named.
-    # Applies to batch-1 single-token WOQ-int8 decode (whisper + GPT
-    # families), greedy/sampling (no beam indirection).  None = ON on
-    # TPU: the round-4 device A/B measured whisper large-v2 woq8 decode
-    # 1.66 vs 2.17 ms/tok (7.44 vs 6.55 utt/s) on v5e; ineligible
-    # configs fall back to the scanned path automatically.
+    # Applies to single-token decode at batch<=8 (per-batch VMEM scratch
+    # row-blocks), WOQ-int8 or plain-float blocks, whisper + GPT/LLaMA/
+    # GPT-J-class families (learned/rope positions, layernorm/rmsnorm,
+    # plain/gated MLP, sequential/parallel residuals), greedy/sampling
+    # (no beam indirection).  None = ON on TPU: the round-4 device A/B
+    # measured whisper large-v2 woq8 decode 1.66 vs 2.17 ms/tok (7.44 vs
+    # 6.55 utt/s) on v5e; ineligible configs fall back to the scanned
+    # path automatically.
     decode_megakernel: Optional[bool] = None
     # materialise the fused QKV projection's flat [B,L,3*H*D] result
     # (optimization_barrier) before the head split in context/prefill

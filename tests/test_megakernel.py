@@ -418,6 +418,128 @@ def test_megakernel_gptj_decoder(quant):
     np.testing.assert_allclose(mk_logits, ref_logits, rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.parametrize("int8_kv,int8_cross", [(False, True),
+                                                (True, True)])
+def test_megakernel_batch_whisper(int8_kv, int8_cross):
+    """batch>1 through the megakernel (round 4: per-batch scratch
+    row-blocks, one cache panel per utterance): a batch-3 whisper decode
+    step must match the scanned path row-for-row, with a DIFFERENT
+    cross/self cache per row."""
+    qm = QuantMode.use_weight_only()
+    if int8_kv:
+        qm = qm | QuantMode.INT8_KV_CACHE
+    dec, sd = _decoder(qm)
+    cross = _cross_kv(int8_cross)
+    blobs = _pack(dec, sd)
+    B = 3
+    if isinstance(cross, tuple):
+        cross = (jnp.concatenate([cross[0]] * B, axis=1)
+                 + jnp.arange(B, dtype=jnp.int8)[None, :, None, None,
+                                                 None, None],
+                 cross[1])
+    else:
+        cross = jnp.concatenate(
+            [cross * (1.0 + 0.1 * i) for i in range(B)], axis=1)
+
+    prompt = jnp.asarray([[3, 7, 11, 2, 9],
+                          [1, 5, 2, 8, 4],
+                          [9, 9, 3, 1, 7]], jnp.int32)
+    plen = prompt.shape[1]
+    cache = dec.new_kv_cache(B)
+    logits_p, cache = dec(prompt, cache, cross, 0,
+                          jnp.asarray([plen] * B, jnp.int32))
+    tok = jnp.argmax(logits_p[:, -1:], axis=-1).astype(jnp.int32)
+
+    def run(blobs_or_none, flag, cache, tok):
+        with plugin_config(decode_megakernel=flag):
+            toks = [np.asarray(tok)[:, 0].tolist()]
+            for i in range(3):
+                seqlen = jnp.asarray([plen + 1 + i] * B, jnp.int32)
+                logits, cache = dec(tok, cache, cross, plen + i, seqlen,
+                                    megakernel_blobs=blobs_or_none)
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                toks.append(np.asarray(tok)[:, 0].tolist())
+            return toks, np.asarray(logits), np.asarray(cache)
+
+    ref_toks, ref_logits, ref_cache = run(None, False, cache, tok)
+    mk_toks, mk_logits, mk_cache = run(blobs, True, cache, tok)
+    assert mk_toks == ref_toks
+    np.testing.assert_allclose(mk_logits, ref_logits, rtol=2e-4, atol=2e-3)
+    if int8_kv:
+        np.testing.assert_array_equal(mk_cache, ref_cache)
+
+
+def test_megakernel_batch_gpt_left_padded():
+    """batch-2 GPT decode with PER-ROW attention_start (left padding)
+    through the megakernel == the scanned path."""
+    model, sd = _gpt_model()
+    blobs = model.megakernel_blobs(sd)
+    B, plen = 2, 5
+    prompt = jnp.asarray([[0, 0, 5, 9, 2],       # left-padded, start=2
+                          [5, 9, 2, 14, 7]], jnp.int32)
+    start = jnp.asarray([2, 0], jnp.int32)
+
+    def run(blobs_or_none, flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = model.new_kv_cache(B, 64)
+            logits, cache = model(prompt, cache, 0,
+                                  jnp.asarray([plen] * B, jnp.int32),
+                                  attention_start=start)
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks = [np.asarray(tok)[:, 0].tolist()]
+            for i in range(3):
+                seqlen = jnp.asarray([plen + 1 + i] * B, jnp.int32)
+                logits, cache = model(tok, cache, plen + i, seqlen,
+                                      attention_start=start,
+                                      megakernel_blobs=blobs_or_none)
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                toks.append(np.asarray(tok)[:, 0].tolist())
+            return toks, np.asarray(logits)
+
+    ref_toks, ref_logits = run(None, False)
+    mk_toks, mk_logits = run(blobs, True)
+    assert mk_toks == ref_toks
+    np.testing.assert_allclose(mk_logits, ref_logits, rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_batch_llama_per_row_rope():
+    """batch-2 LLaMA-class decode with per-row left-padding: RoPE
+    positions differ across rows, so the kernel consumes PER-ROW
+    rotation matrices."""
+    model, sd = _family_model(
+        quant=True, position_embedding="rope", norm="rmsnorm",
+        norm_eps=1e-6, hidden_act="silu", gated_mlp=True,
+        attn_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        ffn_hidden_size=640)
+    blobs = model.megakernel_blobs(sd)
+    B, plen = 2, 5
+    prompt = jnp.asarray([[0, 0, 0, 9, 2],       # start=3 -> pos differs
+                          [5, 9, 2, 14, 7]], jnp.int32)
+    start = jnp.asarray([3, 0], jnp.int32)
+
+    def run(blobs_or_none, flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = model.new_kv_cache(B, 64)
+            logits, cache = model(prompt, cache, 0,
+                                  jnp.asarray([plen] * B, jnp.int32),
+                                  attention_start=start)
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks = [np.asarray(tok)[:, 0].tolist()]
+            for i in range(3):
+                seqlen = jnp.asarray([plen + 1 + i] * B, jnp.int32)
+                logits, cache = model(tok, cache, plen + i, seqlen,
+                                      attention_start=start,
+                                      megakernel_blobs=blobs_or_none)
+                tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                toks.append(np.asarray(tok)[:, 0].tolist())
+            return toks, np.asarray(logits)
+
+    ref_toks, ref_logits = run(None, False)
+    mk_toks, mk_logits = run(blobs, True)
+    assert mk_toks == ref_toks
+    np.testing.assert_allclose(mk_logits, ref_logits, rtol=2e-4, atol=2e-3)
+
+
 def test_megakernel_family_ineligibility():
     """MQA and ALiBi still decline the megakernel and take the scan."""
     mqa, _ = _family_model(quant=False, num_kv_heads=1)
