@@ -494,7 +494,11 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         elif act == "gelu_exact":
             hv = jax.nn.gelu(hv, approximate=False)
         elif act == "silu":
-            hv = jax.nn.silu(hv)
+            # f32 logistic: Mosaic's bf16 `logistic` lowering emits an
+            # ill-typed f32->bf16 vector.broadcast on the current libtpu
+            # (device-verified failure, r4 suite llama rows)
+            hvf = hv.astype(jnp.float32)
+            hv = (hvf * jax.lax.logistic(hvf)).astype(adt)
         else:
             hv = jax.nn.gelu(hv, approximate=True)
         h_scr[:, j * d:(j + 1) * d] = hv
@@ -645,10 +649,12 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     # c % nbuf stays consistent across layer boundaries.
     if wstream is None:
         import os
-        # default "pipeline" (round-3 formulation, device-proven at 7.48
-        # utt/s) until the manual stream's device A/B lands — flip per
-        # adopt-or-delete
-        wstream = os.environ.get("EWT_MK_WSTREAM", "pipeline")
+        # default "manual" — ADOPTED on the round-4 device A/B (same
+        # session, v5e): whisper large-v2 woq8 7.67 vs 6.86 utt/s and
+        # GPT-350M woq8 bs1 444 vs 308 tok/s vs the BlockSpec pipeline
+        # (which only prefetches ONE stage ahead, idling the weight DMA
+        # through attention stages)
+        wstream = os.environ.get("EWT_MK_WSTREAM", "manual")
     manual = wstream == "manual"
     nbuf = 0
     if manual:
