@@ -1,9 +1,10 @@
 #!/bin/bash
-# Round-4 TPU measurement suite.  Focus: the decode megakernel (adopted
-# default-ON after same-session A/Bs), the manual async-DMA weight
-# stream (pending A/B — the relay died before it ran), and the
-# SmoothQuant-encoder knob.  Results land in /tmp/r4suite; each step is
-# timeout-guarded and independent.  Summarise with:
+# Round-4 TPU measurement suite.  Focus: the decode megakernel and the
+# manual async-DMA weight stream (both adopted default-ON after
+# same-session device A/Bs), the batch-1 gate (batch-8 megakernel lost
+# 3.84 vs 15.29 utt/s), and the SmoothQuant-encoder knob.  Results land
+# in /tmp/r4suite; each step is timeout-guarded and independent.
+# Summarise with:
 #     python benchmarks/r2_suite_summary.py /tmp/r4suite
 set -u
 export PYTHONPATH=/root/.axon_site:/root/repo
@@ -25,18 +26,20 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 # ---- headline: megakernel A/B + weight-stream A/B ---------------------------
 # (first row owns the cold compile — give it the big budget)
+# default = manual-stream megakernel (both adopted on round-4 A/Bs)
 run bench_mk 3600 python bench.py
 EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_nomk 2000 python bench.py
-EWT_MK_WSTREAM=manual BENCH_STAGES=0 run bench_mk_manual 2400 python bench.py
+# ablation: the round-3 BlockSpec-pipelined weight stream
+EWT_MK_WSTREAM=pipeline BENCH_STAGES=0 run bench_mk_pipeline 2400 python bench.py
 # bf16 megakernel (float panel stream)
 BENCH_QUANT=bf16 BENCH_STAGES=0 run bench_bf16_mk 2400 python bench.py
 BENCH_QUANT=bf16 EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_bf16_nomk 2000 python bench.py
 # SmoothQuant W8A8 encoder on the speed recipe
 BENCH_QUANT="woq8+ckv8+lmq8+sqenc" BENCH_STAGES=0 run bench_sqenc 2400 python bench.py
-# batch-8 throughput mode A/B (round 4: the megakernel runs batch<=8
-# with per-batch scratch row-blocks; nomk is the r3 scanned path)
-BENCH_BATCH=8 BENCH_STAGES=0 run bench_b8_mk 2400 python bench.py
-BENCH_BATCH=8 EWT_MEGAKERNEL=0 BENCH_STAGES=0 run bench_b8_nomk 2000 python bench.py
+# batch-8 throughput mode: default (scanned — the megakernel is gated to
+# batch 1 after its 3.84-vs-15.29 utt/s loss) + the forced-megakernel row
+BENCH_BATCH=8 BENCH_STAGES=0 run bench_b8_default 2000 python bench.py
+BENCH_BATCH=8 EWT_MK_MAX_BATCH=8 BENCH_STAGES=0 run bench_b8_mk_forced 2400 python bench.py
 
 # ---- whole-utterance trace (README breakdown) -------------------------------
 PROFILE_TARGET=utt run prof_utt 2400 python benchmarks/profile_decode.py
@@ -48,7 +51,7 @@ run gpt_woq8_mk 1600 python benchmarks/benchmark.py --quant woq8 --batch_size 1,
 EWT_MEGAKERNEL=0 run gpt_woq8_nomk 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1,8
 run gpt_bf16_mk 1600 python benchmarks/benchmark.py --quant none --batch_size 1,8
 EWT_MEGAKERNEL=0 run gpt_bf16_nomk 1200 python benchmarks/benchmark.py --quant none --batch_size 1
-EWT_MK_WSTREAM=manual run gpt_woq8_manual 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1
+EWT_MK_WSTREAM=pipeline run gpt_woq8_pipeline 1200 python benchmarks/benchmark.py --quant woq8 --batch_size 1
 run gpt_sq 1200 python benchmarks/benchmark.py --quant sq --batch_size 1,8
 
 # ---- LLaMA-class topology (round-4 megakernel family extension) -------------

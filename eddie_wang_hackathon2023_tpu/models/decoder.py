@@ -356,7 +356,8 @@ class DecoderLMHead(Module):
                     getattr(write_index, "ndim", 0) == 0
             from ..plugin import get_plugin_config
             if (megakernel_blobs is not None and tokens.shape[1] == 1
-                    and tokens.shape[0] <= 8
+                    and tokens.shape[0]
+                    <= get_plugin_config().get_megakernel_max_batch()
                     and getattr(write_index, "ndim", 0) == 0
                     and beam_indirection is None
                     and kv_cache.dtype != jnp.float8_e4m3fn

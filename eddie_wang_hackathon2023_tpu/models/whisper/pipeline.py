@@ -174,13 +174,18 @@ class WhisperPipeline:
         self._params_ckv = ckv_state if ckv_state is not None else self.cross_kv.state_dict()
         self._mk_blobs = None
 
-    def _megakernel_blobs(self):
+    def _megakernel_blobs(self, batch: int = 1):
         """Packed weight image for the whole-decoder-layer megakernel
         (ops/pallas_decoder_layer.py), built once per bound params and
         passed as a jit arg so the decode loop streams it directly.  None
-        when the recipe/structure doesn't qualify."""
+        when the recipe/structure doesn't qualify — including batch >
+        megakernel_max_batch (device A/B: batch-8 throughput belongs to
+        the scanned path's weight-amortising GEMMs; don't even pack the
+        weight image there)."""
         from ...plugin import get_plugin_config
         if not get_plugin_config().use_decode_megakernel():
+            return None
+        if batch > get_plugin_config().get_megakernel_max_batch():
             return None
         if not self.decoder.megakernel_eligible():
             return None
@@ -606,7 +611,8 @@ class WhisperPipeline:
         tokens, lengths, sum_lp, ns_probs = jax.device_get(self._generate_fn(
             self._params_dec, jnp.asarray(init), cross_kv,
             jax.random.PRNGKey(seed), prompt_len=len(self.initial_tokens),
-            max_new=self.sample_len, mk_blobs=self._megakernel_blobs()))
+            max_new=self.sample_len,
+            mk_blobs=self._megakernel_blobs(batch=init.shape[0])))
         lengths = np.full((tokens.shape[0],), int(lengths),
                           np.int32)                     # shared loop counter
         return tokens, lengths, sum_lp, ns_probs
@@ -777,7 +783,8 @@ class WhisperPipeline:
                                jax.random.PRNGKey(seed),
                                prompt_len=len(self.initial_tokens),
                                max_new=self.sample_len,
-                               mk_blobs=self._megakernel_blobs())
+                               mk_blobs=self._megakernel_blobs(
+                                   batch=init.shape[0]))
             tokens, cur_len, sum_lp, ns = jax.device_get(out[:4])
             xa = out[4]
             lengths = np.full((tokens.shape[0],), int(cur_len), np.int32)

@@ -90,6 +90,17 @@ class PluginConfig:
     # 6.55 utt/s) on v5e; ineligible configs fall back to the scanned
     # path automatically.
     decode_megakernel: Optional[bool] = None
+    # largest batch the megakernel engages for (hard kernel cap 8; larger
+    # batches always take the scanned path).  None = 1: the round-4
+    # device A/B measured the batch-8 megakernel LOSING 4x on whisper
+    # (3.84 vs 15.29 utt/s scanned) and 14% on GPT-350M (2064 vs 2388
+    # tok/s @bs8) — at batch>=8 the scanned path's [B,d]x[d,d] GEMMs
+    # amortise the weight read across rows on the MXU, while the
+    # megakernel still streams every panel per step and serialises the
+    # per-row attention scratch.  Batch>1 support stays (token-exact
+    # tests, `EWT_MK_MAX_BATCH` opt-in) for latency-bound small-batch
+    # deployments; adopt only with a device A/B at that batch size.
+    megakernel_max_batch: Optional[int] = None
     # materialise the fused QKV projection's flat [B,L,3*H*D] result
     # (optimization_barrier) before the head split in context/prefill
     # calls, so XLA emits the GEMM in a well-tiled N-minor layout instead
@@ -161,6 +172,14 @@ class PluginConfig:
         if self.decode_megakernel is not None:
             return self.decode_megakernel
         return on_tpu()
+
+    def get_megakernel_max_batch(self) -> int:
+        v = os.environ.get("EWT_MK_MAX_BATCH")
+        if v is not None:
+            return min(int(v), 8)
+        if self.megakernel_max_batch is not None:
+            return min(self.megakernel_max_batch, 8)
+        return 1
 
     def use_qkv_flat_barrier(self) -> bool:
         v = os.environ.get("EWT_QKV_BARRIER")

@@ -361,13 +361,16 @@ class GenerationSession:
                 [np.full((b, pad), sc.pad_id, input_ids.dtype), input_ids],
                 axis=1)
         dparams = DecodeParams.from_config(sc, b)
+        from ..plugin import get_plugin_config
         tokens, lens, cum = self._decode_fn(
             self._params, jnp.asarray(input_ids, jnp.int32),
             jnp.asarray(input_lengths, jnp.int32),
             jax.random.PRNGKey(seed or sc.random_seed),
             dparams, prompt_len=prompt_len,
             max_new_tokens=max_new_tokens, beam=beam,
-            mk_blobs=getattr(self, "_mk_blobs", None))
+            mk_blobs=(getattr(self, "_mk_blobs", None)
+                      if b <= get_plugin_config().get_megakernel_max_batch()
+                      else None))
         # one batched fetch — per-array transfers each pay a device round
         # trip (severe over remote-device tunnels)
         tokens, lens, cum = jax.device_get((tokens, lens, cum))

@@ -112,7 +112,8 @@ def test_megakernel_multi_step_greedy_tokens():
     plen = prompt.shape[1]
 
     def run(blobs_or_none, flag):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             cache = dec.new_kv_cache(1)
             logits, cache = dec(prompt, cache, cross, 0,
                                 jnp.asarray([plen], jnp.int32))
@@ -144,7 +145,8 @@ def test_megakernel_tail_mode(int8_kv):
     plen = prompt.shape[1]
 
     def run(blobs_or_none, flag):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             cache = dec.new_kv_cache(1)
             logits, cache = dec(prompt, cache, cross, 0,
                                 jnp.asarray([plen], jnp.int32))
@@ -223,7 +225,8 @@ def test_megakernel_float_multi_step_greedy_tokens():
     plen = prompt.shape[1]
 
     def run(blobs_or_none, flag):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             cache = dec.new_kv_cache(1)
             logits, cache = dec(prompt, cache, cross, 0,
                                 jnp.asarray([plen], jnp.int32))
@@ -272,7 +275,8 @@ def test_megakernel_gpt_decoder(act, quant):
     plen = prompt.shape[1]
 
     def run(blobs_or_none, flag):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             cache = model.new_kv_cache(1, 64)
             logits, cache = model(prompt, cache, 0,
                                   jnp.asarray([plen], jnp.int32))
@@ -305,7 +309,8 @@ def test_megakernel_generation_session():
 
     outs = {}
     for flag in (False, True):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             sess = GenerationSession(mc, model, SamplingConfig())
             sess.setup(sd)
             out_ids, _, _ = sess.decode(ids, lens, max_new_tokens=6)
@@ -340,7 +345,8 @@ def _greedy_ab(model, sd, steps=4):
     plen = prompt.shape[1]
 
     def run(blobs_or_none, flag):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             cache = model.new_kv_cache(1, 64)
             logits, cache = model(prompt, cache, 0,
                                   jnp.asarray([plen], jnp.int32))
@@ -451,7 +457,8 @@ def test_megakernel_batch_whisper(int8_kv, int8_cross):
     tok = jnp.argmax(logits_p[:, -1:], axis=-1).astype(jnp.int32)
 
     def run(blobs_or_none, flag, cache, tok):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             toks = [np.asarray(tok)[:, 0].tolist()]
             for i in range(3):
                 seqlen = jnp.asarray([plen + 1 + i] * B, jnp.int32)
@@ -480,7 +487,8 @@ def test_megakernel_batch_gpt_left_padded():
     start = jnp.asarray([2, 0], jnp.int32)
 
     def run(blobs_or_none, flag):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             cache = model.new_kv_cache(B, 64)
             logits, cache = model(prompt, cache, 0,
                                   jnp.asarray([plen] * B, jnp.int32),
@@ -518,7 +526,8 @@ def test_megakernel_batch_llama_per_row_rope():
     start = jnp.asarray([3, 0], jnp.int32)
 
     def run(blobs_or_none, flag):
-        with plugin_config(decode_megakernel=flag):
+        with plugin_config(decode_megakernel=flag,
+                           megakernel_max_batch=8):
             cache = model.new_kv_cache(B, 64)
             logits, cache = model(prompt, cache, 0,
                                   jnp.asarray([plen] * B, jnp.int32),
