@@ -523,15 +523,33 @@ class Attention(Module):
                     # previous take_along_axis formulation to a
                     # materialised reordered cache copy (2x cache bytes
                     # written+re-read per layer per step; 13.2 ms/tok at
-                    # beam=4/ctx=2048 on v5e).  See
-                    # ops.attention.beam_indirect_decode_attention.
-                    from ..ops.attention import \
-                        beam_indirect_decode_attention
-                    ctx = beam_indirect_decode_attention(
-                        q, layer_kv_views(full_cache, layer_idx),
-                        sequence_length, beam_indirection,
-                        scale=self.scale, kv_quant_orig_scale=kv_qo,
-                        start_index=attention_start, fresh_kv=(k_st, v_st))
+                    # beam=4/ctx=2048 on v5e).  Round 5 moved the
+                    # indirection INTO the fused Pallas kernel (the
+                    # reference's masked-MHA kernel composes it into its
+                    # cache read, gptAttentionCommon.cpp:650): panels are
+                    # streamed once per beam GROUP with the row map as
+                    # lane masks.  The XLA formulation stays as the
+                    # fallback for MQA/GQA caches.
+                    if _pallas_decode() and \
+                            self.num_attention_kv_heads == \
+                            self.num_attention_heads:
+                        from ..ops.pallas_decode_attention import \
+                            fused_decode_attention
+                        ctx = fused_decode_attention(
+                            full_cache, layer_idx, q, sequence_length,
+                            self.scale, kv_quant_orig_scale=kv_qo,
+                            fresh_kv=(k_st, v_st),
+                            start_index=attention_start,
+                            beam_indirection=beam_indirection)
+                    else:
+                        from ..ops.attention import \
+                            beam_indirect_decode_attention
+                        ctx = beam_indirect_decode_attention(
+                            q, layer_kv_views(full_cache, layer_idx),
+                            sequence_length, beam_indirection,
+                            scale=self.scale, kv_quant_orig_scale=kv_qo,
+                            start_index=attention_start,
+                            fresh_kv=(k_st, v_st))
                 elif _pallas_decode() and \
                         self.num_attention_kv_heads == \
                         self.num_attention_heads:

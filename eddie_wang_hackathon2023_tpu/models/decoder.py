@@ -377,9 +377,13 @@ class DecoderLMHead(Module):
                         block.attention.rotary_embedding_dim,
                         c.rotary_base, c.neox_rotary_style,
                         128 // c.head_dim))(position_ids[:, 0])
+                # row-uniform length contract: the gate above requires a
+                # scalar write_index, so every row is at the same length
+                seq1 = jnp.asarray(sequence_length,
+                                   jnp.int32).reshape(-1)[:1]
                 hid, fresh = fused_decoder_stack(
                     x[:, 0, :], megakernel_blobs, kv_cache,
-                    sequence_length, block.attention.scale,
+                    seq1, block.attention.scale,
                     start_index=attention_start,
                     tail_kv=((kv_tail, tail_len) if tail_mode else None),
                     head_dim=c.head_dim, eps=c.norm_eps, act=c.hidden_act,

@@ -381,8 +381,11 @@ class WhisperDecoder(Module):
             cross, cscales = (cross_kv if isinstance(cross_kv, tuple)
                               else (cross_kv, None))
             tail_mode = kv_tail is not None
+            # row-uniform length contract: the gate above requires a
+            # scalar write_index, so every row is at the same length
+            seq1 = jnp.asarray(sequence_length, jnp.int32).reshape(-1)[:1]
             hid, fresh = fused_decoder_stack(
-                x[:, 0, :], megakernel_blobs, kv_cache, sequence_length,
+                x[:, 0, :], megakernel_blobs, kv_cache, seq1,
                 self.blocks.attn.scale, cross_cache=cross,
                 cross_scale=cscales,
                 tail_kv=((kv_tail, tail_len) if tail_mode else None),

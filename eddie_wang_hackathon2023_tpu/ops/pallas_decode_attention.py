@@ -210,6 +210,203 @@ def _kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
             emit(acc * (kscale / d))
 
 
+def _beam_kernel(layer_ref, seqlen_ref, start_ref, kscale_ref,
+                 q_ref, kv_ref, ind_ref, fk_ref, fv_ref, o_ref,
+                 m_ref, d_ref, acc_ref,
+                 *, scale: float, quant: bool, bw: int,
+                 cdt, cs: int, n_chunks: int, s_max: int):
+    """Beam-search decode attention with the cache_indirection applied
+    IN-KERNEL (ref gptAttentionCommon.cpp:650 — the CUDA masked-MHA
+    kernel composes the indirection into its cache read; this is the
+    Pallas equivalent of ops.attention.beam_indirect_decode_attention).
+
+    Grid (groups, chunks): one cell streams ALL ``bw`` physical beam
+    rows' [2,H,D,cs] panels of a group ONCE, computes every
+    (query-beam x source-beam) score as ``bw`` batched dots with the
+    query-beam axis riding the dot's row dimension
+    ([H,BW,D] x [H,D,cs] -> [H,BW,cs] — better MXU rows than the
+    non-beam kernel's [H,1,D] matvecs), masks the non-selected source
+    rows per position with the streamed [BW,cs] indirection panel, and
+    runs the flash recurrence per query beam in [H,BW(,D)] scratch.
+    The cache is read once per GROUP and nothing is written; selected
+    terms match the XLA formulation exactly (masked-out terms are exact
+    fp zeros), only the fp32 PV accumulation order differs.
+
+    Beam rows of a group share seq_len/start (generation.py advances
+    beams together) — row ``g*bw`` speaks for the group.
+    """
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+    kscale = kscale_ref[0] if quant else 1.0
+    base = g * bw
+    cache_len = seqlen_ref[base] - 1          # fresh token not in cache
+    start = start_ref[base]
+    n_need = jnp.maximum(jax.lax.div(cache_len + cs - 1, cs), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, NEG, m_ref.dtype)
+        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    def read_q():
+        # [BW, H, D] -> [H, BW, D]: leading-axis transpose (cheap; the
+        # beam axis becomes the dot's row dim)
+        return jnp.transpose(q_ref[:, :, 0, :], (1, 0, 2)).astype(cdt)
+
+    @pl.when(c < n_need)
+    def _chunk():
+        q = read_q()                                        # [H, BW, D]
+        ind = ind_ref[0]                                    # [BW, cs]
+        pos = c * cs + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, cs), 2)
+        valid = jnp.logical_and(pos < cache_len, pos >= start)
+        col = None
+        if s_max % cs:
+            col = c * cs + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, cs), 2)
+        s_sel = jnp.zeros((q.shape[0], bw, cs), jnp.float32)
+        for kb in range(bw):
+            k = kv_ref[0, kb, 0].astype(cdt)                # [H, D, cs]
+            s_all = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)         # [H, BW, cs]
+            sel = (ind == kb)[None]                         # [1, BW, cs]
+            s_sel = s_sel + jnp.where(sel, s_all, 0.0)
+        s = jnp.where(valid, s_sel * (scale * kscale), NEG)
+        m_prev = m_ref[...]                                 # [H, BW]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        p = jnp.where(valid, jnp.exp(s - m_new[:, :, None]), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=2)
+        ind2 = ind_ref[0]
+        pv = jnp.zeros(acc_ref.shape, jnp.float32)          # [H, BW, D]
+        for kb in range(bw):
+            v = kv_ref[0, kb, 1].astype(cdt)                # [H, D, cs]
+            if col is not None:
+                v = jnp.where(col < s_max, v, 0)
+            p_kb = jnp.where((ind2 == kb)[None], p, 0.0)
+            pv = pv + jax.lax.dot_general(
+                p_kb.astype(cdt), v,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)         # [H, BW, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, :, None] + pv
+        m_ref[...] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        # fresh token: each beam attends its OWN row's fresh K/V (no
+        # indirection — the current token belongs to the beam that
+        # computed it)
+        q32 = jnp.transpose(q_ref[:, :, 0, :], (1, 0, 2)).astype(
+            jnp.float32)                                    # [H, BW, D]
+        fk = jnp.transpose(fk_ref[:, :, :, 0], (1, 0, 2)).astype(
+            jnp.float32)
+        fv = jnp.transpose(fv_ref[:, :, :, 0], (1, 0, 2)).astype(
+            jnp.float32)
+        s_f = jnp.sum(q32 * fk, axis=2) * (scale * kscale)  # [H, BW]
+        m = m_ref[...]
+        d = d_ref[...]
+        m_fin = jnp.maximum(m, s_f)
+        alpha = jnp.exp(m - m_fin)
+        p_f = jnp.exp(s_f - m_fin)
+        denom = d * alpha + p_f
+        ctx = (acc_ref[...] * alpha[:, :, None] * kscale
+               + fv * (kscale * p_f)[:, :, None]) / denom[:, :, None]
+        o_ref[...] = jnp.transpose(ctx, (1, 0, 2)).astype(o_ref.dtype)
+
+
+def _beam_call(full_cache, layer_idx, q, seq_len, scale,
+               kv_quant_orig_scale, fresh_kv, start_index,
+               beam_indirection, chunk, interpret):
+    """pallas_call assembly for the beam-indirection decode kernel."""
+    L, B_kv, _, H, D, S = full_cache.shape
+    B = q.shape[0]
+    assert B_kv == B, "beam decode needs per-beam physical cache rows"
+    bg, bw, s_ind = beam_indirection.shape
+    assert bg * bw == B, (beam_indirection.shape, B)
+    assert s_ind <= S
+    quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
+    cs = min(chunk or _default_chunk(S), S)
+    # VMEM: the kv block holds all bw beams' panels — keep it <= ~4 MB
+    itemsize = full_cache.dtype.itemsize
+    while bw * 2 * H * D * cs * itemsize > 4 * 1024 * 1024 and cs > 128:
+        cs //= 2
+    n_chunks = -(-S // cs)
+
+    ind = jnp.asarray(beam_indirection, jnp.int32)
+    if s_ind < S:
+        ind = jnp.pad(ind, ((0, 0), (0, 0), (0, S - s_ind)))
+
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    seqlen_arr = jnp.broadcast_to(
+        jnp.asarray(seq_len, jnp.int32).reshape(-1), (B,))
+    if kv_quant_orig_scale is None:
+        kscale_arr = jnp.ones((1,), jnp.float32)
+    else:
+        kscale_arr = jnp.asarray(kv_quant_orig_scale,
+                                 jnp.float32).reshape(-1)[:1]
+    if start_index is None:
+        start_arr = jnp.zeros((B,), jnp.int32)
+    else:
+        start_arr = jnp.broadcast_to(
+            jnp.asarray(start_index, jnp.int32).reshape(-1), (B,))
+
+    def kv_map(g, c, lref, sref, stref, kref):
+        sl = sref[g * bw] - 1
+        n_need = jnp.maximum(jax.lax.div(sl + cs - 1, cs), 1)
+        return (lref[0], g, 0, 0, 0, jnp.minimum(c, n_need - 1))
+
+    def ind_map(g, c, lref, sref, stref, kref):
+        sl = sref[g * bw] - 1
+        n_need = jnp.maximum(jax.lax.div(sl + cs - 1, cs), 1)
+        return (g, 0, jnp.minimum(c, n_need - 1))
+
+    def q_map(g, c, *refs):
+        return (g, 0, 0, 0)
+
+    def o_map(g, c, *refs):
+        return (g, 0, 0)
+
+    fk, fv = fresh_kv
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(bg, n_chunks),
+        in_specs=[
+            pl.BlockSpec((bw, H, 1, D), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw, 2, H, D, cs), kv_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw, cs), ind_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, H, D, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, H, D, 1), q_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bw, H, D), o_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, bw), jnp.float32),     # running max
+            pltpu.VMEM((H, bw), jnp.float32),     # running denom
+            pltpu.VMEM((H, bw, D), jnp.float32),  # context accumulator
+        ],
+    )
+    cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
+    kernel = functools.partial(
+        _beam_kernel, scale=float(scale), quant=quant, bw=bw, cdt=cdt,
+        cs=cs, n_chunks=n_chunks, s_max=S)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * bw * H * D * S,
+            bytes_accessed=2 * H * D * S * itemsize * B,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(layer_arr, seqlen_arr, start_arr, kscale_arr, q, full_cache, ind,
+      fk, fv)
+    return out[:, :, None, :]
+
+
 def _default_chunk(S: int) -> int:
     from ..plugin import get_plugin_config
     return get_plugin_config().get_decode_chunk(S)
@@ -222,6 +419,7 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                            start_index=None,
                            tail_kv: Optional[Tuple] = None,
                            proj: Optional[Tuple] = None,
+                           beam_indirection=None,
                            chunk: Optional[int] = None,
                            interpret: bool = False):
     """One-token attention against one layer of the stacked cache.
@@ -271,6 +469,24 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
     128-column tile would add ~20 MB/step of traffic for large-v2 —
     more than the store it replaces.
     """
+    if not interpret:
+        from .._utils import runtime_platform
+        _interp = runtime_platform() != "tpu"
+    else:
+        _interp = True
+    if beam_indirection is not None:
+        # beam-search mode (ref cache_indirection, gptAttentionCommon
+        # :650): the [G, beam, S] physical-row map is applied to the
+        # streamed panels in-kernel — see _beam_kernel.  Orthogonal
+        # prologue/epilogue fusions are out of scope for beams (XLA's
+        # batched GEMV amortises the proj weight across beam rows).
+        assert tail_kv is None, "K-step tail not supported with beams"
+        assert proj is None, "out-proj fusion is batch-1 only"
+        assert fresh_kv is not None, \
+            "beam decode is deferred-write only (fresh K/V required)"
+        return _beam_call(full_cache, layer_idx, q, seq_len, scale,
+                          kv_quant_orig_scale, fresh_kv, start_index,
+                          beam_indirection, chunk, _interp)
     L, B_kv, _, H, D, S = full_cache.shape
     B = q.shape[0]
     # group-shared cache: beam/best_of rows may SHARE one audio's cross

@@ -178,6 +178,23 @@ def make_rope_matrix(position, head_dim: int, rotary_dim: int,
     return jnp.kron(jnp.eye(nsub, dtype=f32), r)
 
 
+# manual weight-stream ring sizing (ADVICE r4 high): the ring must be
+# bounded by a VMEM budget, not by divisor structure — gated-MLP stacks
+# make npan prime (13 at LLaMA-7B nf=3) and an npan-sized ring at d=4096
+# is 218 MB of int8 panels.  Depth beyond a handful of panels buys
+# nothing once the DMA engine is saturated (the adopted round-4 config
+# ran 7 slots), so cap at 8 slots / ~24 MB and let the global-counter
+# slot indexing handle arbitrary npan.
+_RING_BUDGET = 24 << 20
+_RING_HARD_CAP = 48 << 20
+
+
+def _pick_nbuf(npan: int, panel_bytes: int) -> int:
+    """VMEM ring slots for the manual weight stream: >= 2 (double
+    buffer), <= 8, and ring bytes bounded by ``_RING_BUDGET``."""
+    return min(npan, 8, max(2, _RING_BUDGET // panel_bytes))
+
+
 def _stage_lookup(s, values):
     """values[s] for a static python list, expressed as scalar step-function
     arithmetic (index maps may not capture constant arrays)."""
@@ -245,10 +262,17 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
     if manual:
         depth = nbuf - 1
 
+        def _slot(dlay, c):
+            # ring slots are indexed by the GLOBAL panel counter
+            # (l*npan + c), so nbuf need not divide npan — gated MLP
+            # shapes make npan prime (e.g. 13 at LLaMA nf=3) and a
+            # divisor-sized ring at d=4096 would exceed physical VMEM
+            return jax.lax.rem((l + dlay) * npan + c, nbuf)
+
         def _dma(dlay, c):
+            sl = _slot(dlay, c)
             return pltpu.make_async_copy(
-                w_ref.at[l + dlay, c], wbuf.at[c % nbuf],
-                wsem.at[c % nbuf])
+                w_ref.at[l + dlay, c], wbuf.at[sl], wsem.at[sl])
 
         def _start_ahead(c):
             nc = c + depth
@@ -257,6 +281,8 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             else:
                 @pl.when(l + 1 < n_layer)
                 def _():
+                    # (l+1)*npan + (nc-npan) == l*npan + nc: the slot is
+                    # the same global counter as the in-layer branch
                     _dma(1, nc - npan).start()
 
         def _wait_panel(c):
@@ -312,7 +338,7 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
     def _panel(c):
         """The current stage's weight panel [d, d] (VMEM)."""
         if manual:
-            return wbuf[c % nbuf]
+            return wbuf[_slot(0, c)]
         return w_ref[0, 0]
 
     def gemv(lhs, c):
@@ -615,6 +641,10 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     L, b_kv, _, H, D, S = self_cache.shape
     nb = x.shape[0]
     assert b_kv == nb, "cache batch must match the token batch"
+    assert nb <= 8, \
+        f"megakernel batch cap is 8 (got {nb}): per-batch VMEM scratch " \
+        "row-blocks and cache panels grow linearly — larger batches " \
+        "take the scanned path (PluginConfig.get_megakernel_max_batch)"
     assert D == head_dim
     d = x.shape[1]
     assert H * D == d and d % 128 == 0 and 128 % D == 0
@@ -645,8 +675,8 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     # stage grid (explicit async copies through a circular VMEM buffer —
     # the BlockSpec pipeline can only run one stage ahead, idling the
     # weight stream through attention stages); "pipeline" is the round-3
-    # BlockSpec formulation.  nbuf must divide npan so the slot mapping
-    # c % nbuf stays consistent across layer boundaries.
+    # BlockSpec formulation.  Ring slots are indexed by the global panel
+    # counter, so nbuf is free to be any size >= 2.
     if wstream is None:
         import os
         # default "manual" — ADOPTED on the round-4 device A/B (same
@@ -658,8 +688,14 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     manual = wstream == "manual"
     nbuf = 0
     if manual:
-        nbuf = next((dv for dv in range(4, npan + 1) if npan % dv == 0),
-                    npan)
+        panel_bytes = d * d * blobs.wblob.dtype.itemsize
+        if 2 * panel_bytes > _RING_HARD_CAP:
+            # even a double-buffered ring overflows VMEM (bf16 panels at
+            # d >= 4096): take the BlockSpec pipeline, which streams one
+            # panel block pair under the same constraint
+            manual = False
+        else:
+            nbuf = _pick_nbuf(npan, panel_bytes)
 
     stages = _stages(nf, ncs, ncc, with_cross, gated)
     wpan = _hold_next([_panel_of(st, nf, with_cross, gated)
@@ -696,8 +732,15 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         crossc = cross_cache.reshape(L, nb, 2, hp, dl, Sc)
 
     # batch rows share seq_len (the offline decode contract: all slots
-    # advance together; per-row left-padding rides start_index [NB])
-    seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)[:1]
+    # advance together; per-row left-padding rides start_index [NB]).
+    # A [B] array with B > 1 is REJECTED at trace time rather than
+    # silently truncated to row 0 (ADVICE r4): callers with genuinely
+    # per-row lengths belong on the scanned path.
+    seqlen_arr = jnp.asarray(seq_len, jnp.int32).reshape(-1)
+    assert seqlen_arr.shape[0] == 1, \
+        "fused_decoder_stack needs a row-uniform sequence length " \
+        f"(scalar or shape (1,), got shape {seqlen_arr.shape}); pass " \
+        "sequence_length[:1] if all rows advance together"
     if start_index is None:
         start_arr = jnp.zeros((nb,), jnp.int32)
     else:

@@ -272,3 +272,24 @@ def test_beam_cache_indirection_matches_gather(gpt2):
     np.testing.assert_array_equal(tg, ti)
     np.testing.assert_array_equal(lg, li)
     np.testing.assert_allclose(cg, ci, rtol=1e-5)
+
+
+def test_beam_pallas_kernel_matches_xla_path(gpt2):
+    """End-to-end beam decode through the in-kernel cache_indirection
+    (fused_decode_attention beam mode, interpret on CPU) must produce
+    exactly the same beams/scores as the XLA masked cross-beam-score
+    formulation — ragged prompts included (group-uniform start)."""
+    from eddie_wang_hackathon2023_tpu.plugin import plugin_config
+    hf, model, mc = gpt2
+    sc = SamplingConfig(end_id=96, pad_id=96, num_beams=3)
+    prompt = np.array([[96, 11, 17, 23], [2, 3, 4, 7]], dtype=np.int32)
+    lens = np.array([3, 4])
+    with plugin_config(pallas_decode=False):
+        a = GenerationSession(mc, model, sc)
+        tx, lx, cx = a.decode(prompt, lens, max_new_tokens=10)
+    with plugin_config(pallas_decode=True):
+        b = GenerationSession(mc, model, sc)
+        tp, lp, cp = b.decode(prompt, lens, max_new_tokens=10)
+    np.testing.assert_array_equal(tx, tp)
+    np.testing.assert_array_equal(lx, lp)
+    np.testing.assert_allclose(cx, cp, rtol=1e-4, atol=1e-5)

@@ -592,3 +592,59 @@ def test_megakernel_manual_wstream_matches_pipeline(int8_kv):
                                          wstream="manual", **kwargs)
     np.testing.assert_array_equal(np.asarray(hid_m), np.asarray(hid_p))
     np.testing.assert_array_equal(np.asarray(fresh_m), np.asarray(fresh_p))
+
+
+def test_manual_stream_ring_bounded_at_large_d():
+    """ADVICE r4 (high): gated-MLP stacks make npan prime (13 at
+    LLaMA-7B nf=3), and the old smallest-divisor ring would have been
+    npan slots = 218 MB of int8 panels at d=4096.  The ring must stay
+    within its VMEM budget for every realistic shape; slots are indexed
+    by the global panel counter so nbuf need not divide npan."""
+    from eddie_wang_hackathon2023_tpu.ops.pallas_decoder_layer import (
+        _RING_BUDGET, _pick_nbuf)
+    for d, npan, itemsize in [
+            (4096, 13, 1),     # LLaMA-7B woq8 gated (nf=3 -> prime npan)
+            (4096, 13, 2),     # LLaMA-7B bf16 (falls back before here,
+                               # but the bound must still hold)
+            (1280, 14, 1),     # whisper large-v2 woq8 (+cross)
+            (2048, 13, 1),     # GPT-like gated
+            (8192, 16, 1)]:    # 70B-class panels
+        nbuf = _pick_nbuf(npan, d * d * itemsize)
+        assert 2 <= nbuf <= npan
+        assert nbuf * d * d * itemsize <= max(_RING_BUDGET,
+                                              2 * d * d * itemsize), \
+            (d, npan, itemsize, nbuf)
+
+
+def test_manual_stream_prime_npan_token_exact():
+    """Gated MLP with nf=3 gives npan = 4 + 3*3 = 13 (prime): the
+    global-counter slot mapping must stay consistent across layer
+    boundaries where the old c%nbuf mapping would corrupt panels."""
+    import jax.numpy as jnp
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    cfg = DecoderConfig(vocab_size=96, hidden_size=128, num_layers=3,
+                        num_heads=2, ffn_hidden_size=3 * 128,
+                        position_embedding="rope", norm="rmsnorm",
+                        hidden_act="silu", gated_mlp=True, attn_bias=False,
+                        mlp_bias=False, tie_word_embeddings=True,
+                        dtype="float32")
+    model = DecoderLMHead(cfg)
+    model.random_init(jax.random.PRNGKey(11), 0.05)
+    blobs = model.megakernel_blobs(model.state_dict())
+    assert blobs.wblob.shape[1] == 13          # prime panel count
+    prompt = jnp.asarray([[5, 9, 2, 7]], jnp.int32)
+    plen = prompt.shape[1]
+    cache = model.new_kv_cache(1, 32)
+    logits, cache = model(prompt, cache, 0,
+                          jnp.asarray([plen], jnp.int32))
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    seqlen = jnp.asarray([plen + 1], jnp.int32)
+    with plugin_config(decode_megakernel=False):
+        ref_logits, _ = model(tok, cache, plen, seqlen)
+    with plugin_config(decode_megakernel=True):
+        mk_logits, _ = model(tok, cache, plen, seqlen,
+                             megakernel_blobs=blobs)
+    np.testing.assert_allclose(np.asarray(mk_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-3)

@@ -310,3 +310,71 @@ def test_beam_indirect_matches_gather_formulation():
                 fresh_kv=fresh)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+@pytest.mark.parametrize("chunk", [None, 8])
+def test_beam_kernel_matches_xla_indirection(dtype, chunk):
+    """The in-kernel cache_indirection (beam mode of
+    fused_decode_attention, _beam_kernel) must match the XLA masked
+    cross-beam-score formulation — int8 and f32 caches, multi-chunk
+    online softmax, left-pad start, group-uniform lengths (the kernel
+    contract: beams advance together)."""
+    from eddie_wang_hackathon2023_tpu.ops.attention import (
+        beam_indirect_decode_attention)
+    BG, BW = 2, 4
+    BB = BG * BW
+    rs = np.random.RandomState(23)
+    for l in range(2):
+        cache = rs.randn(L, BB, 2, H, D, S).astype(np.float32)
+        if dtype == jnp.int8:
+            cache = np.clip(np.round(cache * 20), -127, 127).astype(np.int8)
+        cache = jnp.asarray(cache, dtype)
+        q = jnp.asarray(rs.randn(BB, H, 1, D).astype(np.float32))
+        fkv = rs.randn(2, BB, H, D, 1).astype(np.float32)
+        if dtype == jnp.int8:
+            fkv = np.clip(np.round(fkv * 20), -127, 127).astype(np.int8)
+        fk, fv = jnp.asarray(fkv[0], dtype), jnp.asarray(fkv[1], dtype)
+        # group-uniform lengths/starts (rows of a group share them)
+        seq = jnp.repeat(jnp.asarray(rs.randint(4, S, (BG,)), jnp.int32),
+                         BW)
+        start = jnp.repeat(jnp.asarray(rs.randint(0, 3, (BG,)), jnp.int32),
+                           BW)
+        ind = jnp.asarray(rs.randint(0, BW, (BG, BW, S)), jnp.int32)
+        kscale = 0.05 if dtype == jnp.int8 else None
+        scale = 1.0 / D ** 0.5
+        ref = beam_indirect_decode_attention(
+            q, layer_kv_views(cache, l), seq, ind, scale=scale,
+            kv_quant_orig_scale=kscale, start_index=start,
+            fresh_kv=(fk, fv))
+        got = fused_decode_attention(
+            cache, l, q, seq, scale, kv_quant_orig_scale=kscale,
+            fresh_kv=(fk, fv), start_index=start, beam_indirection=ind,
+            chunk=chunk, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_beam_kernel_short_indirection_padded():
+    """indirection narrower than S (total_len < S_max cache) pads
+    cleanly; positions past seq_len never contribute."""
+    from eddie_wang_hackathon2023_tpu.ops.attention import (
+        beam_indirect_decode_attention)
+    BG, BW = 1, 3
+    BB = BG * BW
+    rs = np.random.RandomState(29)
+    cache = jnp.asarray(rs.randn(L, BB, 2, H, D, S).astype(np.float32))
+    q = jnp.asarray(rs.randn(BB, H, 1, D).astype(np.float32))
+    fk = jnp.asarray(rs.randn(BB, H, D, 1).astype(np.float32))
+    fv = jnp.asarray(rs.randn(BB, H, D, 1).astype(np.float32))
+    seq = jnp.full((BB,), 11, jnp.int32)
+    ind = jnp.asarray(rs.randint(0, BW, (BG, BW, 16)), jnp.int32)
+    scale = 1.0 / D ** 0.5
+    ref = beam_indirect_decode_attention(
+        q, layer_kv_views(cache, 1), seq, ind, scale=scale,
+        fresh_kv=(fk, fv))
+    got = fused_decode_attention(
+        cache, 1, q, seq, scale, fresh_kv=(fk, fv), beam_indirection=ind,
+        chunk=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -375,3 +375,25 @@ def test_pallas_decode_batch2_token_exact(pipeline, monkeypatch):
                                   np.asarray(got_tokens))
     np.testing.assert_allclose(np.asarray(ref_lp), np.asarray(got_lp),
                                atol=2e-3)
+
+
+def test_beam_pallas_kernel_token_exact(pipeline, features, monkeypatch):
+    """Whisper beam search through the in-kernel cache_indirection
+    (fused_decode_attention beam mode) must reproduce the XLA beam
+    path's tokens and scores exactly (interpret on CPU)."""
+    mel, xa = features
+    cross_kv = pipeline.precompute_cross_kv(xa)
+    opts = DecodingOptions(language="en", sample_len=8, beam_size=3)
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "0")
+    ref = WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                          pipeline.cross_kv, opts)
+    ref.bind_params()
+    rt, rl, rlp, _ = ref.main_loop(xa, cross_kv)
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    pal = WhisperPipeline(CFG, pipeline.encoder, pipeline.decoder,
+                          pipeline.cross_kv, opts)
+    pal.bind_params()
+    pt, pl, plp, _ = pal.main_loop(xa, cross_kv)
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(pt))
+    np.testing.assert_array_equal(np.asarray(rl), np.asarray(pl))
+    np.testing.assert_allclose(np.asarray(rlp), np.asarray(plp), atol=2e-3)
