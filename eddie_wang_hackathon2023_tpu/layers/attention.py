@@ -192,12 +192,23 @@ class Attention(Module):
                  rotary_base: float = 10000.0,
                  tp_group=None,
                  tp_size: int = 1,
-                 multi_query_mode: bool = False):
+                 multi_query_mode: bool = False,
+                 num_kv_heads: Optional[int] = None):
         super().__init__()
         self.attention_mask_type = attention_mask_type
         self.attention_head_size = hidden_size // num_attention_heads
         self.num_attention_heads = num_attention_heads
-        self.num_attention_kv_heads = 1 if multi_query_mode else num_attention_heads
+        # MQA (1 KV head, ref multi_query_mode attention.py:120-131) and
+        # GQA (1 < num_kv_heads < H — beyond the reference, which ships
+        # MQA only) share the separate-KV QKVLinear layout and the
+        # grouped attention reads (ops.attention, _gqa kernel path)
+        if num_kv_heads is not None:
+            assert num_attention_heads % num_kv_heads == 0, \
+                (num_attention_heads, num_kv_heads)
+            self.num_attention_kv_heads = num_kv_heads
+        else:
+            self.num_attention_kv_heads = \
+                1 if multi_query_mode else num_attention_heads
         self.hidden_size = hidden_size
         self.max_position_embeddings = max_position_embeddings
         self.num_layers = num_layers
@@ -424,8 +435,19 @@ class Attention(Module):
 
             q, k = rot2d(q), rot2d(k)
         q = q.transpose(0, 2, 1, 3)                # [B,H,L,D]
-        k = k.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)                # [B,Hkv,L,D]
         v = v.transpose(0, 2, 1, 3)
+
+        kv_rep = self.num_attention_heads // self.num_attention_kv_heads
+
+        def _rep_kv(k_, v_):
+            """Materialised head repeat for kernels that need equal
+            heads (flash prefill).  The cached decode paths never call
+            this — they read the Hkv-head cache grouped/broadcast."""
+            if kv_rep == 1:
+                return k_, v_
+            return (jnp.repeat(k_, kv_rep, axis=1),
+                    jnp.repeat(v_, kv_rep, axis=1))
 
         alibi = None
         if self.position_embedding_type == PositionEmbeddingType.alibi:
@@ -484,8 +506,10 @@ class Attention(Module):
                                          kv_orig_quant_scale=kv_oq,
                                          layer_idx=pk.layer_idx)
                     assert self.attention_mask_type == AttentionMaskType.causal
+                    kf, vf = ((k, v) if self.num_attention_kv_heads <= 1
+                              else _rep_kv(k, v))
                     ctx = multihead_attention(
-                        q, k, v, bias=causal_bias(q.shape[2], k.shape[2]),
+                        q, kf, vf, bias=causal_bias(q.shape[2], k.shape[2]),
                         scale=self.scale)
                 out = self.dense(self._merge_heads(ctx))
                 return (out, pool) if use_cache else out
@@ -550,15 +574,17 @@ class Attention(Module):
                             scale=self.scale, kv_quant_orig_scale=kv_qo,
                             start_index=attention_start,
                             fresh_kv=(k_st, v_st))
-                elif _pallas_decode() and \
-                        self.num_attention_kv_heads == \
-                        self.num_attention_heads:
-                    # (MQA/GQA caches have fewer KV heads than the query —
-                    # the kernel's batched-over-heads dots assume equal H;
-                    # the XLA path below broadcasts instead)
+                elif _pallas_decode():
+                    # equal heads take the batched-over-heads kernel;
+                    # MQA/GQA routes to the grouped kernel inside
+                    # fused_decode_attention (query head groups on the
+                    # dot's row dim — no materialised head repeat)
                     from ..ops.pallas_decode_attention import \
                         fused_decode_attention
-                    proj = self._decode_proj_operands(batch=b)
+                    equal_heads = (self.num_attention_kv_heads
+                                   == self.num_attention_heads)
+                    proj = (self._decode_proj_operands(batch=b)
+                            if equal_heads else None)
                     res = fused_decode_attention(
                         full_cache, layer_idx, q, sequence_length,
                         self.scale, kv_quant_orig_scale=kv_qo,
@@ -609,8 +635,9 @@ class Attention(Module):
                     and self.attention_mask_type == AttentionMaskType.causal
                     and self.position_embedding_type
                     != PositionEmbeddingType.alibi):
+                kf, vf = _rep_kv(k, v)   # flash needs equal head counts
                 ctx = flash_mha(
-                    q, k, v,
+                    q, kf, vf,
                     causal=self.attention_mask_type == AttentionMaskType.causal,
                     scale=self.scale)
                 out = self.dense(self._merge_heads(ctx))
@@ -654,17 +681,22 @@ class Attention(Module):
             # first N positions are real (flash_mha masks the rest via
             # segment ids with no further pad copies).
             if valid_len is not None:
-                ctx = flash_mha(q, k_full, v_full, causal=is_causal,
+                kf, vf = _rep_kv(k_full, v_full)
+                ctx = flash_mha(q, kf, vf, causal=is_causal,
                                 scale=self.scale, kv_valid_len=valid_len)
-            else:
-                ctx = multihead_attention(q, k_full, v_full,
+            elif q.shape[2] < 128 or not _on_tpu():
+                kf, vf = ((k_full, v_full)
+                          if self.num_attention_kv_heads <= 1
+                          else _rep_kv(k_full, v_full))
+                ctx = multihead_attention(q, kf, vf,
                                           bias=causal_bias(q.shape[2],
                                                            k_full.shape[2])
                                           if is_causal else None,
-                                          scale=self.scale) \
-                    if q.shape[2] < 128 or not _on_tpu() else \
-                    flash_mha(q, k_full, v_full, causal=is_causal,
-                              scale=self.scale)
+                                          scale=self.scale)
+            else:
+                kf, vf = _rep_kv(k_full, v_full)
+                ctx = flash_mha(q, kf, vf, causal=is_causal,
+                                scale=self.scale)
         else:
             bias = attention_mask
             if is_causal:
@@ -673,7 +705,9 @@ class Attention(Module):
             if self.position_embedding_type == PositionEmbeddingType.alibi:
                 ab = generate_alibi_biases(slopes, k_full.shape[2])
                 bias = ab if bias is None else bias + ab
-            ctx = multihead_attention(q, k_full, v_full, bias=bias,
+            kf, vf = ((k_full, v_full) if self.num_attention_kv_heads <= 1
+                      else _rep_kv(k_full, v_full))
+            ctx = multihead_attention(q, kf, vf, bias=bias,
                                       scale=self.scale)
         out = self.dense(self._merge_heads(ctx))
 

@@ -117,7 +117,7 @@ class DecoderBlock(Module):
             rotary_base=c.rotary_base,
             apply_query_key_layer_scaling=c.apply_query_key_layer_scaling,
             use_int8_kv_cache=c.quant_mode.has_int8_kv_cache(),
-            multi_query_mode=c.num_kv_heads == 1 and c.num_heads > 1)
+            num_kv_heads=c.num_kv_heads)
         if not c.parallel_attn or c.deepnorm_alpha is not None:
             self.post_layernorm = _make_norm(c)
         if c.gated_mlp:

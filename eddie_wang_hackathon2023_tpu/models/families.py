@@ -95,10 +95,12 @@ def from_hf_gpt2(hf_sd, config: DecoderConfig) -> Dict[str, np.ndarray]:
 # -- LLaMA -------------------------------------------------------------------
 
 def llama_config(hf_cfg, dtype: str = "bfloat16", **kw) -> DecoderConfig:
+    nkv = getattr(hf_cfg, "num_key_value_heads", None)  # GQA (LLaMA-2-70B+)
     return DecoderConfig(
         vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
         num_layers=hf_cfg.num_hidden_layers,
         num_heads=hf_cfg.num_attention_heads,
+        num_kv_heads=nkv,
         ffn_hidden_size=hf_cfg.intermediate_size,
         max_position_embeddings=hf_cfg.max_position_embeddings,
         position_embedding="rope", rotary_base=getattr(hf_cfg, "rope_theta",
@@ -113,14 +115,28 @@ def from_hf_llama(hf_sd, config: DecoderConfig) -> Dict[str, np.ndarray]:
     pre = "model." if "model.embed_tokens.weight" in hf_sd else ""
     g = lambda k: _np(hf_sd[pre + k])
     h = config.num_heads
+    hkv, hd = config.num_kv_heads, config.head_dim
     per_layer = []
     for i in range(config.num_layers):
         gg = lambda k: _np(hf_sd[f"{pre}layers.{i}.{k}"])
+        if hkv == h:
+            qkv = {"attention.qkv.weight": _fuse_qkv_headmajor(
+                gg("self_attn.q_proj.weight"), gg("self_attn.k_proj.weight"),
+                gg("self_attn.v_proj.weight"), h)}
+        else:
+            # GQA: QKVLinear separate-KV layout — q [H, hd, dm] +
+            # kv [2, Hkv, hd, dm]
+            qkv = {
+                "attention.qkv.weight":
+                    gg("self_attn.q_proj.weight").reshape(h, hd, -1),
+                "attention.qkv.kv_weight": np.stack([
+                    gg("self_attn.k_proj.weight").reshape(hkv, hd, -1),
+                    gg("self_attn.v_proj.weight").reshape(hkv, hd, -1)],
+                    axis=0),
+            }
         per_layer.append({
             "input_layernorm.weight": gg("input_layernorm.weight"),
-            "attention.qkv.weight": _fuse_qkv_headmajor(
-                gg("self_attn.q_proj.weight"), gg("self_attn.k_proj.weight"),
-                gg("self_attn.v_proj.weight"), h),
+            **qkv,
             "attention.dense.weight": gg("self_attn.o_proj.weight"),
             "post_layernorm.weight": gg("post_attention_layernorm.weight"),
             # GatedMLP computes act(fc(x)) * gate(x): fc <- gate_proj

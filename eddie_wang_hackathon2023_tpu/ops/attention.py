@@ -232,7 +232,7 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
                             kv_quant_orig_scale=None,
                             causal_offset: Optional[jnp.ndarray] = None,
                             start_index=None, bias=None, fresh_kv=None,
-                            tail_kv=None):
+                            tail_kv=None, group: int = 1):
     """Masked attention of q [B,H,Lq,D] against a full-size seq-minor cache
     [B,2,H,D,S_max], attending only to positions < seq_len (+ query offset
     for Lq>1 causal prefill).
@@ -260,12 +260,31 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     the context/prefill phase.
 
     int8 KV is dequantised on the fly (ref attention.py:283-290).
+
+    MQA/GQA: a cache with fewer KV heads than the query is consumed
+    WITHOUT a materialised head repeat.  MQA (1 KV head) rides the
+    einsums' size-1 broadcast; GQA (1 < Hkv < H) folds the query head
+    groups onto the q-length axis (``group`` is the internal recursion
+    marker) — the grouped rows of one KV head share a single decode
+    token, so masks index positions by ``row % true_lq``.  ALiBi is
+    per-QUERY-head and is rejected with GQA.
     """
     b, h, lq, d = q.shape
     if isinstance(cache, tuple):
         k, v = cache        # pre-sliced seq-minor views (layer_kv_views)
     else:
         k, v = cache[:, 0], cache[:, 1]    # [B,H,D,S]
+    if group == 1 and k.shape[1] not in (h, 1):
+        g = h // k.shape[1]
+        assert g * k.shape[1] == h, (h, k.shape)
+        assert bias is None, "per-head bias (ALiBi) unsupported with GQA"
+        out = cached_decode_attention(
+            q.reshape(b, k.shape[1], g * lq, d), (k, v), seq_len,
+            scale=scale, kv_quant_orig_scale=kv_quant_orig_scale,
+            causal_offset=causal_offset, start_index=start_index,
+            bias=None, fresh_kv=fresh_kv, tail_kv=tail_kv, group=g)
+        return out.reshape(b, h, lq, d)
+    lq_t = lq // group      # true token count (== lq unless grouped)
     s_max = k.shape[3]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
@@ -281,7 +300,7 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s_max), 3)
     cache_len = jnp.reshape(seq_len, (-1, 1, 1, 1)).astype(jnp.int32)
     if fresh_kv is not None:
-        cache_len = cache_len - lq          # current tokens not in cache yet
+        cache_len = cache_len - lq_t        # current tokens not in cache yet
     if tail_kv is not None:
         cache_len = cache_len - tail_kv[2]  # tail tokens not in cache either
     valid = kpos < cache_len
@@ -289,10 +308,11 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
         # left-padded prompts: positions before start are invalid
         valid = jnp.logical_and(
             valid, kpos >= jnp.reshape(start_index, (-1, 1, 1, 1)))
-    if lq > 1 and causal_offset is not None:
+    if lq_t > 1 and causal_offset is not None:
         # causal within the freshly appended block: query row i may attend
-        # keys <= causal_offset + i (None => bidirectional prefill, e.g. GLM)
-        qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2)
+        # keys <= causal_offset + i (None => bidirectional prefill, e.g. GLM);
+        # grouped rows (GQA) share a token per ``row % lq_t``
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2) % lq_t
         offset = jnp.reshape(causal_offset, (-1, 1, 1, 1)).astype(jnp.int32)
         valid = jnp.logical_and(valid, kpos <= qpos + offset)
     # finite mask value: a fully-masked row (e.g. a left-pad query position)
@@ -305,10 +325,11 @@ def cached_decode_attention(q, cache, seq_len, scale: Optional[float] = None,
         v_f = dequantize_cache_values(v_f, kv_quant_orig_scale, q.dtype)
         s_f = jnp.einsum("bhqd,bhds->bhqs", q, k_f,
                          preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
-        if lq > 1:
+        if lq_t > 1:
             # causal among the fresh tokens themselves
-            qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lq, 1), 2)
-            fpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lq), 3)
+            qpos = jax.lax.broadcasted_iota(jnp.int32,
+                                            (1, 1, lq, 1), 2) % lq_t
+            fpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lq_t), 3)
             s_f = jnp.where(fpos <= qpos, s_f,
                             jnp.asarray(-1e30, s_f.dtype))
         if tail_kv is None:

@@ -407,6 +407,208 @@ def _beam_call(full_cache, layer_idx, q, seq_len, scale,
     return out[:, :, None, :]
 
 
+def _gqa_kernel(layer_ref, seqlen_ref, start_ref, kscale_ref, tlen_ref,
+                q_ref, kv_ref, *rest,
+                scale: float, quant: bool, with_tail: bool,
+                cdt, cs: int, n_chunks: int, s_max: int):
+    """MQA/GQA decode attention: the KV cache keeps its Hkv heads and
+    each group of rep = H//Hkv query heads rides the dot's ROW dimension
+    ([Hkv,G,D] x [Hkv,D,cs] -> [Hkv,G,cs]) — the cache is streamed once
+    with NO materialised head repeat, matching the reference masked-MHA
+    kernel's MQA handling (gptAttentionCommon.cpp:650 plumbs
+    qkv-per-head counts into one kernel).  Deferred-write decode
+    (fresh K/V required), optional K-step tail; same online-softmax
+    panel streaming as _kernel."""
+    m_ref, d_ref, acc_ref = rest[-3:]
+    o_ref = rest[-4]
+    extra = rest[:-4]
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    kscale = kscale_ref[0] if quant else 1.0
+    cache_len = seqlen_ref[b] - 1            # fresh token not in cache
+    if with_tail:
+        cache_len = cache_len - tlen_ref[0]
+    n_need = jnp.maximum(jax.lax.div(cache_len + cs - 1, cs), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, NEG, m_ref.dtype)
+        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    @pl.when(c < n_need)
+    def _chunk():
+        q = q_ref[0].astype(cdt)                           # [Hkv, G, D]
+        kv = kv_ref[0, 0]                                  # [2,Hkv,D,cs]
+        k = kv[0].astype(cdt)
+        v = kv[1].astype(cdt)
+        if s_max % cs:
+            col = c * cs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
+            v = jnp.where(col < s_max, v, 0)
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [Hkv, G, cs]
+        s = s * (scale * kscale)
+        pos = c * cs + jax.lax.broadcasted_iota(jnp.int32, (1, 1, cs), 2)
+        valid = jnp.logical_and(pos < cache_len, pos >= start_ref[b])
+        s = jnp.where(valid, s, NEG)
+        m_prev = m_ref[...]                                # [Hkv, G]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        p = jnp.where(valid, jnp.exp(s - m_new[:, :, None]), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=2)
+        pv = jax.lax.dot_general(
+            p.astype(cdt), v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [Hkv, G, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, :, None] + pv
+        m_ref[...] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        m = m_ref[...]                                     # [Hkv, G]
+        d = d_ref[...]
+        acc = acc_ref[...]                                 # [Hkv, G, D]
+        q32 = q_ref[0].astype(jnp.float32)                 # [Hkv, G, D]
+        fk_ref, fv_ref = extra[-2], extra[-1]
+        fk = fk_ref[0, :, :, 0].astype(jnp.float32)        # [Hkv, D]
+        fv = fv_ref[0, :, :, 0].astype(jnp.float32)
+        # [Hkv,G,D] x [Hkv,D,1] (contract D, batch Hkv) -> [Hkv,G]
+        s_f = jax.lax.dot_general(
+            q32, fk_ref[0].astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, :, 0] * (scale * kscale)
+        if with_tail:
+            t_ref = extra[0]                  # [Kmax,1,1,2,Hkv,D]
+            q = q_ref[0].astype(cdt)
+            tk = jnp.transpose(t_ref[:, 0, 0, 0], (1, 0, 2)).astype(cdt)
+            tv = jnp.transpose(t_ref[:, 0, 0, 1], (1, 0, 2)).astype(cdt)
+            # [Hkv,G,D] x [Hkv,K,D] (contract D, batch Hkv) -> [Hkv,G,K]
+            s_t = jax.lax.dot_general(
+                q, tk,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * (scale * kscale)
+            tpos = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 2)
+            tmask = tpos < tlen_ref[0]
+            s_t = jnp.where(tmask, s_t, NEG)
+            m_fin = jnp.maximum(jnp.maximum(m, jnp.max(s_t, axis=2)), s_f)
+            alpha = jnp.exp(m - m_fin)
+            p_t = jnp.where(tmask, jnp.exp(s_t - m_fin[:, :, None]), 0.0)
+            p_f = jnp.exp(s_f - m_fin)
+            denom = d * alpha + jnp.sum(p_t, axis=2) + p_f
+            # [Hkv,G,K] x [Hkv,K,D] (contract K, batch Hkv) -> [Hkv,G,D]
+            ctx_t = jax.lax.dot_general(
+                p_t.astype(cdt), tv,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            ctx = ((acc * alpha[:, :, None] + ctx_t) * kscale
+                   + fv[:, None, :] * (kscale * p_f)[:, :, None])
+            o_ref[0] = (ctx / denom[:, :, None]).astype(o_ref.dtype)
+            return
+        m_fin = jnp.maximum(m, s_f)
+        alpha = jnp.exp(m - m_fin)
+        p_f = jnp.exp(s_f - m_fin)                         # [Hkv, G]
+        denom = d * alpha + p_f
+        ctx = (acc * alpha[:, :, None] * kscale
+               + fv[:, None, :] * (kscale * p_f)[:, :, None])
+        o_ref[0] = (ctx / denom[:, :, None]).astype(o_ref.dtype)
+
+
+def _gqa_call(full_cache, layer_idx, q, seq_len, scale,
+              kv_quant_orig_scale, fresh_kv, start_index, tail_kv,
+              chunk, interpret):
+    """pallas_call assembly for the MQA/GQA grouped decode kernel."""
+    L, B_kv, _, HKV, D, S = full_cache.shape
+    B, H = q.shape[0], q.shape[1]
+    assert B_kv == B
+    rep = H // HKV
+    assert rep * HKV == H, (H, HKV)
+    quant = full_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
+    cs = min(chunk or _default_chunk(S), S)
+    n_chunks = -(-S // cs)
+    with_tail = tail_kv is not None
+
+    qg = q[:, :, 0, :].reshape(B, HKV, rep, D)   # heads h = kv*rep + g
+
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    seqlen_arr = jnp.broadcast_to(
+        jnp.asarray(seq_len, jnp.int32).reshape(-1), (B,))
+    if kv_quant_orig_scale is None:
+        kscale_arr = jnp.ones((1,), jnp.float32)
+    else:
+        kscale_arr = jnp.asarray(kv_quant_orig_scale,
+                                 jnp.float32).reshape(-1)[:1]
+    if start_index is None:
+        start_arr = jnp.zeros((B,), jnp.int32)
+    else:
+        start_arr = jnp.broadcast_to(
+            jnp.asarray(start_index, jnp.int32).reshape(-1), (B,))
+    if with_tail:
+        tail_arr, tail_len = tail_kv
+        tlen_arr = jnp.reshape(jnp.asarray(tail_len, jnp.int32), (1,))
+        KT = tail_arr.shape[0]
+    else:
+        tlen_arr = jnp.zeros((1,), jnp.int32)
+
+    def kv_map(b, c, lref, sref, stref, kref, tref):
+        sl = sref[b] - 1 - (tref[0] if with_tail else 0)
+        n_need = jnp.maximum(jax.lax.div(sl + cs - 1, cs), 1)
+        return (lref[0], b, 0, 0, 0, jnp.minimum(c, n_need - 1))
+
+    def q_map(b, c, *refs):
+        return (b, 0, 0, 0)
+
+    def tail_map(b, c, *refs):
+        return (0, refs[0][0], b, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, HKV, rep, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 2, HKV, D, cs), kv_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qg, full_cache]
+    if with_tail:
+        in_specs += [pl.BlockSpec((KT, 1, 1, 2, HKV, D), tail_map,
+                                  memory_space=pltpu.VMEM)]
+        args += [tail_arr]
+    fk, fv = fresh_kv
+    in_specs += [
+        pl.BlockSpec((1, HKV, D, 1), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, HKV, D, 1), q_map, memory_space=pltpu.VMEM),
+    ]
+    args += [fk, fv]
+
+    cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, HKV, rep, D), q_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((HKV, rep), jnp.float32),     # running max
+            pltpu.VMEM((HKV, rep), jnp.float32),     # running denom
+            pltpu.VMEM((HKV, rep, D), jnp.float32),  # context accumulator
+        ],
+    )
+    kernel = functools.partial(
+        _gqa_kernel, scale=float(scale), quant=quant, with_tail=with_tail,
+        cdt=cdt, cs=cs, n_chunks=n_chunks, s_max=S)
+    itemsize = full_cache.dtype.itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, HKV, rep, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * D * S // max(rep, 1),
+            bytes_accessed=2 * HKV * D * S * itemsize * B,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(layer_arr, seqlen_arr, start_arr, kscale_arr, tlen_arr, *args)
+    return out.reshape(B, H, 1, D)
+
+
 def _default_chunk(S: int) -> int:
     from ..plugin import get_plugin_config
     return get_plugin_config().get_decode_chunk(S)
@@ -489,6 +691,18 @@ def fused_decode_attention(full_cache, layer_idx, q, seq_len,
                           beam_indirection, chunk, _interp)
     L, B_kv, _, H, D, S = full_cache.shape
     B = q.shape[0]
+    if q.shape[1] != H:
+        # MQA/GQA: query heads outnumber the cache's KV heads — the
+        # grouped kernel rides each KV head's rep query heads on the
+        # dot's row dimension (no materialised head repeat; see
+        # _gqa_kernel).  Out-proj fusion is equal-heads only.
+        assert proj is None, "out-proj fusion is equal-heads only"
+        assert fresh_kv is not None, \
+            "grouped decode is deferred-write only (fresh K/V required)"
+        assert B_kv == B
+        return _gqa_call(full_cache, layer_idx, q, seq_len, scale,
+                         kv_quant_orig_scale, fresh_kv, start_index,
+                         tail_kv, chunk, _interp)
     # group-shared cache: beam/best_of rows may SHARE one audio's cross
     # KV — the cache batch divides the query batch and the index map
     # folds each query row onto its group's physical rows (the cache is

@@ -96,7 +96,9 @@ NEG = -1e30
 
 class MegakernelBlobs(NamedTuple):
     """Packed per-layer weights/params for :func:`fused_decoder_stack`."""
-    wblob: jax.Array        # [L, NPAN, d, d] int8
+    wblob: jax.Array        # [L, NPAN, d, d] int8 (int4: [L, NPAN, d/2, d]
+    #                         nibble-packed in the half-split order of
+    #                         ops.quant_matmul.quantize_weights_int4)
     pair_scale: jax.Array   # [L, NQ, HP, DL] f32
     pair_bias: jax.Array    # [L, NQ, HP, DL] f32
     flat_scale: jax.Array   # [L, NF, d] f32
@@ -104,6 +106,11 @@ class MegakernelBlobs(NamedTuple):
     ln_par: jax.Array       # [L, 2*n_ln, d] f32
     kv_oq: jax.Array        # [L] f32 (self-KV quantize scale; ones if float)
     kv_qo: jax.Array        # [L] f32 (self-KV dequantize scale)
+    # int4 group-wise scales [L, NPAN, NG, d] f32 (GPTQ-style groups
+    # along each panel's K rows, ref CUTLASS fpA_intB finer-granularity
+    # mode weightOnlyQuantMatmulPlugin.cpp:57); None for int8/float and
+    # per-out-channel int4 (those ride pair_scale/flat_scale)
+    gscale: Optional[jax.Array] = None
 
 
 def _stages(nf: int, ncs: int, ncc: int, with_cross: bool,

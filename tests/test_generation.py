@@ -293,3 +293,39 @@ def test_beam_pallas_kernel_matches_xla_path(gpt2):
     np.testing.assert_array_equal(tx, tp)
     np.testing.assert_array_equal(lx, lp)
     np.testing.assert_allclose(cx, cp, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("family,kvh", [("santacoder", 1), ("llama", 2)])
+def test_mqa_gqa_pallas_decode_token_exact(family, kvh, monkeypatch):
+    """MQA (SantaCoder) and GQA (LLaMA-2-70B-class) greedy decode through
+    the grouped Pallas kernel — with the K-step tail enabled — must match
+    the XLA path token-exactly."""
+    import torch
+    import transformers as T
+    torch.manual_seed(1)
+    if family == "santacoder":
+        cfg = T.GPTBigCodeConfig(vocab_size=97, n_positions=96, n_embd=64,
+                                 n_layer=2, n_head=4, multi_query=True)
+        hf = T.GPTBigCodeForCausalLM(cfg).eval()
+    else:
+        cfg = T.LlamaConfig(vocab_size=97, hidden_size=64,
+                            intermediate_size=172, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=kvh,
+                            max_position_embeddings=96)
+        hf = T.LlamaForCausalLM(cfg).eval()
+    model, config = build_from_hf(family, hf, dtype="float32")
+    assert config.num_kv_heads == kvh
+    mc = ModelConfig(vocab_size=97, num_layers=2, num_heads=4,
+                     hidden_size=64, max_seq_len=96, num_kv_heads=kvh)
+    sc = SamplingConfig(end_id=96, pad_id=96)
+    prompt = np.array([[5, 11, 17, 23], [96, 2, 3, 7]], dtype=np.int32)
+    lens = np.array([4, 3])
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "0")
+    a = GenerationSession(mc, model, sc)
+    tx, lx, _ = a.decode(prompt, lens, max_new_tokens=10)
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    monkeypatch.setenv("EWT_DECODE_TAIL", "4")   # exercise the tail path
+    b = GenerationSession(mc, model, sc)
+    tp, lp, _ = b.decode(prompt, lens, max_new_tokens=10)
+    np.testing.assert_array_equal(tx, tp)
+    np.testing.assert_array_equal(lx, lp)

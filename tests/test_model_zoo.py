@@ -45,6 +45,14 @@ def _hf(family):
                               num_attention_heads=HEADS,
                               max_position_embeddings=64, rotary_pct=0.25)
         return T.GPTNeoXForCausalLM(cfg).eval()
+    if family == "llama_gqa":
+        # grouped-query attention (LLaMA-2-70B/LLaMA-3 class: 1 < Hkv < H)
+        cfg = T.LlamaConfig(vocab_size=97, hidden_size=H, intermediate_size=3 * H,
+                            num_hidden_layers=L, num_attention_heads=HEADS,
+                            num_key_value_heads=2,
+                            max_position_embeddings=64,
+                            tie_word_embeddings=False)
+        return T.LlamaForCausalLM(cfg).eval()
     if family == "santacoder":
         # GPT-2 + multi-query attention (ref E/gpt/README.md SantaCoder
         # variant; HF gpt_bigcode covers SantaCoder/StarCoder)
@@ -54,11 +62,13 @@ def _hf(family):
     raise ValueError(family)
 
 
-@pytest.mark.parametrize("family", ["gpt2", "llama", "opt", "bloom", "gptj",
-                                    "gptneox", "santacoder"])
+@pytest.mark.parametrize("family", ["gpt2", "llama", "llama_gqa", "opt",
+                                    "bloom", "gptj", "gptneox",
+                                    "santacoder"])
 def test_family_matches_hf_prefill(family):
     hf = _hf(family)
-    model, config = build_from_hf(family, hf, dtype="float32")
+    model, config = build_from_hf(family.replace("_gqa", ""), hf,
+                                  dtype="float32")
     tokens = np.array([[3, 11, 25, 40, 7]], dtype=np.int32)
     with torch.no_grad():
         ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
@@ -71,10 +81,12 @@ def test_family_matches_hf_prefill(family):
                                err_msg=f"{family} prefill mismatch")
 
 
-@pytest.mark.parametrize("family", ["gpt2", "llama", "gptj", "santacoder"])
+@pytest.mark.parametrize("family", ["gpt2", "llama", "llama_gqa", "gptj",
+                                    "santacoder"])
 def test_family_incremental_matches_prefill(family):
     hf = _hf(family)
-    model, config = build_from_hf(family, hf, dtype="float32")
+    model, config = build_from_hf(family.replace("_gqa", ""), hf,
+                                  dtype="float32")
     tokens = np.array([[3, 11, 25, 40, 7, 2]], dtype=np.int32)
     cache = model.new_kv_cache(1, 64)
     full, _ = model(jnp.asarray(tokens), cache, 0, jnp.array([6]))

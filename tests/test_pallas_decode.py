@@ -378,3 +378,61 @@ def test_beam_kernel_short_indirection_padded():
         chunk=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("hkv", [1, 2])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+def test_gqa_kernel_matches_xla(hkv, dtype):
+    """MQA (1 KV head) and GQA (grouped) decode through the grouped
+    kernel vs the XLA grouped/broadcast formulation — fresh K/V, int8
+    dequant, left-pad start, multi-chunk."""
+    rs = np.random.RandomState(31)
+    cache = rs.randn(L, B, 2, hkv, D, S).astype(np.float32)
+    if dtype == jnp.int8:
+        cache = np.clip(np.round(cache * 20), -127, 127).astype(np.int8)
+    cache = jnp.asarray(cache, dtype)
+    q = jnp.asarray(rs.randn(B, H, 1, D).astype(np.float32))
+    fkv = rs.randn(2, B, hkv, D, 1).astype(np.float32)
+    if dtype == jnp.int8:
+        fkv = np.clip(np.round(fkv * 20), -127, 127).astype(np.int8)
+    fk, fv = jnp.asarray(fkv[0], dtype), jnp.asarray(fkv[1], dtype)
+    seq = jnp.asarray([9, 14], jnp.int32)
+    start = jnp.asarray([2, 0], jnp.int32)
+    kscale = 0.05 if dtype == jnp.int8 else None
+    scale = 1.0 / D ** 0.5
+    for l in range(L):
+        ref = cached_decode_attention(
+            q, layer_kv_views(cache, l), seq, scale=scale,
+            kv_quant_orig_scale=kscale, start_index=start,
+            fresh_kv=(fk, fv))
+        got = fused_decode_attention(
+            cache, l, q, seq, scale, kv_quant_orig_scale=kscale,
+            fresh_kv=(fk, fv), start_index=start, chunk=8,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("hkv", [1, 2])
+def test_gqa_kernel_tail_mode(hkv):
+    """Grouped kernel with the K-step deferred tail."""
+    rs = np.random.RandomState(37)
+    cache = jnp.asarray(rs.randn(L, B, 2, hkv, D, S).astype(np.float32))
+    q = jnp.asarray(rs.randn(B, H, 1, D).astype(np.float32))
+    fk = jnp.asarray(rs.randn(B, hkv, D, 1).astype(np.float32))
+    fv = jnp.asarray(rs.randn(B, hkv, D, 1).astype(np.float32))
+    kmax, tlen = 4, 3
+    tail = jnp.asarray(
+        rs.randn(kmax, L, B, 2, hkv, D).astype(np.float32))
+    seq = jnp.asarray([12, 15], jnp.int32)
+    scale = 1.0 / D ** 0.5
+    for l in range(L):
+        tk, tv = layer_tail_views(tail, l)
+        ref = cached_decode_attention(
+            q, layer_kv_views(cache, l), seq, scale=scale,
+            fresh_kv=(fk, fv), tail_kv=(tk, tv, tlen))
+        got = fused_decode_attention(
+            cache, l, q, seq, scale, fresh_kv=(fk, fv),
+            tail_kv=(tail, tlen), chunk=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
