@@ -117,6 +117,7 @@ class DecoderBlock(Module):
             rotary_base=c.rotary_base,
             apply_query_key_layer_scaling=c.apply_query_key_layer_scaling,
             use_int8_kv_cache=c.quant_mode.has_int8_kv_cache(),
+            use_fp8_kv_cache=c.quant_mode.has_fp8_kv_cache(),
             num_kv_heads=c.num_kv_heads)
         if not c.parallel_attn or c.deepnorm_alpha is not None:
             self.post_layernorm = _make_norm(c)
@@ -224,31 +225,26 @@ class DecoderLMHead(Module):
         if c.hidden_act not in ("gelu", "relu", "gelu_exact", "silu"):
             return False
         if c.num_kv_heads != c.num_heads:
-            return False
+            # MQA/GQA (round 5): needs head_dim 128 (one head per lane
+            # row) — SantaCoder/StarCoder/GQA-LLaMA class
+            if c.head_dim != 128 or c.num_heads % c.num_kv_heads:
+                return False
         if c.hidden_size % 128 or 128 % c.head_dim:
             return False
         b = self.blocks
-        if b.attention.use_fp8_kv_cache:
-            return False
         qkv = getattr(b.attention, "qkv", None)
         mods = [b.attention.dense, b.mlp.fc, b.mlp.proj]
         if c.gated_mlp:
             mods.append(b.mlp.gate)
         if isinstance(qkv, WeightOnlyQuantQKVLinear):
-            if qkv.bits != 8 or qkv.group_size:
-                return False
-            for m in mods:
-                if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
-                        or getattr(m, "group_size", 0) \
-                        or getattr(m, "tp_size", 1) != 1:
-                    return False
-            return True
+            from ..ops.pallas_decoder_layer import woq_block_eligible
+            return woq_block_eligible(qkv, mods, c.hidden_size)
         # plain-float block (round 4): the kernel streams bf16 panels
-        # with unit scales — QKVLinear fused weight + Linear/RowLinear
+        # with unit scales — QKVLinear (fused or separate-KV layout) +
+        # Linear/RowLinear
         from ..layers.attention import QKVLinear
         from ..layers.linear import Linear, RowLinear
-        if not isinstance(qkv, QKVLinear) or \
-                qkv.num_kv_heads != qkv.num_heads:
+        if not isinstance(qkv, QKVLinear):
             return False
         for m in mods:
             if type(m) not in (Linear, RowLinear) \
@@ -271,7 +267,7 @@ class DecoderLMHead(Module):
             state, n_layer=c.num_layers, hidden=c.hidden_size,
             n_head=c.num_heads, head_dim=c.head_dim,
             ffn=c.ffn_hidden_size, with_cross=False,
-            gated=c.gated_mlp, keys=keys)
+            gated=c.gated_mlp, n_kv_head=c.num_kv_heads, keys=keys)
 
     def forward(self, tokens, kv_cache, write_index, sequence_length,
                 attention_start=None, context_lengths=None,
@@ -360,7 +356,6 @@ class DecoderLMHead(Module):
                     <= get_plugin_config().get_megakernel_max_batch()
                     and getattr(write_index, "ndim", 0) == 0
                     and beam_indirection is None
-                    and kv_cache.dtype != jnp.float8_e4m3fn
                     and get_plugin_config().use_decode_megakernel()
                     and self.megakernel_eligible()):
                 # whole-decoder-layer megakernel (see the whisper decoder

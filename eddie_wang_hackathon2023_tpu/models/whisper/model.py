@@ -51,7 +51,8 @@ class ResidualAttentionBlock(Module):
         self.attn = Attention(
             n_state, n_head, n_ctx, bias=True, dtype=dtype,
             attention_mask_type=mask_type,
-            use_int8_kv_cache=quant_mode.has_int8_kv_cache())
+            use_int8_kv_cache=quant_mode.has_int8_kv_cache(),
+            use_fp8_kv_cache=quant_mode.has_fp8_kv_cache())
         self.cross_attention = cross_attention
         if cross_attention:
             self.cross_attn_ln = LayerNorm(n_state, dtype=dtype)
@@ -303,20 +304,12 @@ class WhisperDecoder(Module):
             return False
         if b.mlp1.out_features % c.n_text_state:
             return False
-        if b.attn.use_fp8_kv_cache:
-            return False
         qkv = getattr(b.attn, "qkv", None)
         mods = [b.attn.dense, b.cross_attn.q_linear, b.cross_attn.dense,
                 b.mlp1, b.mlp2]
         if isinstance(qkv, WeightOnlyQuantQKVLinear):
-            if qkv.bits != 8 or qkv.group_size:
-                return False
-            for m in mods:
-                if not isinstance(m, WeightOnlyQuantLinear) or m.bits != 8 \
-                        or getattr(m, "group_size", 0) \
-                        or getattr(m, "tp_size", 1) != 1:
-                    return False
-            return True
+            from ...ops.pallas_decoder_layer import woq_block_eligible
+            return woq_block_eligible(qkv, mods, c.n_text_state)
         # plain-float block: QKVLinear with fused (equal-heads) weight +
         # Linear/RowLinear everywhere, tp=1
         if not isinstance(qkv, QKVLinear) or \
@@ -368,7 +361,6 @@ class WhisperDecoder(Module):
                 <= get_plugin_config().get_megakernel_max_batch()
                 and getattr(write_index, "ndim", 0) == 0
                 and beam_indirection is None
-                and kv_cache.dtype != jnp.float8_e4m3fn
                 and get_plugin_config().use_decode_megakernel()
                 and self.megakernel_eligible()):
             # whole-decoder-layer megakernel: every layer's LN / GEMV /

@@ -189,6 +189,12 @@ class WhisperPipeline:
             return None
         if not self.decoder.megakernel_eligible():
             return None
+        from ...ops.pallas_decoder_layer import params_cross_device_sharded
+        if params_cross_device_sharded(self._params_dec):
+            # pspec-sharded TP/DP state: the megakernel is a single-core
+            # program — sharded models take the scanned path (XLA
+            # partitions its einsums over the mesh)
+            return None
         if getattr(self, "_mk_blobs", None) is None:
             from ...ops.pallas_decoder_layer import pack_decoder_blobs
             c = self.config

@@ -114,8 +114,10 @@ class MegakernelBlobs(NamedTuple):
 
 
 def _stages(nf: int, ncs: int, ncc: int, with_cross: bool,
-            gated: bool = False):
-    st = [("q",), ("k",), ("v",)]
+            gated: bool = False, grouped: bool = False):
+    # grouped (MQA/GQA): K and V are one combined zero-padded panel
+    # (2*dkv <= d always holds for rep >= 2), one stage fewer
+    st = [("q",), ("kv",)] if grouped else [("q",), ("k",), ("v",)]
     st += [("selfattn", c) for c in range(ncs)]
     st += [("dense",)]
     if with_cross:
@@ -130,23 +132,31 @@ def _stages(nf: int, ncs: int, ncc: int, with_cross: bool,
 
 
 def _panel_of(stage, nf: int, with_cross: bool,
-              gated: bool = False) -> Optional[int]:
+              gated: bool = False, grouped: bool = False) -> Optional[int]:
     kind = stage[0]
     if kind == "q":
         return 0
-    if kind == "k":
-        return 1
-    if kind == "v":
-        return 2
-    if kind == "dense":
-        return 3
-    base = 4
-    if with_cross:
-        if kind == "crossq":
-            return 4
-        if kind == "crossdense":
-            return 5
-        base = 6
+    if grouped:
+        if kind == "kv":
+            return 1
+        if kind == "dense":
+            return 2
+        base = 3
+        assert not with_cross, "grouped megakernel is decoder-only"
+    else:
+        if kind == "k":
+            return 1
+        if kind == "v":
+            return 2
+        if kind == "dense":
+            return 3
+        base = 4
+        if with_cross:
+            if kind == "crossq":
+                return 4
+            if kind == "crossdense":
+                return 5
+            base = 6
     if kind == "fc1":
         return base + stage[1]
     if kind == "fcg":
@@ -202,6 +212,53 @@ def _pick_nbuf(npan: int, panel_bytes: int) -> int:
     return min(npan, 8, max(2, _RING_BUDGET // panel_bytes))
 
 
+def params_cross_device_sharded(params) -> bool:
+    """True when any bound parameter is partitioned across >1 devices
+    (pspec-sharded TP/DP state).  The megakernel is a single-core
+    program: its pallas_call cannot be SPMD-partitioned, so a sharded
+    model must take the scanned path (whose einsums XLA partitions with
+    the usual ICI collectives).  The structural eligibility checks can't
+    see jax shardings — this runtime check closes that gap (a sharded
+    blob pack would otherwise force a full-weight allgather per step or
+    a partitioner error on the first tp>1 run)."""
+    for v in params.values():
+        sh = getattr(v, "sharding", None)
+        if sh is None:
+            continue
+        try:
+            if len(sh.device_set) > 1 and not sh.is_fully_replicated:
+                return True
+        except AttributeError:
+            continue
+    return False
+
+
+def woq_block_eligible(qkv, mods, hidden: int) -> bool:
+    """Shared WOQ eligibility check for the megakernel gates: every
+    projection uniformly int8 per-out-channel, OR uniformly int4
+    (per-out-channel or group-wise with the group dividing d — the
+    panel K axis), tp=1.  Round 5 widened this from int8-only: int4
+    panels stream HALF the HBM bytes and unpack in VMEM
+    (_weight/_kernel), the same trade the reference's CUTLASS fpA_intB
+    path makes (fpA_intB_gemm.h:53-90)."""
+    from ..quantization.layers import WeightOnlyQuantLinear
+    bits = {qkv.bits} | {getattr(m, "bits", None) for m in mods}
+    if bits not in ({8}, {4}):
+        return False
+    groups = {qkv.group_size} | {getattr(m, "group_size", None)
+                                 for m in mods}
+    if len(groups) != 1:
+        return False
+    gs = groups.pop()
+    if gs and (8 in bits or hidden % gs):
+        return False
+    for m in mods:
+        if not isinstance(m, WeightOnlyQuantLinear) \
+                or getattr(m, "tp_size", 1) != 1:
+            return False
+    return True
+
+
 def _stage_lookup(s, values):
     """values[s] for a static python list, expressed as scalar step-function
     arithmetic (index maps may not capture constant arrays)."""
@@ -235,11 +292,17 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             d: int, hp: int, dl: int, hd: int, nsub: int, nb: int,
             cs_s: int, cs_c: int, s_self: int, s_cross: int,
             scale: float, self_quant: bool, cross_quant: bool,
+            self_fp8: bool,
             with_tail: bool, kmax: int, adt, eps: float, act: str,
             norm: str = "layernorm", gated: bool = False,
             parallel: bool = False, with_rope: bool = False,
             manual: bool = False, nbuf: int = 0, npan: int = 0,
-            n_layer: int = 0):
+            n_layer: int = 0, w4: bool = False, ng: int = 0,
+            hpk: int = 0):
+    hpk = hpk or hp                  # kv pair-rows (MQA/GQA: hpk < hp)
+    rep = hp // hpk                  # query heads per kv head
+    grouped = rep > 1
+    dkv = hpk * dl
     if with_cross:
         crossc_ref = rest[0]
         rest = rest[1:]
@@ -248,6 +311,9 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         rest = rest[1:]
     if with_rope:
         rope_ref = rest[0]
+        rest = rest[1:]
+    if ng:
+        gsc_ref = rest[0]                 # [1, 1, NG, d] current panel
         rest = rest[1:]
     hid_ref, fresh_ref = rest[0], rest[1]
     if manual:
@@ -316,6 +382,18 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         return jnp.broadcast_to(a[None], (nb,) + a.shape).reshape(
             nb * a.shape[0], a.shape[1])
 
+    def rot_rows(val, nrow):
+        """Apply the per-row rotation matrix to a pair-layout
+        [NB*nrow, DL] projection (q or fresh k) — fp32 rotate, cast
+        back, matching functional.rope's dtype contract."""
+        rows = []
+        for b in range(nb):
+            rows.append(jax.lax.dot(
+                val[b * nrow:(b + 1) * nrow].astype(f32), rope_ref[b],
+                preferred_element_type=f32))
+        r = rows[0] if nb == 1 else jnp.concatenate(rows, axis=0)
+        return r.astype(adt)
+
     def ln_to_scr(row: int):
         xf = x_scr[...].astype(f32)
         if norm == "rmsnorm":
@@ -330,27 +408,40 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         ln_scr[...] = y.astype(adt)
 
     def rope_rotate(val):
-        """Apply the per-row rotation matrix ([NB, DL, DL] — positions
-        can differ per batch row under left-padding) to a pair-layout
-        [NB*HP, DL] projection (q or fresh k) — fp32 rotate, cast back,
-        matching functional.rope's dtype contract."""
-        rows = []
-        for b in range(nb):
-            rows.append(jax.lax.dot(
-                val[b * hp:(b + 1) * hp].astype(f32), rope_ref[b],
-                preferred_element_type=f32))
-        r = rows[0] if nb == 1 else jnp.concatenate(rows, axis=0)
-        return r.astype(adt)
+        """[NB, DL, DL] rotation (positions can differ per batch row
+        under left-padding) applied to the q rows [NB*HP, DL]."""
+        return rot_rows(val, hp)
 
     def _panel(c):
-        """The current stage's weight panel [d, d] (VMEM)."""
+        """The current stage's weight panel (VMEM): [d, d] int8/float,
+        or [d/2, d] nibble-packed int4."""
         if manual:
             return wbuf[_slot(0, c)]
         return w_ref[0, 0]
 
+    def _weight(c):
+        """Dequantised [d, d] panel in the activation dtype.  int4:
+        VMEM nibble unpack (the half-split concat of
+        ops.pallas_quant_matmul._kernel_int4 — half the HBM bytes of
+        int8 reach the chip) + optional group-wise scales applied per
+        K-group BEFORE the dot (weight_only_quant_matmul's grouped
+        numerics: scales don't commute through the contraction)."""
+        if not w4:
+            return _panel(c).astype(adt)
+        p = _panel(c).astype(jnp.int32)                  # [d/2, d]
+        lo = ((p << 28) >> 28).astype(adt)               # sign-extended
+        hi = ((p << 24) >> 28).astype(adt)
+        w = jnp.concatenate([lo, hi], axis=0)            # [d, d]
+        if ng:
+            gsz = d // ng
+            gs_blk = gsc_ref[0, 0]                       # [NG, d]
+            parts = [w[g * gsz:(g + 1) * gsz, :]
+                     * gs_blk[g:g + 1, :].astype(adt) for g in range(ng)]
+            w = jnp.concatenate(parts, axis=0)
+        return w
+
     def gemv(lhs, c):
-        w = _panel(c).astype(adt)                        # [d, d]
-        return jax.lax.dot(lhs, w, preferred_element_type=f32)
+        return jax.lax.dot(lhs, _weight(c), preferred_element_type=f32)
 
     def qkv_stage(slot: int, c: int):
         """q/k/v/cross-q projection: flat GEMV -> pair layout -> scale,
@@ -362,6 +453,19 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             + tile_rows(pb_ref[0, slot]).astype(adt)     # [NB*HP, DL]
         return val
 
+    def kv_stage(c: int):
+        """Grouped (MQA/GQA) combined K+V projection: one [d, d] panel
+        whose first 2*dkv out-columns hold K then V weights (packer
+        contract, rest zero); slice per slot, scale/bias, rope on K."""
+        acc = gemv(ln_scr[...], c)                       # [NB, d] f32
+        for i, slot in ((0, 1), (1, 2)):
+            part = acc[:, i * dkv:(i + 1) * dkv].reshape(nb * hpk, dl)
+            val = (part * tile_rows(ps_ref[0, slot, :hpk])).astype(adt) \
+                + tile_rows(pb_ref[0, slot, :hpk]).astype(adt)
+            if i == 0 and with_rope:
+                val = rot_rows(val, hpk)
+            store_fresh(i, val)
+
     def store_fresh(slot: int, val):
         """Quantize exactly as ops.attention.cast_kv_for_cache and keep
         the stored values (f32) for the in-kernel fresh contribution."""
@@ -372,6 +476,14 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
                          -128, 127)
             fresh_ref[0, slot] = q.astype(fresh_ref.dtype)
             tgt[...] = q
+        elif self_fp8:
+            # fp8 e4m3 KV (ref QuantMode.FP8_KV_CACHE): IEEE-saturating
+            # cast; the scratch keeps the POST-cast value so the fresh
+            # contribution matches a write-then-read exactly
+            scaled = val.astype(f32) * kvoq_ref[l]
+            q = scaled.astype(jnp.float8_e4m3fn)
+            fresh_ref[0, slot] = q
+            tgt[...] = q.astype(f32)
         else:
             fresh_ref[0, slot] = val.astype(fresh_ref.dtype)
             tgt[...] = val.astype(f32)
@@ -385,7 +497,7 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             kscale = cscale_ref[l] if cross_quant else 1.0
             cache_len = smax                      # cross attends all cols
         else:
-            kscale = kvqo_ref[l] if self_quant else 1.0
+            kscale = kvqo_ref[l] if (self_quant or self_fp8) else 1.0
             cache_len = slen_ref[0] - 1           # fresh token not in cache
             if with_tail:
                 cache_len = cache_len - tlen_ref[0]
@@ -399,6 +511,42 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
 
         @pl.when(c < n_need)
         def _compute():
+            if grouped and not is_cross:
+                # MQA/GQA (nsub==1): per kv head, the rep query rows of
+                # its group ride the dot's row dimension — the cache
+                # keeps hpk rows and is streamed once, no head repeat
+                pos2 = c * cs + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, cs), 1)
+                for b in range(nb):
+                    o = b * hp
+                    kp = cache[b, 0].astype(adt)        # [hpk, dl, cs]
+                    vp = cache[b, 1].astype(adt)
+                    if smax % cs:
+                        col3 = c * cs + jax.lax.broadcasted_iota(
+                            jnp.int32, (hpk, dl, cs), 2)
+                        vp = jnp.where(col3 < smax, vp, 0)
+                    valid2 = jnp.logical_and(pos2 < cache_len,
+                                             pos2 >= start_ref[b])
+                    for gk in range(hpk):
+                        r0, r1 = o + gk * rep, o + (gk + 1) * rep
+                        q2 = q_scr[r0:r1, 0, :]         # [rep, dl]
+                        sc = jax.lax.dot(q2, kp[gk],
+                                         preferred_element_type=f32)
+                        sc = jnp.where(valid2, sc * (scale * kscale), NEG)
+                        m_prev = m_scr[r0:r1, 0:1]      # [rep, 1]
+                        m_new = jnp.maximum(
+                            m_prev, jnp.max(sc, axis=1, keepdims=True))
+                        p = jnp.where(valid2, jnp.exp(sc - m_new), 0.0)
+                        alpha = jnp.exp(m_prev - m_new)
+                        d_scr[r0:r1, 0:1] = d_scr[r0:r1, 0:1] * alpha \
+                            + jnp.sum(p, axis=1, keepdims=True)
+                        pv = jax.lax.dot_general(
+                            p.astype(adt), vp[gk],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=f32)  # [rep, dl]
+                        ctx_scr[r0:r1] = ctx_scr[r0:r1] * alpha + pv
+                        m_scr[r0:r1, 0:1] = m_new
+                return
             col = None
             if smax % cs:
                 col = c * cs + jax.lax.broadcasted_iota(
@@ -443,6 +591,54 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
                     ctx_scr[...] = jnp.where(
                         tile_rows(sub_masks[u]),
                         ctx_scr[...] * (kscale / du), ctx_scr[...])
+            elif grouped:
+                # MQA/GQA finalize: fresh K/V (and tail) live at hpk
+                # rows; each kv head's rep query rows share them
+                for b in range(nb):
+                    o, ok = b * hp, b * hpk
+                    for gk in range(hpk):
+                        r0, r1 = o + gk * rep, o + (gk + 1) * rep
+                        qf = q_scr[r0:r1, 0, :].astype(f32)   # [rep, dl]
+                        kf = kf_scr[ok + gk:ok + gk + 1]      # [1, dl]
+                        pvf = vf_scr[ok + gk:ok + gk + 1]
+                        sf = jnp.sum(qf * kf, axis=1,
+                                     keepdims=True) * (scale * kscale)
+                        m = m_scr[r0:r1, 0:1]
+                        du = d_scr[r0:r1, 0:1]
+                        if with_tail:
+                            t = tail_ref[:, 0, b]      # [Kmax, 2, hpk, dl]
+                            tk = t[:, 0, gk].astype(adt)      # [Kmax, dl]
+                            tv = t[:, 1, gk].astype(adt)
+                            qa = q_scr[r0:r1, 0, :]           # [rep, dl]
+                            st = jax.lax.dot_general(
+                                qa, tk,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)   # [rep, Kmax]
+                            tmask = jax.lax.broadcasted_iota(
+                                jnp.int32, (1, kmax), 1) < tlen_ref[0]
+                            st = jnp.where(tmask, st * (scale * kscale),
+                                           NEG)
+                            m_fin = jnp.maximum(jnp.maximum(
+                                m, jnp.max(st, axis=1, keepdims=True)), sf)
+                            alpha = jnp.exp(m - m_fin)
+                            p_t = jnp.where(tmask, jnp.exp(st - m_fin), 0.0)
+                            pf = jnp.exp(sf - m_fin)
+                            denom = du * alpha + \
+                                jnp.sum(p_t, axis=1, keepdims=True) + pf
+                            ctx_t = jax.lax.dot(
+                                p_t.astype(adt), tv,
+                                preferred_element_type=f32)   # [rep, dl]
+                            ctx_new = ((ctx_scr[r0:r1] * alpha + ctx_t)
+                                       * kscale + pvf * (kscale * pf)) \
+                                / denom
+                        else:
+                            m_fin = jnp.maximum(m, sf)
+                            alpha = jnp.exp(m - m_fin)
+                            pf = jnp.exp(sf - m_fin)
+                            denom = du * alpha + pf
+                            ctx_new = (ctx_scr[r0:r1] * alpha * kscale
+                                       + pvf * (kscale * pf)) / denom
+                        ctx_scr[r0:r1] = ctx_new
             else:
                 # fresh-token contribution (the deferred-write decode
                 # contract of pallas_decode_attention with_fresh), plus
@@ -499,7 +695,7 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         """Attention out-projection from the pair-layout context: per-pair
         [1, DL] x [DL, d] dots (the proven fused-epilogue pattern), then
         scale/bias/residual, then the next LayerNorm."""
-        wbf = _panel(c).astype(adt)                      # [d, d]
+        wbf = _weight(c)                                 # [d, d]
         ctx = ctx_scr[...].astype(adt)                   # [NB*HP, DL]
         rows = []
         for b in range(nb):
@@ -564,7 +760,7 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
 
     for i, stage in enumerate(stages):
         kind = stage[0]
-        cpan = _panel_of(stage, nf, with_cross, gated)
+        cpan = _panel_of(stage, nf, with_cross, gated, grouped)
 
         def body(stage=stage, kind=kind, cpan=cpan, first=(i == 0)):
             if manual and cpan is not None:
@@ -588,6 +784,8 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
                 store_fresh(0, rope_rotate(kv) if with_rope else kv)
             elif kind == "v":
                 store_fresh(1, qkv_stage(2, cpan))
+            elif kind == "kv":
+                kv_stage(cpan)
             elif kind == "selfattn":
                 attn_chunk(stage[1], is_cross=False)
             elif kind == "dense":
@@ -645,7 +843,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     [L, 2, H, D] when NB==1 else [L, NB, 2, H, D] — seq-minor values for
     ops.attention.write_fresh_kv / write_tail_kv).
     """
-    L, b_kv, _, H, D, S = self_cache.shape
+    L, b_kv, _, HKV, D, S = self_cache.shape
     nb = x.shape[0]
     assert b_kv == nb, "cache batch must match the token batch"
     assert nb <= 8, \
@@ -654,16 +852,31 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         "take the scanned path (PluginConfig.get_megakernel_max_batch)"
     assert D == head_dim
     d = x.shape[1]
+    H = d // D
     assert H * D == d and d % 128 == 0 and 128 % D == 0
+    rep = H // HKV                     # MQA/GQA: query heads per kv head
+    assert rep * HKV == H, (H, HKV)
+    grouped = rep > 1
     nsub = 128 // D
+    assert not grouped or nsub == 1, \
+        "MQA/GQA megakernel requires head_dim 128 (one head per lane " \
+        "row — SantaCoder/StarCoder/GQA-LLaMA class); other head dims " \
+        "take the scanned path"
     hp, dl = (H * D) // 128, 128
+    hpk = (HKV * D) // 128             # kv pair-rows (== hp when equal)
     with_cross = cross_cache is not None
+    assert not (grouped and with_cross), "grouped megakernel is decoder-only"
 
     assert not (with_cross and gated), "no gated cross-attn decoder exists"
     npan = blobs.wblob.shape[1]
-    nf = (npan - (6 if with_cross else 4)) // (3 if gated else 2)
+    base = 3 if grouped else (6 if with_cross else 4)
+    nf = (npan - base) // (3 if gated else 2)
     ffn = nf * d
     with_rope = rope_mat is not None
+    prow = blobs.wblob.shape[2]          # d (int8/float) or d/2 (int4)
+    w4 = prow == d // 2
+    assert w4 or prow == d, (prow, d)
+    ng = blobs.gscale.shape[2] if blobs.gscale is not None else 0
 
     from ..plugin import get_plugin_config
     cfg = get_plugin_config()
@@ -695,7 +908,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     manual = wstream == "manual"
     nbuf = 0
     if manual:
-        panel_bytes = d * d * blobs.wblob.dtype.itemsize
+        panel_bytes = prow * d * blobs.wblob.dtype.itemsize
         if 2 * panel_bytes > _RING_HARD_CAP:
             # even a double-buffered ring overflows VMEM (bf16 panels at
             # d >= 4096): take the BlockSpec pipeline, which streams one
@@ -704,10 +917,10 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         else:
             nbuf = _pick_nbuf(npan, panel_bytes)
 
-    stages = _stages(nf, ncs, ncc, with_cross, gated)
-    wpan = _hold_next([_panel_of(st, nf, with_cross, gated)
+    stages = _stages(nf, ncs, ncc, with_cross, gated, grouped)
+    wpan = _hold_next([_panel_of(st, nf, with_cross, gated, grouped)
                        for st in stages])
-    first_self = 3
+    first_self = 2 if grouped else 3
     self_cmap = []
     for i, st in enumerate(stages):
         if st[0] == "selfattn":
@@ -731,10 +944,12 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
 
     adt = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
     self_quant = self_cache.dtype == jnp.int8
-    cross_quant = with_cross and cross_cache.dtype == jnp.int8
+    self_fp8 = self_cache.dtype == jnp.float8_e4m3fn
+    cross_quant = with_cross and cross_cache.dtype in (jnp.int8,
+                                                       jnp.float8_e4m3fn)
 
     # pair views of the caches — free reinterpretations (same bytes)
-    selfc = self_cache.reshape(L, nb, 2, hp, dl, S)
+    selfc = self_cache.reshape(L, nb, 2, hpk, dl, S)
     if with_cross:
         crossc = cross_cache.reshape(L, nb, 2, hp, dl, Sc)
 
@@ -758,14 +973,14 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     if with_tail:
         tail_arr, tail_len = tail_kv
         kmax = tail_arr.shape[0]
-        tail_pair = tail_arr.reshape(kmax, L, nb, 2, hp, dl)
+        tail_pair = tail_arr.reshape(kmax, L, nb, 2, hpk, dl)
         tlen_arr = jnp.reshape(jnp.asarray(tail_len, jnp.int32), (1,))
     else:
         kmax = 0
         tlen_arr = jnp.zeros((1,), jnp.int32)
     ones_l = jnp.ones((L,), jnp.float32)
-    kvoq = blobs.kv_oq if self_quant else ones_l
-    kvqo = blobs.kv_qo if self_quant else ones_l
+    kvoq = blobs.kv_oq if (self_quant or self_fp8) else ones_l
+    kvqo = blobs.kv_qo if (self_quant or self_fp8) else ones_l
     cscale = (jnp.asarray(cross_scale, jnp.float32).reshape(-1)
               if cross_quant and cross_scale is not None else ones_l)
 
@@ -806,7 +1021,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     in_specs = [
         pl.BlockSpec((nb, d), x_map, memory_space=pltpu.VMEM),
         (pl.BlockSpec(memory_space=pl.ANY) if manual else
-         pl.BlockSpec((1, 1, d, d), w_map, memory_space=pltpu.VMEM)),
+         pl.BlockSpec((1, 1, prow, d), w_map, memory_space=pltpu.VMEM)),
         pl.BlockSpec((1,) + blobs.pair_scale.shape[1:], aux4_map,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + blobs.pair_bias.shape[1:], aux4_map,
@@ -817,7 +1032,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + blobs.ln_par.shape[1:], aux3_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nb, 2, hp, dl, cs_s), self_map,
+        pl.BlockSpec((1, nb, 2, hpk, dl, cs_s), self_map,
                      memory_space=pltpu.VMEM),
     ]
     args = [x.astype(adt), blobs.wblob, blobs.pair_scale, blobs.pair_bias,
@@ -827,7 +1042,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                                      memory_space=pltpu.VMEM))
         args.append(crossc)
     if with_tail:
-        in_specs.append(pl.BlockSpec((kmax, 1, nb, 2, hp, dl), tail_map,
+        in_specs.append(pl.BlockSpec((kmax, 1, nb, 2, hpk, dl), tail_map,
                                      memory_space=pltpu.VMEM))
         args.append(tail_pair)
     if with_rope:
@@ -840,14 +1055,20 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
                                      lambda l, s, *refs: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(rope_arr)
+    if ng:
+        # current panel's int4 group scales ride the stage-indexed
+        # BlockSpec pipeline (small: NG*d f32 per panel)
+        in_specs.append(pl.BlockSpec((1, 1, ng, d), w_map,
+                                     memory_space=pltpu.VMEM))
+        args.append(blobs.gscale)
 
     out_shapes = (
         jax.ShapeDtypeStruct((nb, d), adt),
-        jax.ShapeDtypeStruct((L, 2, nb * hp, dl), self_cache.dtype),
+        jax.ShapeDtypeStruct((L, 2, nb * hpk, dl), self_cache.dtype),
     )
     out_specs = (
         pl.BlockSpec((nb, d), x_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, nb * hp, dl), fresh_map,
+        pl.BlockSpec((1, 2, nb * hpk, dl), fresh_map,
                      memory_space=pltpu.VMEM),
     )
 
@@ -855,8 +1076,8 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         pltpu.VMEM((nb, d), adt),         # x (residual stream)
         pltpu.VMEM((nb, d), adt),         # current LN output
         pltpu.VMEM((nb * hp, 1, dl), adt),  # q (pair layout, per-b blocks)
-        pltpu.VMEM((nb * hp, dl), jnp.float32),  # fresh k (stored values)
-        pltpu.VMEM((nb * hp, dl), jnp.float32),  # fresh v
+        pltpu.VMEM((nb * hpk, dl), jnp.float32),  # fresh k (stored values)
+        pltpu.VMEM((nb * hpk, dl), jnp.float32),  # fresh v
         pltpu.VMEM((nb * hp, nsub), jnp.float32),  # softmax running max
         pltpu.VMEM((nb * hp, nsub), jnp.float32),  # softmax running denom
         pltpu.VMEM((nb * hp, dl), jnp.float32),    # context accumulator
@@ -865,7 +1086,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     ]
     if manual:
         scratch_shapes += [
-            pltpu.VMEM((nbuf, d, d), blobs.wblob.dtype),  # panel ring
+            pltpu.VMEM((nbuf, prow, d), blobs.wblob.dtype),  # panel ring
             pltpu.SemaphoreType.DMA((nbuf,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -879,12 +1100,13 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
         _kernel, stages=stages, nf=nf, ncs=ncs, ncc=ncc,
         with_cross=with_cross, d=d, hp=hp, dl=dl, hd=D, nsub=nsub, nb=nb,
         cs_s=cs_s, cs_c=cs_c, s_self=S, s_cross=Sc, scale=float(scale),
-        self_quant=self_quant, cross_quant=cross_quant,
+        self_quant=self_quant, cross_quant=cross_quant, self_fp8=self_fp8,
         with_tail=with_tail, kmax=kmax, adt=adt, eps=float(eps), act=act,
         norm=norm, gated=gated, parallel=parallel, with_rope=with_rope,
-        manual=manual, nbuf=nbuf, npan=npan, n_layer=L)
-    weight_bytes = L * npan * d * d
-    cache_bytes = nb * (L * 2 * d * S * self_cache.dtype.itemsize
+        manual=manual, nbuf=nbuf, npan=npan, n_layer=L, w4=w4, ng=ng,
+        hpk=hpk)
+    weight_bytes = L * npan * prow * d
+    cache_bytes = nb * (L * 2 * HKV * D * S * self_cache.dtype.itemsize
                         + (L * 2 * d * Sc * cross_cache.dtype.itemsize
                            if with_cross else 0))
     hid, fresh = pl.pallas_call(
@@ -900,7 +1122,7 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seqlen_arr, start_arr, tlen_arr, kvoq, kvqo, cscale, *args)
-    fresh = fresh.reshape(L, 2, nb, H, D)
+    fresh = fresh.reshape(L, 2, nb, HKV, D)
     if nb == 1:
         return hid, fresh[:, :, 0]
     # [L, NB, 2, H, D] — the per-batch seq-minor fresh kv contract of
@@ -925,6 +1147,7 @@ DECODER_KEYS = dict(qkv="attention.qkv", dense="attention.dense",
 def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
                        n_head: int, head_dim: int, ffn: int,
                        with_cross: bool, gated: bool = False,
+                       n_kv_head: Optional[int] = None,
                        keys: Optional[dict] = None) -> MegakernelBlobs:
     """Build the megakernel blobs from a stacked block state dict (keys
     as produced by ``stack_parameter_shapes``; WOQ-int8 after surgery:
@@ -949,6 +1172,11 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
     """
     L, d = n_layer, hidden
     hp, dl = d // 128, 128
+    n_kv_head = n_kv_head or n_head
+    grouped_heads = n_kv_head != n_head     # MQA/GQA combined-kv panel
+    dkv = n_kv_head * head_dim
+    if grouped_heads:
+        assert not with_cross and head_dim == 128 and 2 * dkv <= d
     # ffn is zero-padded up to the next multiple of d (LLaMA's 11008 on
     # d=4096 etc.) — numerically exact: act(0)=0 for gelu/relu/silu,
     # gated 0*0=0, and padded fc2 in-rows contribute nothing
@@ -984,27 +1212,63 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
         """K-major [L, in, out] view of a plain Linear weight [L, out, in]."""
         return jnp.swapaxes(g(key + ".weight"), -1, -2)
 
+    # int4 blocks (ops.quant_matmul.quantize_weights_int4 half-split
+    # nibble packing): the per-MATRIX packing interleaves rows K/2 apart,
+    # which crosses the [d, d] panel boundaries — unpack to int8 here
+    # (this runs once at session setup), slice panels, and re-pack each
+    # panel in ITS OWN half-split order for the in-kernel unpack.
+    bits4 = quantized and \
+        state[kk["qkv"] + ".qweight"].shape[-2] == d // 2
+    grouped4 = bits4 and \
+        jnp.asarray(state[kk["qkv"] + ".per_channel_scale"]).ndim == 3
+
+    def maybe_unpack(w):                  # [L, K(/2), N] -> [L, K, N] int8
+        if not bits4:
+            return w
+        lo = ((w << 4).astype(jnp.int8) >> 4)
+        hi = (w >> 4).astype(jnp.int8)
+        return jnp.concatenate([lo, hi], axis=1)
+
     def ones_or_scale(key, shape):
-        if quantized:
+        if quantized and not grouped4:
             return g(key + ".per_channel_scale").astype(f32)
         return jnp.ones(shape, f32)
 
+    def pad_panel_cols(w):     # [L, d, c] -> [L, d, d] zero-pad
+        return w if w.shape[2] == d else jnp.pad(
+            w, ((0, 0), (0, 0), (0, d - w.shape[2])))
+
     if quantized:
-        qkv_w = g(kk["qkv"] + ".qweight")               # [L, d, 3d]
-        qkv_panels = [qkv_w[:, :, 0:d], qkv_w[:, :, d:2 * d],
-                      qkv_w[:, :, 2 * d:]]
-        dense_p = g(kk["dense"] + ".qweight")
-        fc1 = pad_cols(g(kk["fc1"] + ".qweight"))       # [L, d, pffn]
-        fc2 = pad_rows(g(kk["fc2"] + ".qweight"))       # [L, pffn, d]
+        qkv_w = maybe_unpack(g(kk["qkv"] + ".qweight"))
+        if grouped_heads:              # [L, d, d+2*dkv]: q | k | v cols
+            qkv_panels = [qkv_w[:, :, 0:d],
+                          pad_panel_cols(qkv_w[:, :, d:])]
+        else:                          # [L, d, 3d]
+            qkv_panels = [qkv_w[:, :, 0:d], qkv_w[:, :, d:2 * d],
+                          qkv_w[:, :, 2 * d:]]
+        dense_p = maybe_unpack(g(kk["dense"] + ".qweight"))
+        fc1 = pad_cols(maybe_unpack(g(kk["fc1"] + ".qweight")))
+        fc2 = pad_rows(maybe_unpack(g(kk["fc2"] + ".qweight")))
         if gated:
-            gate = pad_cols(g(kk["gate"] + ".qweight"))
+            gate = pad_cols(maybe_unpack(g(kk["gate"] + ".qweight")))
         if with_cross:
-            crossq_p = g(kk["crossq"] + ".qweight")
-            crossd_p = g(kk["crossdense"] + ".qweight")
+            crossq_p = maybe_unpack(g(kk["crossq"] + ".qweight"))
+            crossd_p = maybe_unpack(g(kk["crossdense"] + ".qweight"))
     else:
-        # head-major [L, 3, H, D, d] -> three K-major [L, d, d] panels
-        qkv_hm = g(kk["qkv"] + ".weight").reshape(L, 3, d, d)
-        qkv_panels = [jnp.swapaxes(qkv_hm[:, i], -1, -2) for i in range(3)]
+        if grouped_heads:
+            # separate q [L, H, hd, dm] + kv [L, 2, Hkv, hd, dm] ->
+            # K-major q panel and combined zero-padded kv panel
+            qw = jnp.swapaxes(g(kk["qkv"] + ".weight").reshape(L, d, d),
+                              -1, -2)
+            kvw = jnp.swapaxes(
+                g(kk["qkv"] + ".kv_weight").reshape(L, 2 * dkv, d),
+                -1, -2)                       # [L, d, 2*dkv]
+            qkv_panels = [qw, pad_panel_cols(kvw)]
+        else:
+            # head-major [L, 3, H, D, d] -> three K-major [L, d, d] panels
+            qkv_hm = g(kk["qkv"] + ".weight").reshape(L, 3, d, d)
+            qkv_panels = [jnp.swapaxes(qkv_hm[:, i], -1, -2)
+                          for i in range(3)]
         dense_p = km(kk["dense"])
         fc1 = pad_cols(km(kk["fc1"]))                   # [L, d, pffn]
         fc2 = pad_rows(km(kk["fc2"]))                   # [L, pffn, d]
@@ -1022,17 +1286,81 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
         panels += [gate[:, :, j * d:(j + 1) * d] for j in range(nf)]
     panels += [fc2[:, j * d:(j + 1) * d, :] for j in range(nf)]
     wblob = jnp.stack(panels, axis=1)
+    if bits4:
+        # re-pack each [d, d] panel half-split along its own K rows
+        lo = wblob[:, :, :d // 2, :] & 0xF
+        hi = (wblob[:, :, d // 2:, :] & 0xF) << 4
+        wblob = (lo | hi).astype(jnp.int8)   # [L, NPAN, d/2, d]
 
-    qkv_s = ones_or_scale(kk["qkv"], (L, 3 * d))        # [L, 3d]
-    qkv_b = zeros_like_or(kk["qkv"] + ".bias",
-                          (L, 3, n_head, head_dim)).reshape(L, 3 * d)
-    pair_s = [qkv_s[:, 0:d], qkv_s[:, d:2 * d], qkv_s[:, 2 * d:]]
-    pair_b = [qkv_b[:, 0:d], qkv_b[:, d:2 * d], qkv_b[:, 2 * d:]]
+    gscale = None
+    if grouped4:
+        # per-panel group scales [L, NPAN, NG, d]: every panel has K=d
+        # rows, so the per-matrix [K/gs, N] arrays slice cleanly — qkv/
+        # fc1 by out-columns, fc2 by K-group rows
+        qkv_gs = g(kk["qkv"] + ".per_channel_scale").astype(f32)
+        ng = qkv_gs.shape[1]                 # groups per d K-rows
+
+        def pad_gs_cols(s):                  # [L, NG, ffn] -> [L, NG, pffn]
+            return s if pffn == ffn else jnp.concatenate(
+                [s, jnp.ones((L, ng, pffn - ffn), f32)], axis=2)
+
+        def pad_gs_rows(s):                  # [L, ffn/gs, d] -> [L, pffn/gs, d]
+            tgt = nf * ng                    # groups per panel x panels
+            return s if s.shape[1] == tgt else jnp.concatenate(
+                [s, jnp.ones((L, tgt - s.shape[1], d), f32)], axis=1)
+
+        if grouped_heads:
+            kv_gs = qkv_gs[:, :, d:]
+            kv_gs = kv_gs if kv_gs.shape[2] == d else jnp.concatenate(
+                [kv_gs, jnp.ones((L, ng, d - kv_gs.shape[2]), f32)],
+                axis=2)
+            gsp = [qkv_gs[:, :, 0:d], kv_gs]
+        else:
+            gsp = [qkv_gs[:, :, 0:d], qkv_gs[:, :, d:2 * d],
+                   qkv_gs[:, :, 2 * d:]]
+        gsp += [g(kk["dense"] + ".per_channel_scale").astype(f32)]
+        if with_cross:
+            gsp += [g(kk["crossq"] + ".per_channel_scale").astype(f32),
+                    g(kk["crossdense"] + ".per_channel_scale").astype(f32)]
+        fc1_gs = pad_gs_cols(g(kk["fc1"] + ".per_channel_scale").astype(f32))
+        gsp += [fc1_gs[:, :, j * d:(j + 1) * d] for j in range(nf)]
+        if gated:
+            gate_gs = pad_gs_cols(
+                g(kk["gate"] + ".per_channel_scale").astype(f32))
+            gsp += [gate_gs[:, :, j * d:(j + 1) * d] for j in range(nf)]
+        fc2_gs = pad_gs_rows(g(kk["fc2"] + ".per_channel_scale").astype(f32))
+        gsp += [fc2_gs[:, j * ng:(j + 1) * ng, :] for j in range(nf)]
+        gscale = jnp.stack(gsp, axis=1)      # [L, NPAN, NG, d]
+
+    def to_pair(p):                # [L, d or dkv] -> [L, hp, dl]
+        r = p.reshape(L, -1, dl)
+        if r.shape[1] < hp:
+            r = jnp.concatenate(
+                [r, jnp.zeros((L, hp - r.shape[1], dl), r.dtype)], axis=1)
+        return r
+
+    if grouped_heads:
+        out_total = d + 2 * dkv
+        qkv_s = ones_or_scale(kk["qkv"], (L, out_total))
+        q_b = zeros_like_or(kk["qkv"] + ".bias",
+                            (L, n_head, head_dim)).reshape(L, d)
+        kv_b = zeros_like_or(kk["qkv"] + ".kv_bias",
+                             (L, 2, n_kv_head, head_dim)).reshape(
+                                 L, 2 * dkv)
+        pair_s = [qkv_s[:, 0:d], qkv_s[:, d:d + dkv],
+                  qkv_s[:, d + dkv:]]
+        pair_b = [q_b, kv_b[:, :dkv], kv_b[:, dkv:]]
+    else:
+        qkv_s = ones_or_scale(kk["qkv"], (L, 3 * d))        # [L, 3d]
+        qkv_b = zeros_like_or(kk["qkv"] + ".bias",
+                              (L, 3, n_head, head_dim)).reshape(L, 3 * d)
+        pair_s = [qkv_s[:, 0:d], qkv_s[:, d:2 * d], qkv_s[:, 2 * d:]]
+        pair_b = [qkv_b[:, 0:d], qkv_b[:, d:2 * d], qkv_b[:, 2 * d:]]
     if with_cross:
         pair_s.append(ones_or_scale(kk["crossq"], (L, d)))
         pair_b.append(zeros_like_or(kk["crossq"] + ".bias", (L, d)))
-    pair_scale = jnp.stack([p.reshape(L, hp, dl) for p in pair_s], axis=1)
-    pair_bias = jnp.stack([p.reshape(L, hp, dl) for p in pair_b], axis=1)
+    pair_scale = jnp.stack([to_pair(p) for p in pair_s], axis=1)
+    pair_bias = jnp.stack([to_pair(p) for p in pair_b], axis=1)
 
     flat_s = [ones_or_scale(kk["dense"], (L, d))]
     flat_b = [zeros_like_or(kk["dense"] + ".bias", (L, d))]
@@ -1068,4 +1396,4 @@ def pack_decoder_blobs(state: dict, *, n_layer: int, hidden: int,
         kv_oq = kv_qo = jnp.ones((L,), f32)
 
     return MegakernelBlobs(wblob, pair_scale, pair_bias, flat_scale,
-                           flat_bias, ln_par, kv_oq, kv_qo)
+                           flat_bias, ln_par, kv_oq, kv_qo, gscale)

@@ -86,20 +86,27 @@ class WeightOnlyQuantRowLinear(WeightOnlyQuantLinear):
 
 class WeightOnlyQuantQKVLinear(Module):
     """Quantised fused-QKV projection (head-major).  qweight [in, 3*H*hd]
-    K-major int8 (int4: [in/2, 3*H*hd]); scales [3*H*hd]."""
+    K-major int8 (int4: [in/2, 3*H*hd]); scales [3*H*hd].
+
+    MQA/GQA (num_kv_heads < num_heads — round 5): one fused qweight
+    [in, (H + 2*Hkv)*hd] with the out-columns ordered q | k | v, so the
+    GEMM stays a single MXU dispatch; bias splits into ``bias`` [H, hd]
+    + ``kv_bias`` [2, Hkv, hd] mirroring QKVLinear's separate-KV layout
+    (so float<->quantised state keys line up)."""
 
     def __init__(self, hidden_size: int, num_heads: int, num_kv_heads: int,
                  head_dim: int, bias: bool = True, dtype=None, bits: int = 8,
                  group_size: int = 0):
         super().__init__()
-        assert num_kv_heads == num_heads, \
-            "quantised MQA/GQA qkv not implemented yet"
+        assert num_heads % num_kv_heads == 0, (num_heads, num_kv_heads)
         self.num_heads = num_heads
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
         self.bits = bits
         self.group_size = group_size if bits == 4 else 0
-        out = 3 * num_heads * head_dim
+        equal = num_kv_heads == num_heads
+        out = ((3 * num_heads if equal else num_heads + 2 * num_kv_heads)
+               * head_dim)
         k = hidden_size if bits == 8 else hidden_size // 2
         self.qweight = Parameter(shape=(k, out), dtype="int8",
                                  pspec=P(None, TP_AXIS))
@@ -111,17 +118,34 @@ class WeightOnlyQuantQKVLinear(Module):
             self.per_channel_scale = Parameter(shape=(out,), dtype="float32",
                                                pspec=P(TP_AXIS))
         if bias:
-            self.bias = Parameter(shape=(3, num_heads, head_dim), dtype=dtype,
-                                  pspec=P(None, TP_AXIS, None))
+            if equal:
+                self.bias = Parameter(shape=(3, num_heads, head_dim),
+                                      dtype=dtype,
+                                      pspec=P(None, TP_AXIS, None))
+            else:
+                self.bias = Parameter(shape=(num_heads, head_dim),
+                                      dtype=dtype, pspec=P(TP_AXIS, None))
+                self.kv_bias = Parameter(shape=(2, num_kv_heads, head_dim),
+                                         dtype=dtype)
         else:
             self.register_parameter("bias", None)
+            if not equal:
+                self.register_parameter("kv_bias", None)
 
     def forward(self, x):
         b, l, _ = x.shape
+        h, hk, hd = self.num_heads, self.num_kv_heads, self.head_dim
         out = weight_only_quant_matmul(x, self.qweight.value,
                                        self.per_channel_scale.value,
                                        bits=self.bits)
-        qkv = out.reshape(b, l, 3, self.num_heads, self.head_dim)
+        if hk == h:
+            qkv = out.reshape(b, l, 3, h, hd)
+            if self.bias is not None:
+                qkv = qkv + self.bias.value.astype(qkv.dtype)
+            return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = out[..., :h * hd].reshape(b, l, h, hd)
+        kv = out[..., h * hd:].reshape(b, l, 2, hk, hd)
         if self.bias is not None:
-            qkv = qkv + self.bias.value.astype(qkv.dtype)
-        return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q = q + self.bias.value.astype(q.dtype)
+            kv = kv + self.kv_bias.value.astype(kv.dtype)
+        return q, kv[:, :, 0], kv[:, :, 1]

@@ -85,7 +85,10 @@ def weight_only_quantize(model: Module,
             continue
         replaced = None
         if isinstance(child, QKVLinear):
-            lead = tuple(child.weight._shape[:-4])
+            # fused weight [*lead, 3, H, hd, in] vs separate-KV (MQA/GQA)
+            # q weight [*lead, H, hd, in]
+            wdim = 4 if child.num_kv_heads == child.num_heads else 3
+            lead = tuple(child.weight._shape[:-wdim])
             hidden = child.weight._shape[-1]
             replaced = _relayer(
                 WeightOnlyQuantQKVLinear(hidden, child.num_heads,
@@ -285,11 +288,23 @@ def quantize_state_dict(model: Module, state: Dict[str, np.ndarray],
         if isinstance(mod, WeightOnlyQuantQKVLinear):
             key = f"{path}.weight"
             w = np.asarray(out.pop(key), np.float32)
-            # [*lead, 3, H, hd, in] -> [*lead, 3*H*hd, in]
-            lead_ndim = w.ndim - 4
-            lead = w.shape[:lead_ndim]
-            three, h, hd, in_f = w.shape[lead_ndim:]
-            w2 = w.reshape(lead + (three * h * hd, in_f))
+            if mod.num_kv_heads != mod.num_heads:
+                # separate-KV (MQA/GQA): fuse q [*, H, hd, in] +
+                # kv [*, 2, Hkv, hd, in] into one [*, (H+2Hkv)*hd, in]
+                # out-row block (layer contract: q | k | v columns)
+                kv = np.asarray(out.pop(f"{path}.kv_weight"), np.float32)
+                lead_ndim = w.ndim - 3
+                lead = w.shape[:lead_ndim]
+                in_f = w.shape[-1]
+                w2 = np.concatenate(
+                    [w.reshape(lead + (-1, in_f)),
+                     kv.reshape(lead + (-1, in_f))], axis=-2)
+            else:
+                # [*lead, 3, H, hd, in] -> [*lead, 3*H*hd, in]
+                lead_ndim = w.ndim - 4
+                lead = w.shape[:lead_ndim]
+                three, h, hd, in_f = w.shape[lead_ndim:]
+                w2 = w.reshape(lead + (three * h * hd, in_f))
             q, s = _quantize_stacked(w2, lead_ndim, bits,
                                      group_size=mod.group_size)
             out[f"{path}.qweight"] = q

@@ -89,10 +89,15 @@ class GenerationSession:
         # (ops/pallas_decoder_layer.py) — built once here, rides the
         # decode jit as an arg
         self._mk_blobs = None
+        from ..ops.pallas_decoder_layer import params_cross_device_sharded
         from ..plugin import get_plugin_config
         if get_plugin_config().use_decode_megakernel() and \
                 getattr(self.model, "megakernel_eligible",
-                        lambda: False)():
+                        lambda: False)() and \
+                not params_cross_device_sharded(self._params):
+            # pspec-sharded TP/DP params take the scanned path: the
+            # megakernel's pallas_call is a single-core program the SPMD
+            # partitioner cannot split (see params_cross_device_sharded)
             self._mk_blobs = jax.jit(self.model.megakernel_blobs)(
                 self._params)
 

@@ -175,11 +175,20 @@ def test_megakernel_tail_mode(int8_kv):
 
 
 def test_megakernel_ineligible_falls_back():
-    """int4 group-wise quantisation must decline the megakernel (the
-    kernel streams int8/float [d, d] panels only)."""
+    """int4 became megakernel-ELIGIBLE in round 5 (nibble-packed panels,
+    VMEM unpack); a group size that does not divide d must still
+    decline (the panel K axis carries whole groups)."""
     qm = QuantMode.use_weight_only(use_int4_weights=True)
     dec, _ = _decoder(qm)
-    assert not dec.megakernel_eligible()
+    assert dec.megakernel_eligible()
+    # NON-UNIFORM group resolution must decline: group 512 divides the
+    # 1024-wide mlp2 in-features but not the 256-wide qkv (which falls
+    # back to per-channel) -> mixed granularities across the block
+    with plugin_config(int4_group_size=512):
+        dec2, _ = _decoder(qm)
+        assert dec2.blocks.mlp2.group_size == 512
+        assert dec2.blocks.attn.qkv.group_size == 0
+        assert not dec2.megakernel_eligible()
 
 
 @pytest.mark.parametrize("int8_cross", [False, True])
@@ -648,3 +657,262 @@ def test_manual_stream_prime_npan_token_exact():
     np.testing.assert_allclose(np.asarray(mk_logits),
                                np.asarray(ref_logits),
                                rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("group", [0, 64])
+def test_megakernel_int4_matches_scan_step(group):
+    """int4 blocks through the megakernel (nibble-packed panels, VMEM
+    unpack, per-out-channel OR group-wise scales) must match the scanned
+    XLA int4 path — logits and cache write."""
+    with plugin_config(int4_group_size=group):
+        qm = QuantMode.use_weight_only(use_int4_weights=True)
+        dec, sd = _decoder(qm)
+        assert dec.megakernel_eligible()
+        cross = _cross_kv(True)
+        blobs = _pack(dec, sd)
+        assert blobs.wblob.shape[2] == CFG.n_text_state // 2
+        assert (blobs.gscale is not None) == bool(group)
+
+        prompt = jnp.asarray([[3, 7, 11, 2, 9]], jnp.int32)
+        plen = prompt.shape[1]
+        cache = dec.new_kv_cache(1)
+        logits_p, cache = dec(prompt, cache, cross, 0,
+                              jnp.asarray([plen], jnp.int32))
+        tok = jnp.argmax(logits_p[:, -1:], axis=-1).astype(jnp.int32)
+        seqlen = jnp.asarray([plen + 1], jnp.int32)
+
+        with plugin_config(decode_megakernel=False,
+                           int4_group_size=group):
+            ref_logits, ref_cache = dec(tok, cache, cross, plen, seqlen)
+        with plugin_config(decode_megakernel=True,
+                           int4_group_size=group):
+            mk_logits, mk_cache = dec(tok, cache, cross, plen, seqlen,
+                                      megakernel_blobs=blobs)
+        np.testing.assert_allclose(np.asarray(mk_logits),
+                                   np.asarray(ref_logits),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(mk_cache),
+                                   np.asarray(ref_cache),
+                                   rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_int4_gated_decoder_tokens():
+    """int4 group-wise + gated MLP (LLaMA-class) multi-step greedy
+    token parity megakernel vs scan."""
+    import jax.numpy as jnp
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        weight_only_quantize_state)
+    with plugin_config(int4_group_size=64):
+        cfg = DecoderConfig(vocab_size=96, hidden_size=128, num_layers=2,
+                            num_heads=2, ffn_hidden_size=3 * 128,
+                            position_embedding="rope", norm="rmsnorm",
+                            hidden_act="silu", gated_mlp=True,
+                            attn_bias=False, mlp_bias=False,
+                            dtype="float32",
+                            quant_mode=QuantMode.use_weight_only(True))
+        model = DecoderLMHead(cfg)
+        model.random_init(jax.random.PRNGKey(7), 0.05)
+        sd = model.state_dict()
+        model2 = DecoderLMHead(cfg)
+        model2, sd = weight_only_quantize_state(model2, sd, cfg.quant_mode)
+        model2.load_state_dict(sd, strict=False)
+        assert model2.megakernel_eligible()
+        blobs = model2.megakernel_blobs(sd)
+
+        def run(flag):
+            with plugin_config(decode_megakernel=flag, int4_group_size=64):
+                cache = model2.new_kv_cache(1, 32)
+                prompt = jnp.asarray([[5, 9, 2]], jnp.int32)
+                logits, cache = model2(prompt, cache, 0,
+                                       jnp.asarray([3], jnp.int32))
+                toks = []
+                tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+                for i in range(3, 7):
+                    toks.append(int(tok[0, 0]))
+                    logits, cache = model2(
+                        tok, cache, i, jnp.asarray([i + 1], jnp.int32),
+                        megakernel_blobs=blobs if flag else None)
+                    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+                return toks
+
+        assert run(False) == run(True)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("kvh,heads", [(1, 2), (2, 4)])
+def test_megakernel_mqa_gqa_matches_scan(quant, kvh, heads):
+    """MQA/GQA megakernel (head_dim-128 families: SantaCoder/StarCoder/
+    GQA-LLaMA): combined zero-padded kv panel + per-kv-group attention
+    must match the scanned path — float and WOQ-int8, logits + cache."""
+    import jax.numpy as jnp
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+        weight_only_quantize_state)
+    qm = QuantMode.use_weight_only() if quant else QuantMode(0)
+    cfg = DecoderConfig(vocab_size=96, hidden_size=128 * heads,
+                        num_layers=2, num_heads=heads, num_kv_heads=kvh,
+                        ffn_hidden_size=2 * 128 * heads,
+                        position_embedding="rope",
+                        dtype="float32", quant_mode=qm)
+    model = DecoderLMHead(cfg)
+    model.random_init(jax.random.PRNGKey(5), 0.05)
+    sd = model.state_dict()
+    if quant:
+        model2 = DecoderLMHead(cfg)
+        model2, sd = weight_only_quantize_state(model2, sd, qm)
+        model2.load_state_dict(sd, strict=False)
+        model = model2
+    assert model.megakernel_eligible()
+    blobs = model.megakernel_blobs(sd)
+
+    prompt = jnp.asarray([[5, 9, 2, 7]], jnp.int32)
+    plen = prompt.shape[1]
+    cache = model.new_kv_cache(1, 32)
+    assert cache.shape[3] == kvh
+    logits, cache = model(prompt, cache, 0, jnp.asarray([plen], jnp.int32))
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    seqlen = jnp.asarray([plen + 1], jnp.int32)
+    with plugin_config(decode_megakernel=False):
+        ref_logits, ref_cache = model(tok, cache, plen, seqlen)
+    with plugin_config(decode_megakernel=True):
+        mk_logits, mk_cache = model(tok, cache, plen, seqlen,
+                                    megakernel_blobs=blobs)
+    np.testing.assert_allclose(np.asarray(mk_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mk_cache), np.asarray(ref_cache),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_mqa_multistep_with_tail():
+    """MQA megakernel across several steps with the K-step deferred tail
+    (token-exact vs scan)."""
+    import jax.numpy as jnp
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    cfg = DecoderConfig(vocab_size=96, hidden_size=256, num_layers=2,
+                        num_heads=2, num_kv_heads=1,
+                        ffn_hidden_size=512, position_embedding="learned",
+                        dtype="float32")
+    model = DecoderLMHead(cfg)
+    model.random_init(jax.random.PRNGKey(9), 0.05)
+    blobs = model.megakernel_blobs(model.state_dict())
+
+    from eddie_wang_hackathon2023_tpu.ops.attention import (merge_tail_kv,
+                                                            new_tail_kv)
+
+    def run(flag):
+        with plugin_config(decode_megakernel=flag):
+            cache = model.new_kv_cache(1, 32)
+            prompt = jnp.asarray([[5, 9, 2]], jnp.int32)
+            logits, cache = model(prompt, cache, 0,
+                                  jnp.asarray([3], jnp.int32))
+            tail = new_tail_kv(cache, 4)
+            toks = []
+            tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            for i, step in enumerate(range(3, 7)):
+                toks.append(int(tok[0, 0]))
+                logits, _, tail = model(
+                    tok, cache, step, jnp.asarray([step + 1], jnp.int32),
+                    kv_tail=tail, tail_len=jnp.asarray(i, jnp.int32),
+                    megakernel_blobs=blobs if flag else None)
+                tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            cache = merge_tail_kv(cache, tail, 3)
+            return toks, np.asarray(cache)
+
+    t0, c0 = run(False)
+    t1, c1 = run(True)
+    assert t0 == t1
+    np.testing.assert_allclose(c1, c0, rtol=2e-4, atol=2e-3)
+
+
+def test_megakernel_fp8_kv_matches_scan():
+    """fp8-e4m3 KV cache through the megakernel (IEEE-saturating cast in
+    store_fresh, scale-on-read) vs the scanned path: logits close, cache
+    writes BIT-exact (same cast)."""
+    import jax.numpy as jnp
+    from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
+                                                             DecoderLMHead)
+    qm = QuantMode(0).set_fp8_kv_cache()
+    cfg = DecoderConfig(vocab_size=96, hidden_size=128, num_layers=2,
+                        num_heads=2, ffn_hidden_size=256,
+                        position_embedding="learned", dtype="float32",
+                        quant_mode=qm)
+    model = DecoderLMHead(cfg)
+    model.random_init(jax.random.PRNGKey(3), 0.05)
+    sd = model.state_dict()
+    sd["blocks.attention.kv_orig_quant_scale"] = \
+        np.full((cfg.num_layers, 1), 4.0, np.float32)
+    sd["blocks.attention.kv_quant_orig_scale"] = \
+        np.full((cfg.num_layers, 1), 0.25, np.float32)
+    model.load_state_dict(sd, strict=False)
+    assert model.megakernel_eligible()
+    blobs = model.megakernel_blobs(sd)
+
+    prompt = jnp.asarray([[5, 9, 2, 7]], jnp.int32)
+    plen = prompt.shape[1]
+    cache = model.new_kv_cache(1, 32)
+    assert cache.dtype == jnp.float8_e4m3fn
+    logits, cache = model(prompt, cache, 0, jnp.asarray([plen], jnp.int32))
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    seqlen = jnp.asarray([plen + 1], jnp.int32)
+    with plugin_config(decode_megakernel=False):
+        ref_logits, ref_cache = model(tok, cache, plen, seqlen)
+    with plugin_config(decode_megakernel=True):
+        mk_logits, mk_cache = model(tok, cache, plen, seqlen,
+                                    megakernel_blobs=blobs)
+    np.testing.assert_allclose(np.asarray(mk_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(mk_cache).view(np.uint8),
+        np.asarray(ref_cache).view(np.uint8))
+
+
+def test_megakernel_deterministic_fallback_on_sharded_params():
+    """A pspec-sharded (tp>1 mesh) model must deterministically take the
+    scanned path: the megakernel is a single-core pallas_call the SPMD
+    partitioner cannot split.  Asserts (a) the gate refuses to build
+    blobs for sharded params, (b) replicated single-device params still
+    build them, (c) sharded decode output matches unsharded."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import transformers as T
+    from eddie_wang_hackathon2023_tpu.models.families import build_from_hf
+    from eddie_wang_hackathon2023_tpu.ops.pallas_decoder_layer import (
+        params_cross_device_sharded)
+    from eddie_wang_hackathon2023_tpu.parallel import Mapping, shard_state
+    from eddie_wang_hackathon2023_tpu.runtime import (GenerationSession,
+                                                      ModelConfig,
+                                                      SamplingConfig)
+    torch.manual_seed(0)
+    cfg = T.GPT2Config(vocab_size=96, n_positions=64, n_embd=128, n_layer=2,
+                       n_head=4)
+    hf = T.GPT2LMHeadModel(cfg).eval()
+    model, config = build_from_hf("gpt2", hf, dtype="float32")
+    mc = ModelConfig(vocab_size=96, num_layers=2, num_heads=4,
+                     hidden_size=128, max_seq_len=64)
+    sc = SamplingConfig(end_id=95, pad_id=95)
+    prompt = np.asarray([[5, 11, 17, 23]], np.int32)
+
+    with plugin_config(decode_megakernel=True):
+        a = GenerationSession(mc, model, sc)
+        a.setup()
+        assert a._mk_blobs is not None          # replicated: blobs built
+        tu, lu, _ = a.decode(prompt, np.asarray([4]), max_new_tokens=8)
+
+        mapping = Mapping(world_size=2, tp_size=2,
+                          devices=jax.devices("cpu")[:2])
+        sharded = shard_state(model.state_dict(), model.pspecs(),
+                              mapping.mesh)
+        assert params_cross_device_sharded(sharded)
+        b = GenerationSession(mc, model, sc)
+        b.setup(sharded)
+        assert b._mk_blobs is None              # sharded: scanned path
+        ts, ls, _ = b.decode(prompt, np.asarray([4]), max_new_tokens=8)
+    np.testing.assert_array_equal(tu, ts)
+    np.testing.assert_array_equal(lu, ls)
