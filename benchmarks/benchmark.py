@@ -22,6 +22,9 @@ MODELS = {
     # round-4 megakernel family extension's A/B targets
     "llama_7b": (32, 4096, 32, 32000),
     "llama_1b": (16, 2048, 16, 32000),
+    # SantaCoder-class MQA (gpt_bigcode: head_dim 128, 1 KV head) — the
+    # round-5 grouped megakernel / grouped decode-kernel A/B target
+    "santacoder_1b": (24, 2048, 16, 49152),
 }
 LLAMA_FFN = {4096: 11008, 2048: 5504}
 LLAMA_KW = dict(position_embedding="rope", norm="rmsnorm", norm_eps=1e-6,
@@ -65,6 +68,8 @@ def main():
     fam_kw = {}
     if args.model.startswith("llama_") and args.model != "llama_7b_shape":
         fam_kw = dict(LLAMA_KW, ffn_hidden_size=LLAMA_FFN[hidden])
+    elif args.model.startswith("santacoder"):
+        fam_kw = dict(num_kv_heads=1)
     config = DecoderConfig(vocab_size=vocab, hidden_size=hidden,
                            num_layers=layers, num_heads=heads,
                            max_position_embeddings=max(2048, max_len),
@@ -89,7 +94,8 @@ def main():
         qstate = smooth_quantize_state_dict(model, state, qmode)
         model.load_state_dict(qstate, strict=False)
     mc = ModelConfig(vocab_size=vocab, num_layers=layers, num_heads=heads,
-                     hidden_size=hidden, max_seq_len=max(2048, max_len))
+                     hidden_size=hidden, max_seq_len=max(2048, max_len),
+                     num_kv_heads=config.num_kv_heads)
     # end_id outside vocab => decode never stops early (pure throughput)
     sess = GenerationSession(mc, model, SamplingConfig(end_id=-1, pad_id=0))
     rs = np.random.RandomState(0)

@@ -40,14 +40,10 @@ def main():
     p.add_argument("--mixed", action="store_true",
                    help="mixed context+generation tick (admission prefill "
                         "chunks ride the decode step program)")
-    p.add_argument("--async_depth", type=int, default=0,
-                   help="pipeline depth: dispatch tick N+1 before consuming "
-                        "tick N's tokens (host work overlaps device compute)")
     p.add_argument("--beam", type=int, default=0,
                    help="per-request beam width (beam-enabled manager)")
     p.add_argument("--matrix", action="store_true",
-                   help="sweep (dense|paged) x (greedy|top_p=0.9) "
-                        "x (sync|async)")
+                   help="sweep (dense|paged) x (greedy|top_p=0.9)")
     args = p.parse_args()
 
     import jax
@@ -72,16 +68,13 @@ def main():
     model = DecoderLMHead(config)
     model.zeros_init()
 
-    cells = ([(pg, tp, ad) for pg in (False, True) for tp in (0.0, 0.9)
-              for ad in (0, 1)]
-             if args.matrix else [(args.paged, args.top_p, args.async_depth)])
-    for paged, top_p, adepth in cells:
-        run_cell(args, model, vocab, paged, top_p, args.mixed, adepth,
-                 args.beam)
+    cells = ([(pg, tp) for pg in (False, True) for tp in (0.0, 0.9)]
+             if args.matrix else [(args.paged, args.top_p)])
+    for paged, top_p in cells:
+        run_cell(args, model, vocab, paged, top_p, args.mixed, args.beam)
 
 
-def run_cell(args, model, vocab, paged, top_p, mixed=False, async_depth=0,
-             beam=0):
+def run_cell(args, model, vocab, paged, top_p, mixed=False, beam=0):
     import numpy as np
     import time
     from eddie_wang_hackathon2023_tpu.runtime.batch_manager import (
@@ -114,7 +107,6 @@ def run_cell(args, model, vocab, paged, top_p, mixed=False, async_depth=0,
     sc = (SamplingConfig(end_id=-1, pad_id=0, temperature=0.8, top_p=top_p)
           if top_p > 0 else SamplingConfig(end_id=-1, pad_id=0))
     if beam > 1:
-        async_depth = 0      # beam serving is synchronous (manager guard)
         sc = SamplingConfig(end_id=-1, pad_id=0, num_beams=beam)
         for r in queue:
             r.sampling = sc
@@ -123,7 +115,7 @@ def run_cell(args, model, vocab, paged, top_p, mixed=False, async_depth=0,
         max_batch_size=args.max_batch_size, max_seq_len=args.max_seq_len,
         steps_per_tick=args.steps_per_tick,
         paged=paged, tokens_per_block=args.tokens_per_block,
-        mixed_admission=mixed, async_depth=async_depth,
+        mixed_admission=mixed,
         max_beam_width=max(beam, 1),
         get_inference_requests=pull,
         send_response=push)
@@ -150,7 +142,6 @@ def run_cell(args, model, vocab, paged, top_p, mixed=False, async_depth=0,
           f"sampling {'top_p' + str(top_p) if top_p > 0 else 'greedy'} "
           f"steps_per_tick {args.steps_per_tick} "
           f"admission {'mixed' if mixed else 'prefill'} "
-          f"async_depth {async_depth} "
           f"beam {beam} "
           f"requests {len(done)} total_new_tokens {toks} wall_s {dt:.2f} "
           f"req_per_s {len(done) / dt:.2f} tokens_per_sec {toks / dt:.2f} "

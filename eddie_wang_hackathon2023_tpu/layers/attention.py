@@ -554,7 +554,9 @@ class Attention(Module):
                     # streamed once per beam GROUP with the row map as
                     # lane masks.  The XLA formulation stays as the
                     # fallback for MQA/GQA caches.
+                    from ..plugin import get_plugin_config
                     if _pallas_decode() and \
+                            get_plugin_config().use_beam_pallas() and \
                             self.num_attention_kv_heads == \
                             self.num_attention_heads:
                         from ..ops.pallas_decode_attention import \

@@ -101,6 +101,13 @@ class PluginConfig:
     # tests, `EWT_MK_MAX_BATCH` opt-in) for latency-bound small-batch
     # deployments; adopt only with a device A/B at that batch size.
     megakernel_max_batch: Optional[int] = None
+    # beam decode through the fused Pallas kernel's in-kernel
+    # cache_indirection (_beam_kernel: panels streamed once per beam
+    # GROUP, row map applied as lane masks — the reference masked-MHA
+    # kernel composes the indirection the same way,
+    # gptAttentionCommon.cpp:650) vs the XLA masked cross-beam-score
+    # formulation.  None = on wherever pallas_decode applies
+    beam_pallas: Optional[bool] = None
     # materialise the fused QKV projection's flat [B,L,3*H*D] result
     # (optimization_barrier) before the head split in context/prefill
     # calls, so XLA emits the GEMM in a well-tiled N-minor layout instead
@@ -180,6 +187,14 @@ class PluginConfig:
         if self.megakernel_max_batch is not None:
             return min(self.megakernel_max_batch, 8)
         return 1
+
+    def use_beam_pallas(self) -> bool:
+        v = os.environ.get("EWT_BEAM_PALLAS")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        if self.beam_pallas is not None:
+            return self.beam_pallas
+        return True
 
     def use_qkv_flat_barrier(self) -> bool:
         v = os.environ.get("EWT_QKV_BARRIER")

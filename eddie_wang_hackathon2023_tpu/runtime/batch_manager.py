@@ -169,7 +169,7 @@ class ContinuousBatchingManager:
                  mixed_admission: bool = False,
                  chunk_width: int = 16,
                  max_beam_width: int = 1,
-                 async_depth: int = 0):
+                 ):
         self.model = model
         self.sc = sampling_config
         self.B = max_batch_size
@@ -244,7 +244,15 @@ class ContinuousBatchingManager:
         self._bad_words = np.zeros((self.B, self.NW, self.MW), np.int32)
         self._bad_lens = np.zeros((self.B, self.NW), np.int32)
         self._stop_words: Dict[int, List[List[int]]] = {}
-        self._tail_len = max(self.MW - 1, 1)
+        # device-side stop tables (fixed-shape, like the reference's
+        # stop_words tensors): let the beam scan freeze a stopped beam
+        # IN-STEP; the host lists above stay authoritative for arbitrary
+        # word sizes on the per-tick paths
+        self._stopw = np.zeros((self.B, self.NW, self.MW), np.int32)
+        self._stopl = np.zeros((self.B, self.NW), np.int32)
+        # the rolling tail must hold a FULL stop word (MW) for in-scan
+        # matching, not just the MW-1 bad-word prefix
+        self._tail_len = max(self.MW, 1)
         # device-resident penalty counts + ban-window tail, carried through
         # the jitted programs (never round-tripped to host).  One row per
         # physical cache row (slots x beams)
@@ -286,24 +294,13 @@ class ContinuousBatchingManager:
         self._step_fn = jax.jit(self._step_impl,
                                 donate_argnums=(1, 3, 4))
 
-        # -- async pipelining (ref GptManager's decoupled scheduler):
-        # with async_depth >= 1, tick N+1 is DISPATCHED before tick N's
-        # tokens are fetched, overlapping host scheduling/response work
-        # with device compute (the synchronous loop pays device_time +
-        # host_rtt per tick; pipelined pays max of the two).  Token-exact:
-        # the speculative tick feeds on the device-resident pending tokens
-        # (the same values the host would push), finished slots' extra
-        # speculative tokens are discarded at consume time, and admissions
-        # join one tick later.  0 = synchronous (exact current semantics).
-        self.async_depth = max(0, async_depth)
-        if self.async_depth:
-            if mixed_admission or self.W > 1:
-                raise NotImplementedError(
-                    "async_depth currently supports the plain sampling "
-                    "step (no mixed admission, no beams)")
-        self._inflight: List[tuple] = []
-        self._pending_dev = None          # device [B] pending tokens
-        self._disp_len = np.zeros((self.B,), np.int32)   # dispatcher's view
+        # (An ``async_depth`` speculative-dispatch mode — tick N+1
+        # dispatched before tick N's tokens were fetched — was built in
+        # round 3, LOST its round-4 device A/B (245 vs 336 tok/s on v5e:
+        # steps_per_tick already amortises the host round trip, and the
+        # speculative chain serialised an extra device dependency per
+        # tick), and was DELETED in round 5 per the adopt-or-delete
+        # discipline.  Raise steps_per_tick to hide host latency.)
 
     # -- jitted programs ---------------------------------------------------
 
@@ -453,7 +450,7 @@ class ContinuousBatchingManager:
     def _beam_step_impl(self, params, cache, table, counts, tail, ind,
                         pending, cum, fins, live, is_sampled, lengths,
                         gen_lens, active, dp_rows, end_slot, rng,
-                        ctx_lens=None):
+                        stopw, stopl, ctx_lens=None):
         """steps_per_tick beam/sampling steps for all slots in ONE program.
 
         pending [B, W] this tick's not-yet-written tokens; lengths [B]
@@ -526,6 +523,19 @@ class ContinuousBatchingManager:
                 grow.reshape(rows)[:, None]
             tail = jnp.concatenate(
                 [tail[:, 1:], tok.reshape(rows)[:, None]], axis=1)
+            # in-scan stop words: a beam whose (reordered) tail now ends
+            # with one of its slot's stop words freezes IMMEDIATELY — the
+            # next step's beam_search_step keeps it with frozen scores,
+            # so multi-step ticks never expand a stopped beam (this
+            # replaced the steps_per_tick=1 restriction)
+            from .sampling import match_stop_words
+            stopm = match_stop_words(
+                tail, self._tail_len - 1,
+                jnp.repeat(stopw, W, axis=0),
+                jnp.repeat(stopl, W, axis=0)).reshape(B, W)
+            fin = jnp.logical_or(
+                fin, jnp.logical_and(
+                    stopm, jnp.logical_and(active[:, None], live)))
             # next pending lands at position ``lens`` -> own physical row
             ind = update_indirection(ind, parent,
                                      jnp.where(active, lens, -1))
@@ -777,17 +787,28 @@ class ContinuousBatchingManager:
             self._bad_lens[slot, i] = len(w)
         self._stop_words[slot] = [list(w)
                                   for w in (sc.stop_words_list or [])]
+        self._stopw[slot] = 0
+        self._stopl[slot] = 0
+        for i, w in enumerate((sc.stop_words_list or [])[:self.NW]):
+            w = list(w)[:self.MW]
+            self._stopw[slot, i, :len(w)] = w
+            self._stopl[slot, i] = len(w)
 
     def _admit(self, req: InferenceRequest, slot: int) -> None:
         if self.W > 1:
             sc = req.sampling or self.sc
-            if getattr(sc, "num_beams", 1) > 1 and \
-                    sc.stop_words_list and self.steps_per_tick > 1:
-                raise NotImplementedError(
-                    "stop words on beam requests need steps_per_tick=1 "
-                    "(host-side stop detection is per tick; a multi-step "
-                    "scan would expand a stopped beam before the device "
-                    "learns it)")
+            # stop words on beams are matched IN-SCAN against the rolling
+            # device tail (round 5 — the per-tick host detection used to
+            # force steps_per_tick=1); only the fixed device-table
+            # capacity remains, a buffer bound like the reference's
+            # fixed-shape stop_words tensors
+            if getattr(sc, "num_beams", 1) > 1 and sc.stop_words_list \
+                    and self.steps_per_tick > 1 and \
+                    any(len(w) > self.MW for w in sc.stop_words_list):
+                raise ValueError(
+                    f"beam stop words longer than max_bad_word_len "
+                    f"({self.MW}) need steps_per_tick=1 or a larger "
+                    f"word buffer")
             self._admit_beam(req, slot)
             return
         prompt = np.asarray(req.input_ids, np.int32).reshape(1, -1)
@@ -850,12 +871,6 @@ class ContinuousBatchingManager:
         self.slot_request[slot] = req
         self.slot_output[slot] = []
         tok = int(next_tok)
-        if self.async_depth:
-            # reconcile the dispatcher's view: the slot's pending token and
-            # length join the NEXT dispatched tick
-            self._disp_len[slot] = p + 1
-            if self._pending_dev is not None:
-                self._pending_dev = self._pending_dev.at[slot].set(tok)
         self._push_token(slot, tok)
 
     def _admit_beam(self, req: InferenceRequest, slot: int) -> None:
@@ -1146,6 +1161,7 @@ class ContinuousBatchingManager:
             jnp.asarray(self._is_sampled), jnp.asarray(lengths),
             jnp.asarray(gen_lens), jnp.asarray(active),
             self._decode_params_rows(), jnp.asarray(self._end_ids), rng,
+            jnp.asarray(self._stopw), jnp.asarray(self._stopl),
             jnp.asarray(self._ctx_lens))
         if self.paged:
             self.pool = new_cache
@@ -1276,8 +1292,6 @@ class ContinuousBatchingManager:
             # one mixed context+generation step: prompts advance a chunk,
             # every decode slot still produces its token this tick
             return self._mixed_tick()
-        if self.async_depth:
-            return self._async_step()
         active, lengths, last_tokens = self.sched.state()
         if not active.any():
             return 0
@@ -1331,32 +1345,6 @@ class ContinuousBatchingManager:
                 flags = self._push_token(slot, int(next_np[slot, k]))
                 if flags & FINISHED:
                     live[slot] = False
-
-    def _async_step(self) -> int:
-        """Pipelined tick: dispatch first, then consume ticks beyond the
-        pipeline depth — the fetch of tick N overlaps the device running
-        tick N+1 (VERDICT r2 weak#7: the synchronous loop serialises a
-        host round trip behind every steps_per_tick tokens)."""
-        active, _, last_tokens = self.sched.state()
-        dispatched = False
-        if active.any():
-            if self._pending_dev is None:
-                self._pending_dev = jnp.asarray(last_tokens)
-                self._disp_len = self.sched.state()[1].copy()
-            lengths_d = self._disp_len.copy()
-            toks = self._dispatch_tick(active, lengths_d, self._pending_dev)
-            # the device already holds next tick's pending tokens — no
-            # host round trip on the dispatch path
-            self._pending_dev = toks[:, -1]
-            self._disp_len = lengths_d + np.where(
-                active, self.steps_per_tick, 0).astype(np.int32)
-            self._inflight.append(
-                (toks, active.copy(), list(self.slot_request.items())))
-            dispatched = True
-        target = self.async_depth if dispatched else 0
-        while len(self._inflight) > target:
-            self._consume_tick(*self._inflight.pop(0))
-        return self.sched.num_active + (0 if not self._inflight else 1)
 
     def run(self, max_ticks: int = 1_000_000) -> None:
         """Drive until queues drain (ref GptManager event loop)."""

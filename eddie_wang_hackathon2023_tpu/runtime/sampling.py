@@ -289,19 +289,38 @@ def ban_bad_words(logits, tokens, cur, words, word_lens):
 
 def match_stop_words(tokens, cur, words, word_lens):
     """[B] bool: sequence (valid through position ``cur`` inclusive) ends
-    with any stop word (ref stop-criteria kernels)."""
+    with any stop word (ref stop-criteria kernels).
+
+    words: [N, M] shared across rows, or [B, N, M] per-request tables
+    (continuous batching); word_lens [N] or [B, N] to match; ``cur``
+    scalar or per-row [B].  Zero-length rows are inert padding."""
     if words is None:
         return jnp.zeros((tokens.shape[0],), jnp.bool_)
-    n, m = words.shape
-    t = tokens.shape[1]
-    j = jnp.arange(m)[None, :]
-    idx = cur - word_lens[:, None] + 1 + j                 # [N, M]
-    fits = (cur - word_lens + 1) >= 0
-    hist = tokens[:, jnp.clip(idx, 0, t - 1)]              # [B, N, M]
-    pad = j >= word_lens[:, None]
-    match = jnp.all(jnp.logical_or(hist == words[None], pad[None]), axis=-1)
-    match = jnp.logical_and(match, fits[None, :])
-    return jnp.any(match, axis=-1)
+    b, t = tokens.shape
+    if words.ndim == 2:
+        n, m = words.shape
+        j = jnp.arange(m)[None, :]
+        idx = cur - word_lens[:, None] + 1 + j             # [N, M]
+        fits = jnp.logical_and((cur - word_lens + 1) >= 0, word_lens > 0)
+        hist = tokens[:, jnp.clip(idx, 0, t - 1)]          # [B, N, M]
+        pad = j >= word_lens[:, None]
+        match = jnp.all(jnp.logical_or(hist == words[None], pad[None]),
+                        axis=-1)
+        match = jnp.logical_and(match, fits[None, :])
+        return jnp.any(match, axis=-1)
+    n, m = words.shape[1:]
+    j = jnp.arange(m)[None, None, :]                       # [1, 1, M]
+    cur3 = jnp.reshape(jnp.asarray(cur, jnp.int32), (-1, 1, 1))
+    lens3 = word_lens[..., None]                           # [B, N, 1]
+    idx = cur3 - lens3 + 1 + j                             # [B, N, M]
+    fits = jnp.logical_and((cur3 - lens3 + 1)[..., 0] >= 0,
+                           word_lens > 0)                  # [B, N]
+    hist = jnp.take_along_axis(
+        jnp.broadcast_to(tokens[:, None, :], (b, n, t)),
+        jnp.clip(idx, 0, t - 1), axis=2)                   # [B, N, M]
+    pad = j >= lens3
+    match = jnp.all(jnp.logical_or(hist == words, pad), axis=-1)
+    return jnp.any(jnp.logical_and(match, fits), axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -293,36 +293,6 @@ def test_mixed_admission_token_exact(sharp):
     assert mixed == plain
 
 
-def test_async_pipelined_serving_token_exact(sharp):
-    """async_depth >= 1 dispatches tick N+1 before consuming tick N (host
-    scheduling overlaps device compute).  The speculative tick feeds on the
-    device-resident pending tokens, so completed outputs must be
-    TOKEN-EXACT vs the synchronous manager — staggered admissions, slot
-    reuse, dense and paged, steps_per_tick 1 and 4."""
-    model, mc = sharp
-    prompts = [[5, 11, 17, 23, 31], [40, 2], [7, 8, 9, 10, 11, 12, 13], [3],
-               [9, 9, 9], [100, 101]]
-    queue = lambda: [InferenceRequest(i, np.asarray(p, np.int32),
-                                      max_new_tokens=12, end_id=210)
-                     for i, p in enumerate(prompts)]
-    sync = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64)
-    for depth in (1, 2):
-        got = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
-                           async_depth=depth)
-        assert got == sync, depth
-    sync4 = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
-                         steps_per_tick=4)
-    got4 = _run_manager(model, queue(), max_batch_size=2, max_seq_len=64,
-                        steps_per_tick=4, async_depth=1)
-    assert got4 == sync4
-    paged_sync = _run_manager(model, queue(), max_batch_size=2,
-                              max_seq_len=64, paged=True, tokens_per_block=8)
-    paged_async = _run_manager(model, queue(), max_batch_size=2,
-                               max_seq_len=64, paged=True, tokens_per_block=8,
-                               async_depth=1)
-    assert paged_async == paged_sync
-
-
 def test_beam_serving_matches_offline(sharp):
     """Per-request beam width in serving (ref GptManager.h:48 per-entry
     SamplingConfig incl. beamWidth): a beam request decoded through the
@@ -495,3 +465,37 @@ def test_mixed_admission_no_decode_stall(sharp):
     # of request 1's 64-token prompt: it must have kept going throughout
     assert events.count(0) >= 20            # 19 stream + 1 final
     assert 1 in events
+
+
+def test_beam_stop_words_multistep_tick(sharp):
+    """Beam requests with stop words at steps_per_tick > 1: the in-scan
+    device stop matcher must freeze a stopped beam immediately, so the
+    multi-step tick reproduces the steps_per_tick=1 result exactly (this
+    configuration used to raise NotImplementedError)."""
+    model, mc = sharp
+    W = 3
+    prompt = [5, 11, 17, 23, 31]
+    sc_beam = SamplingConfig(end_id=210, pad_id=210, num_beams=W)
+    base = _run_manager(
+        model, [InferenceRequest(0, np.asarray(prompt, np.int32),
+                                 max_new_tokens=10, end_id=210,
+                                 sampling=sc_beam)],
+        max_batch_size=2, max_seq_len=64, max_beam_width=W)[0]
+    stop = [int(base[2]), int(base[3])]
+    sc_stop = SamplingConfig(end_id=210, pad_id=210, num_beams=W,
+                             stop_words_list=[stop])
+    ref = _run_manager(
+        model, [InferenceRequest(0, np.asarray(prompt, np.int32),
+                                 max_new_tokens=10, end_id=210,
+                                 sampling=sc_stop)],
+        max_batch_size=2, max_seq_len=64, max_beam_width=W,
+        steps_per_tick=1)[0]
+    got = _run_manager(
+        model, [InferenceRequest(0, np.asarray(prompt, np.int32),
+                                 max_new_tokens=10, end_id=210,
+                                 sampling=sc_stop)],
+        max_batch_size=2, max_seq_len=64, max_beam_width=W,
+        steps_per_tick=4)[0]
+    assert got == ref
+    # the stop word terminated the output early
+    assert len(ref) < len(base) and ref[-2:] == stop
