@@ -82,13 +82,17 @@ class PluginConfig:
     # GELU/residual with the hidden state resident in VMEM — removes the
     # ~0.6 ms/step small-op dispatch floor the round-3 trace named.
     # Applies to single-token decode at batch<=8 (per-batch VMEM scratch
-    # row-blocks), WOQ-int8 or plain-float blocks, whisper + GPT/LLaMA/
-    # GPT-J-class families (learned/rope positions, layernorm/rmsnorm,
-    # plain/gated MLP, sequential/parallel residuals), greedy/sampling
-    # (no beam indirection).  None = ON on TPU: the round-4 device A/B
-    # measured whisper large-v2 woq8 decode 1.66 vs 2.17 ms/tok (7.44 vs
-    # 6.55 utt/s) on v5e; ineligible configs fall back to the scanned
-    # path automatically.
+    # row-blocks), WOQ-int8 / int4 (per-channel or group-wise, round 5)
+    # or plain-float blocks, whisper + GPT/LLaMA/GPT-J-class families
+    # (learned/rope positions, layernorm/rmsnorm, plain/gated MLP,
+    # sequential/parallel residuals), MQA/GQA at head_dim 128
+    # (SantaCoder/StarCoder/GQA-LLaMA class, round 5), bf16/int8/fp8-KV
+    # caches, greedy/sampling (beams take the fused per-layer beam
+    # kernel instead — see beam_pallas).  None = ON on TPU: the round-4
+    # device A/B measured whisper large-v2 woq8 decode 1.66 vs 2.17
+    # ms/tok (7.44 vs 6.55 utt/s) on v5e; ineligible or pspec-SHARDED
+    # configs fall back to the scanned path automatically
+    # (params_cross_device_sharded).
     decode_megakernel: Optional[bool] = None
     # largest batch the megakernel engages for (hard kernel cap 8; larger
     # batches always take the scanned path).  None = 1: the round-4

@@ -45,7 +45,10 @@ def build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant, kv_scales, opts,
         qmode = qmode | QuantMode.use_weight_only(True)
     if "kv8" in quant:
         qmode = qmode.set_int8_kv_cache()
-    enc = WhisperEncoder(config, qmode)
+    # "sqenc": SmoothQuant W8A8 the ENCODER only (the bench.py speed
+    # knob) — the decoder keeps its own quant recipe
+    sqenc = "sqenc" in quant
+    enc = WhisperEncoder(config, QuantMode(0) if sqenc else qmode)
     dec = WhisperDecoder(config, qmode, quantize_lm_head="lmq8" in quant)
     # "ckv8s" = static calibrated scales (the deployment recipe);
     # "ckv8" = dynamic per-utterance amax
@@ -62,8 +65,16 @@ def build_pipeline(config, enc_sd, dec_sd, ckv_sd, quant, kv_scales, opts,
         dec_sd["blocks.attn.kv_orig_quant_scale"] = 1.0 / t
         dec_sd["blocks.attn.kv_quant_orig_scale"] = t
     if qmode.is_weight_only():
-        enc, enc_sd = weight_only_quantize_state(enc, enc_sd, qmode)
+        if not sqenc:
+            enc, enc_sd = weight_only_quantize_state(enc, enc_sd, qmode)
         dec, dec_sd = weight_only_quantize_state(dec, dec_sd, qmode)
+    if sqenc:
+        from eddie_wang_hackathon2023_tpu.quantization.surgery import (
+            smooth_quantize, smooth_quantize_state_dict)
+        sq_mode = QuantMode.use_smooth_quant(per_token=True,
+                                             per_channel=True)
+        enc = smooth_quantize(enc, sq_mode)
+        enc_sd = smooth_quantize_state_dict(enc, enc_sd, sq_mode)
     if "lmq8" in quant:
         from eddie_wang_hackathon2023_tpu.models.whisper.model import (
             quantize_lm_head_state)
@@ -87,8 +98,9 @@ def main():
     p.add_argument("--sample_len", type=int, default=24)
     p.add_argument("--out", default=None, help="write a markdown table here")
     p.add_argument("--configs",
-                   default="fp,woq8,woq4,kv8,ckv8,ckv8s,lmq8,woq8+kv8,"
-                           "woq8+ckv8+lmq8,woq8+ckv8s+lmq8")
+                   default="fp,woq8,woq4,kv8,ckv8,ckv8s,lmq8,sqenc,"
+                           "woq8+kv8,woq8+ckv8+lmq8,woq8+ckv8s+lmq8,"
+                           "woq8+ckv8s+lmq8+sqenc")
     args = p.parse_args()
 
     import jax

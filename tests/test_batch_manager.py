@@ -1,6 +1,7 @@
 """Continuous batching: staggered requests must produce exactly the same
 greedy tokens as offline one-at-a-time decodes (the reference can't test
 its GptManager without GPUs; we can)."""
+import jax
 import numpy as np
 import pytest
 import torch
@@ -499,3 +500,32 @@ def test_beam_stop_words_multistep_tick(sharp):
     assert got == ref
     # the stop word terminated the output early
     assert len(ref) < len(base) and ref[-2:] == stop
+
+
+def test_beam_serving_pallas_kernel_token_exact(sharp, monkeypatch):
+    """Serving beams through the in-kernel cache_indirection
+    (fused_decode_attention beam mode) must match the XLA beam path —
+    the serving tick's _beam_step_impl routes through the same
+    layers.Attention branch as offline decode."""
+    model, mc = sharp
+    W = 3
+    prompts = [[5, 11, 17, 23, 31], [2, 3, 9]]
+    sc_beam = SamplingConfig(end_id=210, pad_id=210, num_beams=W)
+
+    def run():
+        return _run_manager(
+            model, [InferenceRequest(i, np.asarray(p, np.int32),
+                                     max_new_tokens=8, end_id=210,
+                                     sampling=sc_beam)
+                    for i, p in enumerate(prompts)],
+            max_batch_size=2, max_seq_len=64, max_beam_width=W,
+            steps_per_tick=2)
+
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "0")
+    ref = run()
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    jax.clear_caches()          # re-trace under the new kernel recipe
+    got = run()
+    monkeypatch.delenv("EWT_PALLAS_DECODE")
+    jax.clear_caches()
+    assert got == ref
