@@ -195,9 +195,11 @@ def profile_utt():
     if "lmq8" in parts:
         dec.lm_head_scale.value = jnp.ones(dec.lm_head_scale.value.shape,
                                            jnp.float32)
-    pipe = WhisperPipeline(config, enc, dec, ckv,
-                           DecodingOptions(language="en", sample_len=steps),
-                           qmode)
+    beam = int(os.environ.get("BEAM", "0"))
+    opts = (DecodingOptions(language="en", sample_len=steps,
+                            beam_size=beam) if beam > 1 else
+            DecodingOptions(language="en", sample_len=steps))
+    pipe = WhisperPipeline(config, enc, dec, ckv, opts, qmode)
     pipe.bind_params()
     mel = np.random.RandomState(0).randn(1, config.n_mels,
                                          3000).astype(np.float32) * 0.1

@@ -250,7 +250,10 @@ def woq_block_eligible(qkv, mods, hidden: int) -> bool:
     if len(groups) != 1:
         return False
     gs = groups.pop()
-    if gs and (8 in bits or hidden % gs):
+    if gs and (8 in bits or hidden % (2 * gs)):
+        # the group must divide HALF of d: each K-group has to live
+        # wholly in one nibble plane of the half-split packing so the
+        # grouped GEMV needs no materialised [d, d] concat (gemv)
         return False
     for m in mods:
         if not isinstance(m, WeightOnlyQuantLinear) \
@@ -419,18 +422,27 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
             return wbuf[_slot(0, c)]
         return w_ref[0, 0]
 
+    def _unpack4(c):
+        """Sign-extended nibble planes of an int4 panel: (lo, hi) [d/2, d]
+        in the activation dtype — K rows [0, d/2) and [d/2, d) of the
+        half-split packing.  Shifts run in int32 (Mosaic legalizes
+        arith.shli on i32 only — i8 shifts fail with 'failed to
+        legalize' on device); the first formulation additionally
+        materialised a [d, d] concat plus per-group scaled-slice concats
+        and sank its device A/B at 1.15 vs 4.62 utt/s — gemv now
+        consumes the planes via split dots with no concat."""
+        p = _panel(c).astype(jnp.int32)                  # [d/2, d]
+        lo = ((p << 28) >> 28).astype(adt)
+        hi = ((p << 24) >> 28).astype(adt)
+        return lo, hi
+
     def _weight(c):
-        """Dequantised [d, d] panel in the activation dtype.  int4:
-        VMEM nibble unpack (the half-split concat of
-        ops.pallas_quant_matmul._kernel_int4 — half the HBM bytes of
-        int8 reach the chip) + optional group-wise scales applied per
-        K-group BEFORE the dot (weight_only_quant_matmul's grouped
-        numerics: scales don't commute through the contraction)."""
+        """Dequantised [d, d] panel in the activation dtype (used by the
+        out-projection's row-sliced pair dots; the GEMV stages consume
+        the planes without materialising the concat — see gemv)."""
         if not w4:
             return _panel(c).astype(adt)
-        p = _panel(c).astype(jnp.int32)                  # [d/2, d]
-        lo = ((p << 28) >> 28).astype(adt)               # sign-extended
-        hi = ((p << 24) >> 28).astype(adt)
+        lo, hi = _unpack4(c)
         w = jnp.concatenate([lo, hi], axis=0)            # [d, d]
         if ng:
             gsz = d // ng
@@ -441,7 +453,33 @@ def _kernel(slen_ref, start_ref, tlen_ref, kvoq_ref, kvqo_ref, cscale_ref,
         return w
 
     def gemv(lhs, c):
-        return jax.lax.dot(lhs, _weight(c), preferred_element_type=f32)
+        if not w4:
+            return jax.lax.dot(lhs, _panel(c).astype(adt),
+                               preferred_element_type=f32)
+        lo, hi = _unpack4(c)
+        if ng:
+            # group-wise scales: each K-group lives wholly in one nibble
+            # plane (the packer asserts gsz | d/2), so the dequant is a
+            # per-group [gsz, d] scale-mul + one K=gsz dot — NO
+            # materialised [d, d] concat
+            gsz = d // ng
+            gs_blk = gsc_ref[0, 0]                       # [NG, d]
+            half = ng // 2
+            acc = None
+            for g in range(ng):
+                plane = lo if g < half else hi
+                r0 = (g - (half if g >= half else 0)) * gsz
+                wg = plane[r0:r0 + gsz, :] * gs_blk[g:g + 1, :].astype(adt)
+                part = jax.lax.dot(lhs[:, g * gsz:(g + 1) * gsz], wg,
+                                   preferred_element_type=f32)
+                acc = part if acc is None else acc + part
+            return acc
+        # per-channel: two half-K dots straight off the nibble planes
+        # (post-dot fp32 scale rides the existing pair/flat slots)
+        return jax.lax.dot(lhs[:, :d // 2], lo,
+                           preferred_element_type=f32) + \
+            jax.lax.dot(lhs[:, d // 2:], hi,
+                        preferred_element_type=f32)
 
     def qkv_stage(slot: int, c: int):
         """q/k/v/cross-q projection: flat GEMV -> pair layout -> scale,
