@@ -60,7 +60,10 @@ def main():
     # speed-optimal deployment recipe (int8 weights + int8 cross-KV +
     # int8 lm_head) — the reference's baseline number is likewise its
     # best plugin+quant configuration.  "bf16"/"none" = unquantized.
-    quant = os.environ.get("BENCH_QUANT", "woq8+ckv8+lmq8")
+    # + sqenc adopted round 5: SmoothQuant W8A8 encoder measured 8.00
+    # vs 7.89 utt/s same-session AND 0.00% transcription divergence vs
+    # the fp32 pipeline (WER.md sqenc row)
+    quant = os.environ.get("BENCH_QUANT", "woq8+ckv8+lmq8+sqenc")
     if quant in ("bf16", "none"):
         quant = ""
     parts = set(p for p in quant.split("+") if p)

@@ -238,7 +238,12 @@ class DecoderLMHead(Module):
             mods.append(b.mlp.gate)
         if isinstance(qkv, WeightOnlyQuantQKVLinear):
             from ..ops.pallas_decoder_layer import woq_block_eligible
-            return woq_block_eligible(qkv, mods, c.hidden_size)
+            # allow_int4=False: the r5 device A/B measured the int4
+            # megakernel LOSING on decoder-only stacks (gated LLaMA-1B
+            # 88 vs 233 tok/s scanned) while winning on whisper - see
+            # woq_block_eligible
+            return woq_block_eligible(qkv, mods, c.hidden_size,
+                                      allow_int4=False)
         # plain-float block (round 4): the kernel streams bf16 panels
         # with unit scales — QKVLinear (fused or separate-KV layout) +
         # Linear/RowLinear

@@ -233,16 +233,26 @@ def params_cross_device_sharded(params) -> bool:
     return False
 
 
-def woq_block_eligible(qkv, mods, hidden: int) -> bool:
+def woq_block_eligible(qkv, mods, hidden: int,
+                       allow_int4: bool = True) -> bool:
     """Shared WOQ eligibility check for the megakernel gates: every
     projection uniformly int8 per-out-channel, OR uniformly int4
-    (per-out-channel or group-wise with the group dividing d — the
-    panel K axis), tp=1.  Round 5 widened this from int8-only: int4
-    panels stream HALF the HBM bytes and unpack in VMEM
-    (_weight/_kernel), the same trade the reference's CUTLASS fpA_intB
-    path makes (fpA_intB_gemm.h:53-90)."""
+    (per-out-channel or group-wise with the group dividing d/2 - each
+    K-group must live in one nibble plane), tp=1.  Round 5 widened this
+    from int8-only: int4 panels stream HALF the HBM bytes and unpack in
+    VMEM (_unpack4/gemv), the same trade the reference CUTLASS
+    fpA_intB path makes (fpA_intB_gemm.h:53-90).
+
+    ``allow_int4``: the r5 device A/Bs SPLIT on int4 - whisper large-v2
+    megakernel 6.89 vs 4.62 utt/s scanned (ADOPTED: the cross-attention
+    stages hide the VPU unpack behind cache DMA), but gated LLaMA-1B
+    88 vs 233 tok/s (LOST: back-to-back GEMV stages leave the 16-group
+    unpack exposed) - decoder-only models pass False and keep the
+    scanned path for int4."""
     from ..quantization.layers import WeightOnlyQuantLinear
     bits = {qkv.bits} | {getattr(m, "bits", None) for m in mods}
+    if bits == {4} and not allow_int4:
+        return False
     if bits not in ({8}, {4}):
         return False
     groups = {qkv.group_size} | {getattr(m, "group_size", None)

@@ -696,9 +696,12 @@ def test_megakernel_int4_matches_scan_step(group):
                                    rtol=2e-4, atol=2e-3)
 
 
-def test_megakernel_int4_gated_decoder_tokens():
+def test_megakernel_int4_gated_decoder_tokens(monkeypatch):
     """int4 group-wise + gated MLP (LLaMA-class) multi-step greedy
-    token parity megakernel vs scan."""
+    token parity megakernel vs scan.  Decoder-only int4 is gated OFF by
+    default after its device A/B loss (LLaMA-1B 88 vs 233 tok/s — see
+    woq_block_eligible allow_int4), so the gate is forced here to keep
+    the kernel path itself exact."""
     import jax.numpy as jnp
     from eddie_wang_hackathon2023_tpu.models.decoder import (DecoderConfig,
                                                              DecoderLMHead)
@@ -718,7 +721,10 @@ def test_megakernel_int4_gated_decoder_tokens():
         model2 = DecoderLMHead(cfg)
         model2, sd = weight_only_quantize_state(model2, sd, cfg.quant_mode)
         model2.load_state_dict(sd, strict=False)
-        assert model2.megakernel_eligible()
+        assert not model2.megakernel_eligible()   # int4 decoder: gated off
+        from eddie_wang_hackathon2023_tpu.models.decoder import DecoderLMHead
+        monkeypatch.setattr(DecoderLMHead, "megakernel_eligible",
+                            lambda self: True)
         blobs = model2.megakernel_blobs(sd)
 
         def run(flag):
