@@ -66,6 +66,18 @@ def proj_fusion_hoistable(attn) -> bool:
     if getattr(attn, "num_attention_kv_heads", None) != \
             getattr(attn, "num_attention_heads", None):
         return False
+    # the epilogue holds one [H*D, N] weight panel in scoped VMEM; at
+    # d=4096 (7B class) that is 16.7 MB int8 and overflows the 16 MiB
+    # scoped-VMEM stack (device-verified compile OOM, r5 suite llama7b
+    # row).  Checked HERE so the scan-xs hoist decision always matches
+    # the kernel's operand decision — a hoisted stacked weight with the
+    # fusion declined would hand the XLA dense a 3-D weight.
+    hd = (getattr(attn, "num_attention_heads", 0)
+          * getattr(attn, "attention_head_size", 0))
+    if d is not None:
+        itemsize = 1 if getattr(d, "qweight", None) is not None else 2
+        if hd * getattr(attn, "hidden_size", 0) * itemsize > 8 * 2 ** 20:
+            return False
     if _woq8_unsharded(d):
         return True
     # bf16/f32 dense epilogue: same fusion with the weight pre-swapped to
