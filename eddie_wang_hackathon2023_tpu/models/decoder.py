@@ -231,6 +231,13 @@ class DecoderLMHead(Module):
                 return False
         if c.hidden_size % 128 or 128 % c.head_dim:
             return False
+        if c.hidden_size > 2048:
+            # r5 device A/B: LLaMA-7B (d=4096) megakernel 21.6 vs 80.0
+            # tok/s scanned — at 16.7 MB/panel the 2-slot VMEM ring has
+            # no lookahead slack and the stream stalls at every stage
+            # boundary; d<=2048 wins (GPT-350M 460, llama-1b 317 vs 311,
+            # SantaCoder-1B 286 vs 271)
+            return False
         b = self.blocks
         qkv = getattr(b.attention, "qkv", None)
         mods = [b.attention.dense, b.mlp.fc, b.mlp.proj]
