@@ -233,9 +233,10 @@ class DecoderLMHead(Module):
             return False
         if c.hidden_size > 2048:
             # r5 device A/B: LLaMA-7B (d=4096) megakernel 21.6 vs 80.0
-            # tok/s scanned — at 16.7 MB/panel the 2-slot VMEM ring has
-            # no lookahead slack and the stream stalls at every stage
-            # boundary; d<=2048 wins (GPT-350M 460, llama-1b 317 vs 311,
+            # tok/s scanned; a ring-depth sweep (nbuf 2/3/4 via
+            # EWT_MK_NBUF: 21.6/21.3/21.5) showed prefetch depth is NOT
+            # the bottleneck, so the loss is structural at 16.7 MB
+            # panels.  d<=2048 wins (GPT-350M 460, llama-1b 317 vs 311,
             # SantaCoder-1B 286 vs 271)
             return False
         b = self.blocks

@@ -208,7 +208,13 @@ _RING_HARD_CAP = 48 << 20
 
 def _pick_nbuf(npan: int, panel_bytes: int) -> int:
     """VMEM ring slots for the manual weight stream: >= 2 (double
-    buffer), <= 8, and ring bytes bounded by ``_RING_BUDGET``."""
+    buffer), <= 8, and ring bytes bounded by ``_RING_BUDGET``.
+    ``EWT_MK_NBUF`` overrides for ring-depth experiments (clamped to
+    npan and the 100 MB kernel VMEM limit's practical ceiling)."""
+    import os
+    v = os.environ.get("EWT_MK_NBUF")
+    if v:
+        return max(2, min(int(v), npan))
     return min(npan, 8, max(2, _RING_BUDGET // panel_bytes))
 
 
