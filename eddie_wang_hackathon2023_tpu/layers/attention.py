@@ -482,17 +482,35 @@ class Attention(Module):
                                                    paged_prefill)
                 pk = past_key_value
                 if q.shape[2] == 1:
-                    # generation phase: scatter one token, gather by table
+                    # generation phase: scatter one token, then read the
+                    # paged history.  Default on TPU: the paged Pallas
+                    # kernel (round 5) — the block table rides as a
+                    # scalar-prefetch argument consumed by the kv
+                    # BlockSpec index maps, so pool blocks are DMA'd
+                    # directly with NO gathered [B, MB*T, ...] copy and
+                    # no materialised per-layer pool slice (the
+                    # reference likewise consumes its pointer arrays
+                    # inside the fused plugin, D/gpt_attention.md:
+                    # 168-200).  Beams keep the XLA masked cross-beam
+                    # formulation.
                     pool = paged_append_kv(
                         pk.pool, k, v, pk.block_table,
                         jnp.asarray(cache_write_index, jnp.int32).reshape(-1),
                         kv_orig_quant_scale=kv_oq, layer_idx=pk.layer_idx)
-                    pool_l = jax.lax.dynamic_index_in_dim(
-                        pool, pk.layer_idx, 0, keepdims=False)
-                    ctx = paged_decode_attention(
-                        q, pool_l, pk.block_table, sequence_length,
-                        scale=self.scale, kv_quant_orig_scale=kv_qo,
-                        beam_indirection=beam_indirection)
+                    if _pallas_decode() and beam_indirection is None:
+                        from ..ops.pallas_decode_attention import \
+                            paged_decode_attention_pallas
+                        ctx = paged_decode_attention_pallas(
+                            pool, pk.layer_idx, q, pk.block_table,
+                            sequence_length, self.scale,
+                            kv_quant_orig_scale=kv_qo)
+                    else:
+                        pool_l = jax.lax.dynamic_index_in_dim(
+                            pool, pk.layer_idx, 0, keepdims=False)
+                        ctx = paged_decode_attention(
+                            q, pool_l, pk.block_table, sequence_length,
+                            scale=self.scale, kv_quant_orig_scale=kv_qo,
+                            beam_indirection=beam_indirection)
                 elif getattr(cache_write_index, "ndim", 0) >= 1:
                     # mixed context+generation window (ref ibGptAttention
                     # mixed enqueue): W tokens per row at per-row start

@@ -609,6 +609,156 @@ def _gqa_call(full_cache, layer_idx, q, seq_len, scale,
     return out.reshape(B, H, 1, D)
 
 
+def _paged_kernel(layer_ref, table_ref, seqlen_ref, kscale_ref,
+                  q_ref, *rest,
+                  scale: float, quant: bool, grp: int, t: int,
+                  cdt, n_cells: int):
+    """Single-token decode attention straight off the BLOCK POOL: the
+    reference consumes its paged pointer arrays inside the fused
+    attention plugin (D/gpt_attention.md:168-200); here the block table
+    rides as a scalar-prefetch argument consumed by the kv BlockSpec
+    index maps, so each pool block is DMA'd directly — no gathered
+    [B, max_blocks*T, ...] copy ever materialises (the XLA formulation
+    pays that gather every layer every step).
+
+    Grid (B, ceil(max_blocks/grp)); each cell receives ``grp`` pool
+    blocks through ``grp`` separate block operands (their index maps
+    clamp past the valid length, eliding the DMA), concatenates their
+    [Hkv, T, D] panels along T and runs one masked online-softmax
+    update.  The current token's K/V is already in the pool (serving
+    appends before reading — the in-place gpt_attention contract), so
+    there is no fresh-KV operand.  MQA/GQA ride the q rows like
+    _gqa_kernel ([Hkv, rep, D])."""
+    m_ref, d_ref, acc_ref = rest[-3:]
+    o_ref = rest[-4]
+    kv_refs = rest[:-4]
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    kscale = kscale_ref[0] if quant else 1.0
+    seq = seqlen_ref[b]
+    n_need = jnp.maximum(jax.lax.div(seq + t - 1, t), 1)
+    cell_need = jax.lax.div(n_need + grp - 1, grp)
+
+    @pl.when(c == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, NEG, m_ref.dtype)
+        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    @pl.when(c < cell_need)
+    def _cell():
+        q = q_ref[0].astype(cdt)                       # [Hkv, rep, D]
+        k = jnp.concatenate([r[0, 0, 0].astype(cdt) for r in kv_refs],
+                            axis=1)                    # [Hkv, grp*T, D]
+        v = jnp.concatenate([r[0, 0, 1].astype(cdt) for r in kv_refs],
+                            axis=1)
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [Hkv, rep, grp*T]
+        s = s * (scale * kscale)
+        pos = c * grp * t + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, grp * t), 2)
+        valid = pos < seq
+        s = jnp.where(valid, s, NEG)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        p = jnp.where(valid, jnp.exp(s - m_new[:, :, None]), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=2)
+        pv = jax.lax.dot_general(
+            p.astype(cdt), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [Hkv, rep, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, :, None] + pv
+        m_ref[...] = m_new
+
+    @pl.when(c == n_cells - 1)
+    def _finalize():
+        ctx = acc_ref[...] * (kscale / d_ref[...])[:, :, None]
+        o_ref[0] = ctx.astype(o_ref.dtype)
+
+
+def paged_decode_attention_pallas(full_pool, layer_idx, q, block_table,
+                                  seq_len, scale: float,
+                                  kv_quant_orig_scale=None,
+                                  blocks_per_cell: int = 0,
+                                  interpret: bool = False):
+    """q [B, H, 1, D] against the STACKED block pool
+    [L, N, 2, Hkv, T, D] via block_table [B, max_blocks] (int32, -1
+    padded); seq_len [B] INCLUDING the current token (already appended
+    to the pool).  Returns [B, H, 1, D].  See _paged_kernel."""
+    L, N, _, HKV, T, D = full_pool.shape
+    B, H = q.shape[0], q.shape[1]
+    MB = block_table.shape[1]
+    rep = H // HKV
+    assert rep * HKV == H, (H, HKV)
+    quant = full_pool.dtype in (jnp.int8, jnp.float8_e4m3fn)
+    if not interpret:
+        from .._utils import runtime_platform
+        interpret = runtime_platform() != "tpu"
+    grp = blocks_per_cell or max(1, min(MB, 512 // T))
+    n_cells = -(-MB // grp)
+
+    qg = q[:, :, 0, :].reshape(B, HKV, rep, D)
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    table_arr = jnp.asarray(block_table, jnp.int32).reshape(-1)  # [B*MB]
+    seqlen_arr = jnp.broadcast_to(
+        jnp.asarray(seq_len, jnp.int32).reshape(-1), (B,))
+    if kv_quant_orig_scale is None:
+        kscale_arr = jnp.ones((1,), jnp.float32)
+    else:
+        kscale_arr = jnp.asarray(kv_quant_orig_scale,
+                                 jnp.float32).reshape(-1)[:1]
+
+    def mk_kv_map(i):
+        def kv_map(b, c, lref, tref, sref, kref):
+            sl = sref[b]
+            n_need = jnp.maximum(jax.lax.div(sl + T - 1, T), 1)
+            blk_i = jnp.minimum(c * grp + i, n_need - 1)
+            blk = tref[b * MB + jnp.minimum(blk_i, MB - 1)]
+            return (lref[0], jnp.maximum(blk, 0), 0, 0, 0, 0)
+        return kv_map
+
+    def q_map(b, c, *refs):
+        return (b, 0, 0, 0)
+
+    in_specs = [pl.BlockSpec((1, HKV, rep, D), q_map,
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((1, 1, 2, HKV, T, D), mk_kv_map(i),
+                              memory_space=pltpu.VMEM)
+                 for i in range(grp)]
+    cdt = q.dtype if q.dtype in (jnp.float32, jnp.bfloat16) else jnp.bfloat16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, n_cells),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, HKV, rep, D), q_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((HKV, rep), jnp.float32),
+            pltpu.VMEM((HKV, rep), jnp.float32),
+            pltpu.VMEM((HKV, rep, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_kernel, scale=float(scale), quant=quant, grp=grp, t=T,
+        cdt=cdt, n_cells=n_cells)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, HKV, rep, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * D * MB * T // max(rep, 1),
+            bytes_accessed=2 * HKV * T * D * MB
+            * full_pool.dtype.itemsize * B,
+            transcendentals=B * H * MB * T),
+        interpret=interpret,
+    )(layer_arr, table_arr, seqlen_arr, kscale_arr, qg,
+      *([full_pool] * grp))
+    return out.reshape(B, H, 1, D)
+
+
 def _default_chunk(S: int) -> int:
     from ..plugin import get_plugin_config
     return get_plugin_config().get_decode_chunk(S)

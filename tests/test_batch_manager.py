@@ -529,3 +529,29 @@ def test_beam_serving_pallas_kernel_token_exact(sharp, monkeypatch):
     monkeypatch.delenv("EWT_PALLAS_DECODE")
     jax.clear_caches()
     assert got == ref
+
+
+def test_paged_serving_pallas_kernel_token_exact(sharp, monkeypatch):
+    """Paged continuous batching through the paged-decode Pallas kernel
+    (block table as scalar prefetch) must match the XLA gather path
+    token-exactly — staggered admissions, slot reuse."""
+    model, mc = sharp
+    prompts = [[5, 11, 17, 23, 31], [2, 3], [40, 41, 42, 43, 44], [7]]
+
+    def run():
+        return _run_manager(
+            model, [InferenceRequest(i, np.asarray(p, np.int32),
+                                     max_new_tokens=8, end_id=210)
+                    for i, p in enumerate(prompts)],
+            max_batch_size=2, max_seq_len=64, paged=True,
+            tokens_per_block=8)
+
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "0")
+    jax.clear_caches()
+    ref = run()
+    monkeypatch.setenv("EWT_PALLAS_DECODE", "1")
+    jax.clear_caches()
+    got = run()
+    monkeypatch.delenv("EWT_PALLAS_DECODE")
+    jax.clear_caches()
+    assert got == ref

@@ -106,3 +106,44 @@ def test_jit_and_donation():
     vn = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
     ctx, pool = step(pool, q, kn, vn, table, lens)
     assert ctx.shape == (B, H, 1, D)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+@pytest.mark.parametrize("hkv,h", [(4, 4), (1, 4)])
+def test_paged_pallas_kernel_matches_xla(dtype, hkv, h):
+    """The paged-decode Pallas kernel (block table as scalar-prefetch
+    feeding the DMA index maps — the reference consumes its pointer
+    arrays inside the fused plugin) must match the XLA gather
+    formulation: ragged lengths, -1 padded tables, int8 pools, MQA."""
+    from eddie_wang_hackathon2023_tpu.ops.pallas_decode_attention import (
+        paged_decode_attention_pallas)
+    rs = np.random.RandomState(41)
+    L, B, T, D, NBLK, MB = 2, 3, 8, 16, 24, 5
+    pool = rs.randn(L, NBLK, 2, hkv, T, D).astype(np.float32)
+    if dtype == jnp.int8:
+        pool = np.clip(np.round(pool * 20), -127, 127).astype(np.int8)
+    pool = jnp.asarray(pool, dtype)
+    q = jnp.asarray(rs.randn(B, h, 1, D).astype(np.float32))
+    seq = np.asarray([7, 25, 17], np.int32)      # 1, 4, 3 blocks used
+    # distinct random block chains; unused slots -1
+    perm = rs.permutation(NBLK)
+    table = np.full((B, MB), -1, np.int32)
+    k = 0
+    for i in range(B):
+        nb = -(-int(seq[i]) // T)
+        table[i, :nb] = perm[k:k + nb]
+        k += nb
+    kscale = 0.05 if dtype == jnp.int8 else None
+    scale = 1.0 / D ** 0.5
+    for l in range(L):
+        ref = paged_decode_attention(
+            q, pool[l], jnp.asarray(table), jnp.asarray(seq), scale=scale,
+            kv_quant_orig_scale=kscale)
+        for grp in (1, 2, 5):
+            got = paged_decode_attention_pallas(
+                pool, l, q, jnp.asarray(table), jnp.asarray(seq), scale,
+                kv_quant_orig_scale=kscale, blocks_per_cell=grp,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"layer {l} grp {grp}")
