@@ -497,7 +497,13 @@ class Attention(Module):
                         pk.pool, k, v, pk.block_table,
                         jnp.asarray(cache_write_index, jnp.int32).reshape(-1),
                         kv_orig_quant_scale=kv_oq, layer_idx=pk.layer_idx)
-                    if _pallas_decode() and beam_indirection is None:
+                    if _pallas_decode() and beam_indirection is None \
+                            and b <= 2:
+                        # batch gate from the r5 device A/B: bs1 serving
+                        # 30.7 vs 24.2 tok/s (kernel wins, latency
+                        # mode), bs8 119 vs 164 (XLA's batched gather +
+                        # einsums amortise across rows; the kernel's
+                        # per-row grid does not)
                         from ..ops.pallas_decode_attention import \
                             paged_decode_attention_pallas
                         ctx = paged_decode_attention_pallas(
