@@ -939,6 +939,14 @@ def fused_decoder_stack(x, blobs: MegakernelBlobs, self_cache, seq_len,
     ncs = -(-S // cs_s)
     if with_cross:
         Sc = cross_cache.shape[5]
+        if cs_cross is None:
+            # cross-only chunk override (the shared EWT_DECODE_CHUNK
+            # knob also moves the self chunk, which wants to stay at
+            # 128 for the short-seq DMA clamp in self_map)
+            import os
+            _v = os.environ.get("EWT_DECODE_CHUNK_CROSS")
+            if _v:
+                cs_cross = int(_v)
         cs_c = min(cs_cross or cfg.get_decode_chunk(Sc) or 512, Sc)
         cs_c = max(cs_c, 128) if Sc >= 128 else Sc
         ncc = -(-Sc // cs_c)

@@ -922,3 +922,35 @@ def test_megakernel_deterministic_fallback_on_sharded_params():
         ts, ls, _ = b.decode(prompt, np.asarray([4]), max_new_tokens=8)
     np.testing.assert_array_equal(tu, ts)
     np.testing.assert_array_equal(lu, ls)
+
+
+def test_megakernel_cross_chunk_override_token_exact(monkeypatch):
+    """EWT_DECODE_CHUNK_CROSS regrids the cross-attention chunk stages
+    (perf experiment knob; the 1536-wide device A/B lost and 512 stays
+    the default) — any width must reproduce the scanned step exactly."""
+    qm = QuantMode.use_weight_only() | QuantMode.INT8_KV_CACHE
+    dec, sd = _decoder(qm)
+    cross = _cross_kv(True)
+    blobs = _pack(dec, sd)
+
+    prompt = jnp.asarray([[3, 7, 11, 2, 9]], jnp.int32)
+    plen = prompt.shape[1]
+    cache = dec.new_kv_cache(1)
+    logits_p, cache = dec(prompt, cache, cross, 0,
+                          jnp.asarray([plen], jnp.int32))
+    tok = jnp.argmax(logits_p[:, -1:], axis=-1).astype(jnp.int32)
+    seqlen = jnp.asarray([plen + 1], jnp.int32)
+
+    with plugin_config(decode_megakernel=False):
+        ref_logits, ref_cache = dec(tok, cache, cross, plen, seqlen)
+
+    # one 160-wide chunk (default grid: 2x128-padded) — single cross stage
+    monkeypatch.setenv("EWT_DECODE_CHUNK_CROSS", str(CFG.n_audio_ctx))
+    with plugin_config(decode_megakernel=True):
+        mk_logits, mk_cache = dec(tok, cache, cross, plen, seqlen,
+                                  megakernel_blobs=blobs)
+    np.testing.assert_allclose(np.asarray(mk_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(mk_cache),
+                                  np.asarray(ref_cache))
